@@ -1,0 +1,47 @@
+"""Named-query registry — the operator parity matrix.
+
+Every implemented operator from SURVEY.md §2 (plus the LLM-pipeline
+extensions, §7 Phase 3) registers here as a (PySpark callable, DuckDB oracle
+SQL) pair. ``__spark_entry__.py`` re-exports the registry; the driver runs
+both sides at sf0.01 and compares row count + schema + order-insensitive
+value hash.
+
+Conventions that keep the two sides hash-identical:
+- Alias every computed column identically on both sides.
+- Round floating-point aggregates (``round(x, 4)``) on both sides: Spark and
+  DuckDB sum partitions in different orders, so raw double sums differ in
+  the last ulp.
+- Cast integer sums to BIGINT in the oracle (DuckDB's sum(int) is HUGEINT).
+- Never rely on row order; the driver's hash is order-insensitive.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a named query; ``oracle=None`` marks a non-SQL-expressible op
+    (driver falls back to a rows-only check)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every plan module so its @register calls run."""
+    from . import parity, tpch, llm, stream  # noqa: F401

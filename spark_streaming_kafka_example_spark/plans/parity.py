@@ -1,0 +1,396 @@
+"""Reference-parity queries (SURVEY §2) over the testdata tables.
+
+Domain mapping (FIXTURES.md §5): ``events`` stands in for the sensor Kafka
+stream (``ts`` = event time, ``props`` = JSON payload, ``user_id`` x
+``event_type`` = group keys, ``value`` = the summed measure); ``customer``
+stands in for the sensor_field.csv master dimension; ``documents.text``
+stands in for the word-count socket lines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from ..analytics import alert_filter, enrich_join
+from ..schemas import EVENT_PROPS_SCHEMA
+from ..sources import load_table
+from . import register
+
+# ---------------------------------------------------------------------------
+# Flagship: the reference's core pipeline re-expressed in batch
+# (SURVEY §7 Phase 0). Kafka JSON parse (P2) -> flatten/derive (P3/P6) ->
+# stream-static left-outer enrich join (J1) -> 5-min/1-min sliding window
+# sum (A3, W3, W4) -> threshold alert filter (F1; the `avg_whc < 25.0`
+# analogue at reference SlidingWindow.scala:63).
+# ---------------------------------------------------------------------------
+
+FLAGSHIP_ORACLE = """
+WITH enriched AS (
+    SELECT e.ts, e.value, c.c_mktsegment AS segment
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+), panes AS (
+    SELECT time_bucket(INTERVAL '1 minute', ts) - i.i * INTERVAL '1 minute'
+               AS window_start,
+           segment, value
+    FROM enriched, range(5) i(i)
+)
+SELECT window_start,
+       window_start + INTERVAL '5 minutes' AS window_end,
+       segment,
+       round(sum(value), 4) AS sum_value,
+       count(*) AS n_events
+FROM panes
+GROUP BY 1, 2, 3
+HAVING round(sum(value), 4) < 200.0
+"""
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window alerting over the enriched event stream.
+
+    Reference pipeline shape: StreamingWithKafkaJoinedData.scala:46 (join) ->
+    SlidingWindow.scala:52-63 (window + filter). Batch `F.window()` has
+    identical pane semantics to streaming, so this is DuckDB-checkable
+    (SURVEY §5); the streaming twin lives in plans/stream.py.
+
+    Scale: dimension side broadcast (no stream shuffle); single shuffle on
+    (window, segment) with partial aggregation; AQE handles skewed segments.
+    """
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    enriched = enrich_join(events, customer, key="user_id", how="left_outer")
+    agg = (
+        enriched.groupBy(F.window("ts", "5 minutes", "1 minute"), "segment")
+        .agg(
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "segment",
+            "sum_value",
+            "n_events",
+        )
+    )
+    return alert_filter(agg, "sum_value", 200.0)
+
+
+register("flagship_sliding_alert", FLAGSHIP_ORACLE)(flagship)
+
+
+# ---------------------------------------------------------------------------
+# P1: selectExpr CAST projection (reference StreamingWithKafka.scala:21).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p1_cast_projection",
+    """
+    SELECT CAST(event_id AS VARCHAR) AS event_id_str,
+           -- Spark CAST(double AS BIGINT) truncates toward zero; DuckDB's
+           -- rounds to nearest, so trunc() first to match Spark semantics.
+           CAST(trunc(value) AS BIGINT) AS value_int,
+           CAST(user_id AS DOUBLE) AS user_id_dbl
+    FROM events
+    """,
+)
+def p1_cast_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "events")
+    return df.selectExpr(
+        "CAST(event_id AS STRING) AS event_id_str",
+        "CAST(value AS BIGINT) AS value_int",
+        "CAST(user_id AS DOUBLE) AS user_id_dbl",
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2 + P3: from_json schema-on-read -> nested-field extraction
+# (reference StreamingWithKafka.scala:22-34). events.props is the JSON
+# payload; malformed rows become nulls (PERMISSIVE, SURVEY §1.4).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p2_from_json_flatten",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def p2_from_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "events")
+    parsed = df.withColumn("parsed", F.from_json("props", EVENT_PROPS_SCHEMA))
+    return parsed.select("event_id", F.col("parsed.k").alias("k"))
+
+
+# ---------------------------------------------------------------------------
+# P5: to_json(struct(...)) row serialization
+# (reference StreamingWithKafkaJoinedData.scala:49).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p5_to_json_struct",
+    """
+    SELECT event_id,
+           to_json(struct_pack(event_id := event_id, event_type := event_type))
+               AS value
+    FROM events
+    """,
+)
+def p5_to_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "events")
+    return df.select(
+        "event_id",
+        F.to_json(F.struct("event_id", "event_type")).alias("value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P7: withColumnRenamed for join-key alignment
+# (reference StreamingWithKafkaJoinedData.scala:38).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p7_rename_key",
+    "SELECT event_id, user_id AS sensor_id, event_type FROM events",
+)
+def p7_rename_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "events")
+    return df.withColumnRenamed("user_id", "sensor_id").select(
+        "event_id", "sensor_id", "event_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8 + P9: the string->epoch->string round trip and string->timestamp parse
+# (reference ParquetOutput.scala:40, SlidingWindow.scala:39). The testdata ts
+# is already a timestamp, so derive the reference's wire format first —
+# date_format(ts, 'yyyy/MM/dd HH:mm:ss') — then parse it back.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p8_p9_timestamp_roundtrip",
+    """
+    SELECT event_id,
+           strftime(ts, '%Y/%m/%d %H:%M:%S') AS date_str,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS roundtrip_str,
+           strptime(strftime(ts, '%Y/%m/%d %H:%M:%S'), '%Y/%m/%d %H:%M:%S')
+               AS event_time
+    FROM events
+    """,
+)
+def p8_p9_timestamp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fmt = "yyyy/MM/dd HH:mm:ss"
+    df = load_table(spark, sf_dir, "events")
+    return df.select(
+        "event_id",
+        F.date_format("ts", fmt).alias("date_str"),
+        F.from_unixtime(F.unix_timestamp(F.date_format("ts", fmt), fmt)).alias(
+            "roundtrip_str"
+        ),
+        F.to_timestamp(F.date_format("ts", fmt), fmt).alias("event_time"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P10 + P11: derive the yyyyMM partition key and keep-all splat
+# (reference ParquetOutput.scala:40-41). Aggregated so the result is small.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p10_month_partition_key",
+    """
+    SELECT strftime(ts, '%Y%m') AS month,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def p10_month_partition_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "events")
+    return (
+        df.select(F.date_format("ts", "yyyyMM").alias("month"), "*")
+        .groupBy("month")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P12 + A1: split/explode word count (reference Basic.scala:22-23; DStream
+# twin BasicStreaming.scala:17 — capability reproduced, API not ported).
+# documents.text stands in for the socket lines (FIXTURES.md §4).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p12_a1_word_count",
+    """
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+    """,
+)
+def p12_a1_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    return words.groupBy("word").count().withColumnRenamed("count", "cnt")
+
+
+# ---------------------------------------------------------------------------
+# U1 + U2 + U3 + P13: UDF registration, temp view, SQL entry point
+# (reference UdfRegister.scala:13-27: doubleString(str) = str + str over the
+# sensor_master view). nation stands in for the master table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "u1_u3_udf_sql",
+    """
+    SELECT n_nationkey AS sensor_id,
+           n_name AS field_id,
+           n_name || n_name AS double_field_id
+    FROM nation
+    """,
+)
+def u1_u3_udf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Plain Python UDF kept deliberately: it reproduces U3's scalar-UDF-in-SQL
+    # surface. Hot-path string work should use built-ins or pandas_udf
+    # (functions/udfs.py provides the vectorized twin).
+    spark.udf.register("doubleString", lambda s: None if s is None else s + s, T.StringType())
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("sensor_master")
+    return spark.sql(
+        """
+        SELECT n_nationkey AS sensor_id,
+               n_name AS field_id,
+               doubleString(n_name) AS double_field_id
+        FROM sensor_master
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1: stream-static left-outer equi-join (reference
+# StreamingWithKafkaJoinedData.scala:46), key-deduped per SURVEY J1.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_enrich_left_outer",
+    """
+    SELECT e.event_id, e.user_id, e.event_type,
+           c.c_name, c.c_mktsegment
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def j1_enrich_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    return enrich_join(events, customer, key="user_id", how="left_outer").select(
+        "event_id", "user_id", "event_type", "c_name", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 / W2: tumbling-window multi-agg (reference TumblingWindow.scala:52-58).
+# Honest sum_* names, not the reference's lying avg_* (SURVEY §2.6 trap);
+# true averages added alongside as capability.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a2_tumbling_window_agg",
+    """
+    SELECT time_bucket(INTERVAL '1 minute', ts) AS window_start,
+           time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute'
+               AS window_end,
+           event_type,
+           round(sum(value), 4) AS sum_value,
+           round(avg(value), 4) AS avg_value,
+           count(*) AS n_events
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def a2_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "events")
+    return (
+        df.groupBy(F.window("ts", "1 minute"), "event_type")
+        .agg(
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "sum_value",
+            "avg_value",
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 / W3: sliding-window agg (reference SlidingWindow.scala:52-59) — every
+# row lands in 5 one-minute-spaced panes of a 5-minute window.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a3_sliding_window_agg",
+    """
+    WITH panes AS (
+        SELECT time_bucket(INTERVAL '1 minute', ts) - i.i * INTERVAL '1 minute'
+                   AS window_start,
+               event_type, value
+        FROM events, range(5) i(i)
+    )
+    SELECT window_start,
+           window_start + INTERVAL '5 minutes' AS window_end,
+           event_type,
+           round(sum(value), 4) AS sum_value,
+           count(*) AS n_events
+    FROM panes GROUP BY 1, 2, 3
+    """,
+)
+def a3_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "events")
+    return (
+        df.groupBy(F.window("ts", "5 minutes", "1 minute"), "event_type")
+        .agg(
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "sum_value",
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1: standalone threshold filter (reference SlidingWindow.scala:63).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f1_threshold_filter",
+    "SELECT event_id, event_type, value FROM events WHERE value < 25.0",
+)
+def f1_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "events")
+    return df.filter(F.col("value") < 25.0).select("event_id", "event_type", "value")
