@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a count() action (no driver-side
+collect of payload rows). Timings include plan + execution, excluding
+session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spark_streaming_kafka_example_spark import plans
+from spark_streaming_kafka_example_spark.engine import get_session
+
+plans.load_all()
+
+# Headline queries: the flagship pipeline plus the heaviest representatives
+# of each operator family that exists in the registry at bench time.
+HEADLINE = [
+    "flagship_sliding_alert",
+    "a3_sliding_window_agg",
+    "a2_tumbling_window_agg",
+    "j1_enrich_left_outer",
+    "p12_a1_word_count",
+    "p2_from_json_flatten",
+    # Added as phases land (missing names are skipped):
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "window_topk_per_group",
+    "sessionize_gap_30m",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "sim_topk_bruteforce",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_session(app_name="bench")
+
+    # Warm the JVM/IO once so per-query numbers measure the queries.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = plans.QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
