@@ -1,16 +1,553 @@
 """General analytics capability matrix over the TPC-H-ish tables.
 
-The reference exercises only one join type and sum/count aggregation
+The reference exercises only a left-outer join and sum/count aggregation
 (SURVEY §2.5-§2.8); these queries cover the join family, sorts/limits, set
-ops, distinct/rollup/cube/pivot, and window functions that any user of a
-Spark-based engine reaches for next. All are pure DataFrame API -> Catalyst.
+ops, distinct/rollup/cube/pivot, window functions, sessionization, and the
+as-of join that any user of a Spark engine reaches for next. All pure
+DataFrame API -> Catalyst; float aggregates rounded on both sides
+(plans/__init__ conventions).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..operators.asof import asof_join
+from ..operators.sessionize import sessionize
 from ..sources import load_table
 from . import register
 
-# placeholder — populated in Phase 1
+# ---------------------------------------------------------------------------
+# TPC-H Q1: the canonical scan -> filter -> groupBy -> multi-agg. Filter and
+# column pruning both push into the parquet scan (verified via explain in
+# tests/test_plans_scale.py).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3-style shipping priority: 3-way join + agg + deterministic top-k
+# (sort/limit capability, SURVEY §2.8). Scale: customer filter first, joins
+# ordered small->large, AQE picks broadcast for the filtered build sides.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5-style local-supplier volume: 6-table join tree. Dimensions
+# (region/nation) broadcast; fact-fact joins shuffle on their keys.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("customer", "orders", "lineitem", "supplier", "nation", "region")}
+    joined = (
+        t["customer"]
+        .join(t["orders"], t["customer"].c_custkey == t["orders"].o_custkey)
+        .join(t["lineitem"], F.col("o_orderkey") == t["lineitem"].l_orderkey)
+        .join(t["supplier"], (F.col("l_suppkey") == t["supplier"].s_suppkey)
+              & (F.col("c_nationkey") == t["supplier"].s_nationkey))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == t["nation"].n_nationkey)
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == t["region"].r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join family beyond the reference's single left-outer (SURVEY §2.5 note).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_inner_agg",
+    """
+    SELECT c_mktsegment, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_inner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "join_left_semi",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_left_anti",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_full_outer",
+    """
+    WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust
+               FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nk, count(*) AS n_supp
+               FROM supplier GROUP BY 1)
+    SELECT coalesce(c.nk, s.nk) AS nationkey, c.n_cust, s.n_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk_c"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cust.join(supp, cust.nk_c == supp.nk_s, "full_outer").select(
+        F.coalesce("nk_c", "nk_s").alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@register(
+    "join_cross",
+    "SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select("r_name", "n_name")
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit (deterministic top-k) — SURVEY §2.8. Spark TakeOrderedAndProject
+# computes per-partition top-k then merges: no global sort at scale.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sort_limit_topk",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations — SURVEY §2.8 (absent from reference; engine capability).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_union_distinct",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION SELECT s_nationkey FROM supplier
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@register(
+    "set_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+    INTERSECT SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return c.intersect(s)
+
+
+@register(
+    "set_except",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT SELECT s_nationkey FROM supplier
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    # subtract == EXCEPT (set) semantics; exceptAll would keep leftover
+    # multiplicities from the bag difference.
+    return c.subtract(s)
+
+
+# ---------------------------------------------------------------------------
+# Distinct / grouping-set aggregates (SURVEY §2.6 note: absent from
+# reference, free in PySpark).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_count_distinct",
+    """
+    SELECT c_mktsegment,
+           count(DISTINCT c_nationkey) AS n_nations,
+           count(*) AS n_cust,
+           round(avg(c_acctbal), 4) AS avg_bal,
+           round(min(c_acctbal), 2) AS min_bal,
+           round(max(c_acctbal), 2) AS max_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+    )
+
+
+@register("agg_approx_distinct")  # HLL sketch != DuckDB's -> rows-only check
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct capability (SURVEY §2.6): HLL++ sketch, one pass,
+    no exact-distinct shuffle — the 100 TB way to count uniques."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey").alias("approx_custs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "agg_rollup",
+    """
+    SELECT c_mktsegment, c_nationkey, count(*) AS n,
+           round(sum(c_acctbal), 2) AS bal
+    FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "customer")
+        .rollup("c_mktsegment", "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("c_acctbal"), 2).alias("bal"))
+    )
+
+
+@register(
+    "agg_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           round(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 2) AS F,
+           round(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 2) AS O,
+           round(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 2) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (rank / running / lag) — pyspark_guide "Top-K per group".
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_topk_per_group",
+    """
+    SELECT c_mktsegment, c_custkey, c_acctbal, rnk FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        FROM customer)
+    WHERE rnk <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        load_table(spark, sf_dir, "customer")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rnk")
+    )
+
+
+@register(
+    "window_running_sum",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 2) AS running,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+@register(
+    "window_lag_delta",
+    """
+    SELECT event_id, user_id,
+           round(value - lag(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id), 2) AS delta
+    FROM events
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (batch twin of streaming session_window).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sessionize_gap_30m",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN date_diff('second',
+                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts)
+                        > 1800
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           round(sum(value), 2) AS session_value,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def sessionize_gap_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = sessionize(
+        load_table(spark, sf_dir, "events"), key="user_id", ts_col="ts", gap_seconds=1800
+    )
+    return df.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join — DuckDB has native ASOF; Spark side is the windowed-union
+# composition in operators/asof.py.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_purchase_last_click",
+    """
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.ts AS ts_click, c.value AS value_click
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join(
+        purchases, clicks, key="user_id", right_cols=("value",), suffix="_click"
+    )
+    return joined.select("event_id", "user_id", "ts", "value", "ts_click", "value_click")

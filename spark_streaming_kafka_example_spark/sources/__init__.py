@@ -56,7 +56,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+        # Integer div, NOT `/1000`: epoch nanos (~1.7e18) exceed double's
+        # 2^53 mantissa, so float division drifts by up to a microsecond.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         # keep original column order
         df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
     return df
