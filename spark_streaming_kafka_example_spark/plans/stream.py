@@ -1,12 +1,216 @@
 """Streaming queries run to a deterministic batch-equivalent result
-(SURVEY §5): bounded file source + trigger(availableNow) + memory sink, so
-the same windowed-agg arithmetic is DuckDB-checkable."""
+(SURVEY §5 streaming determinism): bounded file source +
+trigger(availableNow=True) + memory sink; ``awaitTermination`` returns when
+the backlog is drained, and the memory table is the exact table a batch run
+would produce — so the same DuckDB SQL oracles the streaming machinery
+(incremental window aggregation, stream-static join, state store).
+
+Watermark late-drop behavior is NOT oracle-checkable this way (it needs
+multiple micro-batches) — tests/test_streaming.py covers it by feeding
+batches through a file directory incrementally.
+"""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+import os
+import uuid
 
-from ..sources import file_stream, load_table
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from ..analytics import enrich_join
+from ..sources import load_table
+from ..streaming.sinks import memory_sink
+from ..streaming.stateful import stateful_running_count
 from . import register
 
-# placeholder — populated in Phase 2
+# Physical schema of events.parquet as the *streaming* reader sees it under
+# nanosAsLong (ts is raw INT64 nanos; file streams require explicit schema).
+EVENTS_PHYSICAL_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded view of events.parquet with the ns->timestamp conversion
+    (mirrors sources.load_table)."""
+    # Stream the directory with a glob filter (a bare file path breaks the
+    # source's basePath/partition discovery on some plans).
+    raw = (
+        spark.readStream.schema(EVENTS_PHYSICAL_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def run_to_table(spark: SparkSession, df: DataFrame, mode: str) -> DataFrame:
+    """Start df -> memory sink with availableNow, drain, return the table."""
+    name = f"mem_{uuid.uuid4().hex[:10]}"
+    query = memory_sink(df, name, mode=mode)
+    query.awaitTermination()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# W1/W2 + A2 through the real streaming machinery: watermark + tumbling
+# window in complete mode (complete keeps all windows => batch-equivalent;
+# reference TumblingWindow.scala:51-65 runs the same plan in update mode).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_tumbling_complete",
+    """
+    SELECT time_bucket(INTERVAL '1 minute', ts) AS window_start,
+           time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute'
+               AS window_end,
+           event_type,
+           round(sum(value), 2) AS sum_value,
+           count(*) AS n_events
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumbling_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute"), "event_type")
+        .agg(
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "sum_value",
+            "n_events",
+        )
+    )
+    return run_to_table(spark, agg, "complete")
+
+
+# ---------------------------------------------------------------------------
+# A3/W3 in update mode (reference SlidingWindow.scala:52-66). The testdata is
+# one file -> one micro-batch -> update output == batch aggregation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_sliding_update",
+    """
+    WITH panes AS (
+        SELECT time_bucket(INTERVAL '1 minute', ts) - i.i * INTERVAL '1 minute'
+                   AS window_start,
+               event_type, value
+        FROM events, range(5) i(i)
+    )
+    SELECT window_start,
+           window_start + INTERVAL '5 minutes' AS window_end,
+           event_type,
+           round(sum(value), 2) AS sum_value
+    FROM panes GROUP BY 1, 2, 3
+    """,
+)
+def stream_sliding_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes", "1 minute"), "event_type")
+        .agg(F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "sum_value",
+        )
+    )
+    return run_to_table(spark, agg, "update")
+
+
+# ---------------------------------------------------------------------------
+# J1 through streaming: stream-static broadcast enrich join, append mode
+# (reference StreamingWithKafkaJoinedData.scala:46-54).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_enrich_join_append",
+    """
+    SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def stream_enrich_join_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = enrich_join(stream, dim, key="user_id", how="left_outer").select(
+        "event_id", "user_id", "event_type", "c_mktsegment"
+    )
+    return run_to_table(spark, joined, "append")
+
+
+# ---------------------------------------------------------------------------
+# A1 through streaming: running word count, complete mode (reference
+# Basic.scala:17-25 — the structured socket word count; file source stands in
+# for the socket per SURVEY S2 note).
+# ---------------------------------------------------------------------------
+
+WORDCOUNT_ORACLE = """
+    SELECT word, count(*) AS count
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+"""
+
+
+@register("stream_wordcount_complete", WORDCOUNT_ORACLE)
+def stream_wordcount_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = documents_stream(spark, sf_dir).select(
+        F.explode(F.split("text", " ")).alias("word")
+    )
+    counts = words.groupBy("word").count()
+    return run_to_table(spark, counts, "complete")
+
+
+# ---------------------------------------------------------------------------
+# A4/T4: arbitrary keyed state (applyInPandasWithState running count —
+# the updateStateByKey parity, reference BasicStreaming.scala:17). One
+# bounded batch => totals equal the batch word count, so it oracles too.
+# ---------------------------------------------------------------------------
+
+
+@register("stream_stateful_running_count", WORDCOUNT_ORACLE)
+def stream_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = documents_stream(spark, sf_dir).select(
+        F.explode(F.split("text", " ")).alias("word")
+    )
+    counts = stateful_running_count(words)
+    return run_to_table(spark, counts, "update")

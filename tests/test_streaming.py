@@ -1,0 +1,217 @@
+"""Streaming behaviors not expressible as a single bounded oracle run
+(SURVEY §5): watermark late-row drop across micro-batches, file sinks with
+checkpoints, foreachBatch, multi-sink fan-out, and the reference's own
+sensor-domain pipeline over synthesized FIXTURES.md data."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spark_streaming_kafka_example_spark.schemas import SENSOR_MASTER_SCHEMA
+from spark_streaming_kafka_example_spark.streaming.pipelines import (
+    sensor_archive,
+    sensor_enrich,
+    sensor_ingest,
+    windowed_analysis,
+    word_count,
+)
+from spark_streaming_kafka_example_spark.streaming.sinks import (
+    foreach_batch_sink,
+    memory_sink,
+    parquet_sink,
+)
+
+VALUE_SCHEMA = T.StructType([T.StructField("value", T.StringType())])
+
+
+def sensor_json(sensor_id: int, date: str, whc: float, temp: float = 20.0) -> str:
+    return json.dumps(
+        {
+            "id": sensor_id,
+            "date": date,
+            "coord": {"lat": 35.0, "lon": 139.0},
+            "main": {"temperature": temp, "humidity": 48.0, "ph": 6.8, "whc": whc},
+        }
+    )
+
+
+def write_value_batch(spark, dirpath: str, rows: list[str], batch: int) -> None:
+    df = spark.createDataFrame([(r,) for r in rows], VALUE_SCHEMA)
+    df.coalesce(1).write.mode("append").parquet(dirpath)
+    assert batch >= 0  # batches are append-only files in the same dir
+
+
+@pytest.fixture()
+def master_df(spark):
+    # The reference's 5-row sensor_field.csv contents (FIXTURES.md §2).
+    rows = [(1851632, "field1"), (1851633, "field1"), (1851634, "field2"),
+            (1851635, "field3"), (1851636, "field3")]
+    return spark.createDataFrame(rows, SENSOR_MASTER_SCHEMA)
+
+
+def drain(q):
+    q.awaitTermination()
+
+
+def test_sensor_ingest_parses_and_flattens(spark, tmp_path):
+    src = str(tmp_path / "src")
+    write_value_batch(
+        spark, src,
+        [sensor_json(1851632, "2018/06/15 09:12:00", whc=24.1),
+         "{malformed json",  # PERMISSIVE -> null struct flows through
+         sensor_json(1851634, "2018/06/15 09:13:00", whc=30.0)],
+        0,
+    )
+    stream = spark.readStream.schema(VALUE_SCHEMA).parquet(src)
+    q = memory_sink(sensor_ingest(stream), "t_ingest", mode="append")
+    drain(q)
+    out = spark.table("t_ingest").collect()
+    assert len(out) == 3
+    by_id = {r.id: r for r in out}
+    assert by_id[1851632].whc == 24.1 and by_id[1851632].lat == 35.0
+    assert None in by_id  # malformed row -> all-null flattened fields
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """W1: a row >10 min behind the max event time arriving in a later batch
+    must be excluded from the (append-mode) finalized windows."""
+    src = str(tmp_path / "wm_src")
+    join_src = str(tmp_path / "unused")
+    os.makedirs(join_src, exist_ok=True)
+    write_value_batch(
+        spark, src,
+        [sensor_json(1851632, "2018/06/15 09:00:30", whc=10.0),
+         sensor_json(1851632, "2018/06/15 09:30:00", whc=10.0)],
+        0,
+    )
+    stream = spark.readStream.schema(VALUE_SCHEMA).parquet(src)
+    flat = sensor_ingest(stream).withColumnRenamed("id", "sensor_id")
+    flat = flat.withColumn("field_id", F.lit("field1"))
+    agg = windowed_analysis(
+        flat, window_duration="1 minute", slide_duration=None,
+        watermark="10 minutes", alert_threshold=None,
+    )
+    name = "t_watermark"
+    q = (
+        agg.writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # Late row: 09:01 is >10 min behind the 09:30 max -> its window
+        # (finalized when the watermark passed 09:02) must NOT reopen.
+        write_value_batch(
+            spark, src, [sensor_json(1851632, "2018/06/15 09:01:10", whc=99.0)], 1
+        )
+        q.processAllAvailable()
+        # On-time row advances watermark and closes more windows.
+        write_value_batch(
+            spark, src, [sensor_json(1851632, "2018/06/15 09:45:00", whc=10.0)], 2
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r.window_start.isoformat(): r.sum_whc for r in spark.table(name).collect()}
+    assert rows.get("2018-06-15T09:00:00") == 10.0  # late 99.0 not added
+
+
+def test_parquet_sink_with_month_partitions(spark, tmp_path):
+    """K4 + P10: partitioned parquet archive + checkpoint round-trips."""
+    src = str(tmp_path / "arch_src")
+    write_value_batch(
+        spark, src,
+        [sensor_json(1851632, "2018/06/15 09:12:00", whc=24.1),
+         sensor_json(1851633, "2018/07/01 00:00:00", whc=26.0)],
+        0,
+    )
+    stream = spark.readStream.schema(VALUE_SCHEMA).parquet(src)
+    out_dir = str(tmp_path / "archive")
+    q = parquet_sink(
+        sensor_archive(stream), out_dir, str(tmp_path / "ckpt"), partition_by="month"
+    )
+    drain(q)
+    back = spark.read.parquet(out_dir)
+    # partition values come back type-inferred (ints) from the month=... dirs
+    assert sorted(str(r.month) for r in back.select("month").collect()) == [
+        "201806",
+        "201807",
+    ]
+    assert os.path.isdir(os.path.join(out_dir, "month=201806"))
+
+
+def test_enrich_join_and_foreach_batch(spark, master_df, tmp_path):
+    """J1 streaming + K6: stream-static join fanned into a foreachBatch
+    writer (the Cassandra stand-in per SURVEY K6)."""
+    src = str(tmp_path / "join_src")
+    write_value_batch(
+        spark, src,
+        [sensor_json(1851632, "2018/06/15 09:12:00", whc=24.1),
+         sensor_json(9999999, "2018/06/15 09:13:00", whc=30.0)],  # unmatched
+        0,
+    )
+    stream = spark.readStream.schema(VALUE_SCHEMA).parquet(src)
+    joined = sensor_enrich(stream, master_df)
+    sink_dir = str(tmp_path / "external_store")
+
+    def handler(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(sink_dir)
+
+    q = foreach_batch_sink(joined, handler, checkpoint=str(tmp_path / "fb_ckpt"))
+    drain(q)
+    out = {r.sensor_id: r.field_id for r in spark.read.parquet(sink_dir).collect()}
+    assert out == {1851632: "field1", 9999999: None}
+
+
+def test_multi_sink_fanout(spark, tmp_path):
+    """K8: two concurrent queries off one lineage, each with its own
+    checkpoint (reference SlidingWindow.scala:66-73)."""
+    src = str(tmp_path / "fan_src")
+    write_value_batch(spark, src, ["a b", "b c"], 0)
+    stream = spark.readStream.schema(VALUE_SCHEMA).parquet(src)
+    counts = word_count(stream)
+    q1 = memory_sink(counts, "t_fan1", mode="complete")
+    q2 = memory_sink(counts, "t_fan2", mode="complete")
+    drain(q1)
+    drain(q2)
+    c1 = {r.word: r["count"] for r in spark.table("t_fan1").collect()}
+    c2 = {r.word: r["count"] for r in spark.table("t_fan2").collect()}
+    assert c1 == c2 == {"a": 1, "b": 2, "c": 1}
+
+
+def test_stateful_running_count_across_batches(spark, tmp_path):
+    """A4/T4: applyInPandasWithState accumulates across micro-batches
+    (exact updateStateByKey parity, reference BasicStreaming.scala:23-25)."""
+    from spark_streaming_kafka_example_spark.streaming.stateful import (
+        stateful_running_count,
+    )
+
+    src = str(tmp_path / "state_src")
+    write_value_batch(spark, src, ["x y", "x z"], 0)
+    stream = spark.readStream.schema(VALUE_SCHEMA).parquet(src)
+    words = stream.select(F.explode(F.split("value", " ")).alias("word"))
+    name = "t_state"
+    q = (
+        stateful_running_count(words)
+        .writeStream.outputMode("update").format("memory").queryName(name)
+        .option("checkpointLocation", str(tmp_path / "st_ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_value_batch(spark, src, ["x"], 1)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(name).collect()
+    latest = {}
+    for r in rows:  # update mode appends; last emission per word wins
+        latest[r.word] = max(latest.get(r.word, 0), r["count"])
+    assert latest == {"x": 3, "y": 1, "z": 1}
