@@ -1,0 +1,105 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata
+(SURVEY §7 Phase 3).
+
+The Spark-side plumbing is real and tested — schema, partition-preserving
+``mapInPandas`` with Arrow batches, stable output schema. The actual media
+decode is STUBBED: this container has no image/audio libraries, so
+``decode_features`` raises NotImplementedError unless ``fake=True``, in
+which case a deterministic md5-derived pseudo-feature stands in (same
+shape/typing as a real extractor, so downstream similarity/dedup plumbing
+is exercised end-to-end).
+
+Scale notes: binary payloads ride through Arrow in batches — set
+``spark.sql.execution.arrow.maxRecordsPerBatch`` down (e.g. 256) when blobs
+are MBs; keep metadata in columns (not inside the blob) so filters prune
+before decode; partition by content-defined keys so one task never holds
+more than executor-memory worth of blobs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+__all__ = ["MEDIA_META_SCHEMA", "attach_blob", "decode_features", "FEATURE_DIM"]
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+FEATURE_DIM = 8
+
+_FEATURES_FIELD = T.StructField("features", T.ArrayType(T.DoubleType()))
+
+
+def attach_blob(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "text", mime: str = "image/fake"
+) -> DataFrame:
+    """Build a multimodal table from any string payload: content as binary
+    plus a typed metadata struct. (Testdata has no real media; documents
+    stand in — the schema/typing is the point.)"""
+    return df.select(
+        F.col(id_col),
+        F.encode(F.col(payload_col), "utf-8").alias("content"),
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.length(F.col(payload_col)).cast("int").alias("width"),
+            F.lit(1).cast("int").alias("height"),
+            (F.length(F.col(payload_col)) * 10).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def _fake_feature(content: bytes) -> list[float]:
+    """Deterministic stand-in for a real image/audio feature extractor:
+    FEATURE_DIM doubles in [0,1) derived from the md5 of the bytes."""
+    h = hashlib.md5(content).digest()
+    return [b / 255.0 for b in h[:FEATURE_DIM]]
+
+
+def decode_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    fake: bool = False,
+) -> DataFrame:
+    """Per-batch media decode -> feature vector via mapInPandas.
+
+    Real decode path is stubbed (no PIL/ffmpeg in this container): without
+    ``fake=True`` the tasks raise NotImplementedError. The fake path keeps
+    identical Arrow batch shapes and output schema.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("n_bytes", T.LongType()),
+            _FEATURES_FIELD,
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "real media decode requires PIL/ffmpeg (not in this "
+                    "container); pass fake=True for the deterministic stub"
+                )
+            content = pdf[content_col]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": content.map(len),
+                    "features": content.map(_fake_feature),
+                }
+            )
+
+    return df.mapInPandas(batches, out_schema)

@@ -1,0 +1,116 @@
+"""Similarity search over embedding columns (SURVEY §7 Phase 3).
+
+Two tiers:
+- ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
+  set against the corpus; one pass, no shuffle of the corpus, per-query
+  heap via window rank. The correctness baseline at any scale where the
+  query set is small.
+- ``ivf_topk`` — IVF-style ANN: corpus vectors are assigned to their
+  nearest centroid (bucket) once; a query probes only its ``n_probe``
+  nearest buckets. Work drops from |corpus| to |corpus|*probe/centroids
+  per query — the scale path. Centroids here are a deterministic subset of
+  the corpus (id % stride == 0) so the DuckDB oracle can reproduce the
+  exact assignment; on a real pipeline you'd k-means them (same plan
+  shape, centroids become a broadcast table).
+
+All cosines are double-accumulated and rounded to 4 decimals *before*
+ranking so rank order is reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.vectors import cosine
+
+__all__ = ["brute_force_topk", "ivf_topk"]
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query: (q_id, n_id, cos, rnk).
+    Self-matches (same id) are excluded."""
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", F.round(cosine("qv", "nv"), 4).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def assign_buckets(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid (broadcast
+    centroids; one pass over the corpus, no shuffle until the rank)."""
+    c = centroids.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(c))
+        .select(
+            id_col,
+            vec_col,
+            "cent_id",
+            F.round(cosine(vec_col, "cv"), 4).alias("ccos"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cent_id"))
+    return (
+        scored.withColumn("crnk", F.row_number().over(w))
+        .filter(F.col("crnk") == 1)
+        .select(id_col, vec_col, F.col("cent_id").alias("bucket"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: probe the query's n_probe nearest buckets only.
+    Output (q_id, n_id, cos, rnk) — approximate: recall < 1 when a true
+    neighbor lives in an unprobed bucket."""
+    assigned = assign_buckets(corpus, centroids, id_col, vec_col)
+    c = centroids.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv"))
+    qprobe = (
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
+        .crossJoin(F.broadcast(c))
+        .select("q_id", "qv", "cent_id", F.round(cosine("qv", "cv"), 4).alias("ccos"))
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
+    probed = (
+        qprobe.withColumn("prnk", F.row_number().over(wq))
+        .filter(F.col("prnk") <= n_probe)
+        .select("q_id", "qv", F.col("cent_id").alias("bucket"))
+    )
+    scored = (
+        F.broadcast(probed)
+        .join(assigned, "bucket")
+        .filter(F.col("q_id") != F.col(id_col))
+        .select(
+            "q_id",
+            F.col(id_col).alias("n_id"),
+            F.round(cosine("qv", vec_col), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

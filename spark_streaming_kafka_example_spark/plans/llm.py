@@ -1,11 +1,476 @@
-"""LLM-data-pipeline operators (SURVEY §7 Phase 3): dedup, similarity
-search, text analysis, multimodal plumbing — over documents/embeddings."""
+"""LLM-data-pipeline queries (SURVEY §7 Phase 3): dedup x5, similarity
+search, text analysis, multimodal plumbing — over documents/embeddings.
+
+The testdata corpus has no natural duplicates, so dedup queries derive a
+corpus with *planted* duplicates (exact copies / truncated near-copies) via
+identical arithmetic on both engines — the plants make the operators'
+positive paths observable, the original rows the negative paths.
+
+Hashes are md5 (hex-string domain) so DuckDB reproduces Spark
+signatures exactly; see operators/dedup.py for the xxhash64 scale note.
+"""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions import text as TXT
+from ..functions.vectors import cosine
+from ..operators import dedup as DD
+from ..operators.multimodal import attach_blob, decode_features
+from ..operators.similarity import brute_force_topk, ivf_topk
 from ..sources import load_table
 from . import register
 
-# placeholder — populated in Phase 3
+# ---------------------------------------------------------------------------
+# Corpus builders (Spark) and their SQL twins.
+# ---------------------------------------------------------------------------
+
+
+def _exact_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + exact copies of every 7th doc (ids shifted +200000)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plants = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(plants)
+
+
+EXACT_CORPUS_CTE = """
+corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 200000 AS doc_id, text
+    FROM documents WHERE doc_id % 7 = 0
+)"""
+
+
+def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + tail-truncated copies of every 5th doc (+100000):
+    high-but-not-unit Jaccard/minhash overlap."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plants = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, 1, CAST(floor(4*length(text)/5.0) AS INT))").alias(
+            "text"
+        ),
+    )
+    return docs.unionByName(plants)
+
+
+NEAR_CORPUS_CTE = """
+corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id,
+           substring(text, 1, CAST(floor(4*length(text)/5.0) AS INT)) AS text
+    FROM documents WHERE doc_id % 5 = 0
+)"""
+
+# Word-3-gram shingles of `corpus` (twin of functions.text.shingles(n=3)).
+SHINGLES_CTE = """
+wordlists AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM wordlists
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup 1: exact (fingerprint groupBy).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    f"""
+    WITH {EXACT_CORPUS_CTE.strip()},
+    fps AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                   AS fp
+        FROM corpus
+    )
+    SELECT fp, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM fps GROUP BY fp
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dedup(_exact_corpus(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Dedup 2: MinHash + LSH banding candidate pairs.
+# ---------------------------------------------------------------------------
+
+_NUM_HASHES, _BANDS = 16, 4
+_SIG_MINS = ",\n           ".join(
+    f"min(md5('{j}|' || shingle)) AS sig_{j}" for j in range(_NUM_HASHES)
+)
+_BAND_SELECTS = "\n    UNION ALL ".join(
+    "SELECT doc_id, {b} AS band_id, md5({cat}) AS band_val FROM sig".format(
+        b=b,
+        cat=" || '|' || ".join(f"sig_{4 * b + r}" for r in range(4)),
+    )
+    for b in range(_BANDS)
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {NEAR_CORPUS_CTE.strip()},
+    {SHINGLES_CTE.strip()},
+    sig AS (
+        SELECT doc_id,
+           {_SIG_MINS}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+    {_BAND_SELECTS}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = DD.doc_shingles(_near_corpus(spark, sf_dir))
+    sig = DD.minhash_signatures(sh, num_hashes=_NUM_HASHES)
+    return DD.lsh_candidate_pairs(sig, num_hashes=_NUM_HASHES, bands=_BANDS)
+
+
+# ---------------------------------------------------------------------------
+# Dedup 3: exact n-gram Jaccard (>= 0.4) on shared-shingle pairs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {NEAR_CORPUS_CTE.strip()},
+    {SHINGLES_CTE.strip()},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(inter / (na.n + nb.n - inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes na ON inter.id_a = na.doc_id
+    JOIN sizes nb ON inter.id_b = nb.doc_id
+    WHERE round(inter / (na.n + nb.n - inter), 4) >= 0.4
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = DD.doc_shingles(_near_corpus(spark, sf_dir))
+    return DD.jaccard_pairs(sh, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Dedup 4: SimHash fingerprints + hamming<=3 near pairs (blocked Spark-side,
+# brute-forced in the oracle — same result set).
+# ---------------------------------------------------------------------------
+
+_SIMHASH_CTE = f"""
+toks AS (
+    SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+    FROM corpus
+),
+hx AS (SELECT doc_id, md5(tok) AS h FROM toks),
+bits AS (
+    SELECT doc_id, i.i AS bit_i,
+           2 * (CAST(floor((strpos('0123456789abcdef',
+                                   substring(h, (i.i // 4) + 1, 1)) - 1)
+                           / power(2, 3 - (i.i % 4))) AS INT) % 2) - 1 AS contrib
+    FROM hx, range({DD.SIMHASH_BITS}) i(i)
+),
+sums AS (SELECT doc_id, bit_i, sum(contrib) AS s FROM bits GROUP BY 1, 2),
+fp AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, bit_i) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM sums GROUP BY doc_id
+)"""
+
+
+@register(
+    "dedup_simhash_fingerprints",
+    f"""
+    WITH {EXACT_CORPUS_CTE.strip()},
+    {_SIMHASH_CTE.strip()}
+    SELECT doc_id, simhash FROM fp
+    """,
+)
+def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash_fingerprints(_exact_corpus(spark, sf_dir))
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH {EXACT_CORPUS_CTE.strip()},
+    {_SIMHASH_CTE.strip()}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = DD.simhash_fingerprints(_exact_corpus(spark, sf_dir))
+    return DD.simhash_near_pairs(fps, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Dedup 5: embedding-cosine near-dup (planted duplicate vectors).
+# ---------------------------------------------------------------------------
+
+_EMB_CORPUS_CTE = """
+ecorpus AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
+    FROM embeddings WHERE vec_id % 10 = 0
+)"""
+
+_DOT = "list_sum(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]))"
+_NORM = "sqrt(list_sum(list_transform({a}, x -> x * x)))"
+
+
+def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    plants = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return emb.unionByName(plants)
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH {_EMB_CORPUS_CTE.strip()}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_DOT.format(a='a.v', b='b.v')}
+                 / ({_NORM.format(a='a.v')} * {_NORM.format(a='b.v')}), 4) AS cos
+    FROM ecorpus a JOIN ecorpus b ON a.vec_id < b.vec_id
+    WHERE round({_DOT.format(a='a.v', b='b.v')}
+                / ({_NORM.format(a='a.v')} * {_NORM.format(a='b.v')}), 4) >= 0.99
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.embedding_near_pairs(_emb_corpus(spark, sf_dir), threshold=0.99)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: exact brute-force top-k and IVF ANN.
+# ---------------------------------------------------------------------------
+
+_EMB_D = "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+_COS_QC = (
+    f"round({_DOT.format(a='q.v', b='c.v')} "
+    f"/ ({_NORM.format(a='q.v')} * {_NORM.format(a='c.v')}), 4)"
+)
+
+
+@register(
+    "sim_topk_bruteforce",
+    f"""
+    WITH {_EMB_D},
+    scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id, {_COS_QC} AS cos
+        FROM e q, e c
+        WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+    )
+    SELECT q_id, n_id, cos, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos DESC, n_id) AS rnk
+        FROM scored)
+    WHERE rnk <= 10
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return brute_force_topk(emb, queries, k=10)
+
+
+@register(
+    "sim_ivf_topk",
+    f"""
+    WITH {_EMB_D},
+    cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+    assigned AS (
+        SELECT vec_id, v, bucket FROM (
+            SELECT e.vec_id, e.v, cent.cent_id AS bucket,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({_DOT.format(a='e.v', b='cent.cv')}
+                             / ({_NORM.format(a='e.v')} * {_NORM.format(a='cent.cv')}), 4)
+                             DESC, cent.cent_id) AS crnk
+            FROM e, cent)
+        WHERE crnk = 1
+    ),
+    probed AS (
+        SELECT q_id, qv, bucket FROM (
+            SELECT e.vec_id AS q_id, e.v AS qv, cent.cent_id AS bucket,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({_DOT.format(a='e.v', b='cent.cv')}
+                             / ({_NORM.format(a='e.v')} * {_NORM.format(a='cent.cv')}), 4)
+                             DESC, cent.cent_id) AS prnk
+            FROM e, cent WHERE e.vec_id < 5)
+        WHERE prnk <= 2
+    ),
+    scored AS (
+        SELECT p.q_id, a.vec_id AS n_id,
+               round({_DOT.format(a='p.qv', b='a.v')}
+                     / ({_NORM.format(a='p.qv')} * {_NORM.format(a='a.v')}), 4) AS cos
+        FROM probed p JOIN assigned a ON p.bucket = a.bucket
+        WHERE a.vec_id <> p.q_id
+    )
+    SELECT q_id, n_id, cos, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos DESC, n_id) AS rnk
+        FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_topk(emb, queries, centroids, k=5, n_probe=2)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: token counts, quality, language-ID, fingerprints.
+# ---------------------------------------------------------------------------
+
+_STOPS_SQL = "[" + ", ".join(f"'{s}'" for s in TXT.EN_STOPWORDS) + "]"
+_LANG_SCORES_SQL = ",\n           ".join(
+    "len(list_intersect(list_distinct(string_split(text, ' ')), ["
+    + ", ".join(f"'{m}'" for m in markers)
+    + f"])) AS s_{lang}"
+    for lang, markers in TXT.LANG_MARKERS.items()
+)
+_LANGS = list(TXT.LANG_MARKERS)
+_LANG_CASE = "CASE "
+for _i, _lang in enumerate(_LANGS[:-1]):
+    _conds = " AND ".join(f"s_{_lang} >= s_{_l2}" for _l2 in _LANGS[_i + 1:])
+    _LANG_CASE += f"WHEN {_conds} THEN '{_lang}' "
+_LANG_CASE += f"ELSE '{_LANGS[-1]}' END"
+
+
+@register(
+    "text_analysis_profile",
+    f"""
+    WITH scored AS (
+        SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           len(regexp_extract_all(text, '{TXT.BPE_TOKEN_RE}')) AS n_tokens_bpe,
+           round(len(list_filter(string_split(text, ' '),
+                                 w -> list_contains({_STOPS_SQL}, w)))
+                 / len(string_split(text, ' ')), 4) AS stop_ratio,
+           round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+                 / length(text), 4) AS punct_ratio,
+           {_LANG_SCORES_SQL},
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS fp
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_tokens_bpe, stop_ratio, punct_ratio,
+           round(least(1.0, n_words / 100.0) * 0.3 + stop_ratio * 0.4
+                 + (1.0 - punct_ratio) * 0.3, 4) AS quality,
+           {_LANG_CASE} AS lang_pred,
+           fp
+    FROM scored
+    """,
+)
+def text_analysis_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        TXT.token_count_ws().alias("n_words"),
+        TXT.token_count_bpe().alias("n_tokens_bpe"),
+        F.round(TXT.stopword_ratio(), 4).alias("stop_ratio"),
+        F.round(TXT.punct_ratio(), 4).alias("punct_ratio"),
+        TXT.lang_id().alias("lang_pred"),
+        TXT.fingerprint().alias("fp"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_words",
+        "n_tokens_bpe",
+        "stop_ratio",
+        "punct_ratio",
+        F.round(
+            F.least(F.lit(1.0), F.col("n_words") / 100.0) * 0.3
+            + F.col("stop_ratio") * 0.4
+            + (1.0 - F.col("punct_ratio")) * 0.3,
+            4,
+        ).alias("quality"),
+        "lang_pred",
+        "fp",
+    )
+
+
+@register(
+    "text_quality_score",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(least(1.0, len(string_split(text, ' ')) / 100.0)), 4)
+               AS avg_len_term,
+           round(avg(n_chars), 2) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.least(F.lit(1.0), TXT.token_count_ws() / 100.0)), 4).alias(
+            "avg_len_term"
+        ),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: binary blob + metadata -> mapInPandas feature stub.
+# The fake features are md5-derived, so even this is oracle-checkable.
+# ---------------------------------------------------------------------------
+
+_NIB = "(strpos('0123456789abcdef', substring(md5(text), {p}, 1)) - 1)"
+_FEAT_COLS_SQL = ",\n           ".join(
+    f"round(({_NIB.format(p=2 * j + 1)} * 16 + {_NIB.format(p=2 * j + 2)}) / 255.0, 6)"
+    f" AS f{j}"
+    for j in range(4)
+)
+
+
+@register(
+    "multimodal_features",
+    f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           {_FEAT_COLS_SQL}
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = attach_blob(docs)
+    feats = decode_features(blobs, fake=True)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        *[F.round(F.element_at("features", j + 1), 6).alias(f"f{j}") for j in range(4)],
+    )
