@@ -551,3 +551,114 @@ def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, clicks, key="user_id", right_cols=("value",), suffix="_click"
     )
     return joined.select("event_id", "user_id", "ts", "value", "ts_click", "value_click")
+
+
+# ---------------------------------------------------------------------------
+# Exact median / interpolated percentile (SURVEY §2.6 extension; both
+# engines define the interpolated quantile identically).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_median_percentile",
+    """
+    SELECT c_mktsegment,
+           round(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,
+           round(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("median_bal"),
+            F.round(F.expr("percentile(c_acctbal, 0.9)"), 4).alias("p90_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt (SURVEY §2.8 family): wide measures -> (measure, value).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unpivot_measures",
+    """
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'price', l_extendedprice
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(3, 'quantity', l_quantity, 'price', l_extendedprice, "
+        "'discount', l_discount) AS (measure, val)",
+    )
+
+
+# ---------------------------------------------------------------------------
+# DISTINCT projection (dropDuplicates capability, deterministically).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "distinct_pairs",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Batch session_window (W5 extension: the built-in gap-session operator;
+# streaming twin is the same call on a stream). Oracle: lag/cumsum session
+# derivation with the same >= gap boundary on exact event time.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "session_window_batch",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+        SELECT user_id, ts,
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

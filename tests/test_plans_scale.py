@@ -1,0 +1,105 @@
+"""Plan-shape assertions — the 100 TB discipline, enforced.
+
+Correct results with a bad plan won't survive a 1000-executor cluster.
+These tests pin the physical-plan properties each query family depends on:
+filters pushed into the parquet scan, projections pruned, dimension joins
+broadcast (no stream/fact shuffle), top-k via TakeOrderedAndProject (no
+global sort), partial+final hash aggregation, and no accidental cartesian
+products anywhere.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_streaming_kafka_example_spark import plans
+
+plans.load_all()
+
+
+def formatted_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def plan_of(spark, sf_dir):
+    def _get(name: str) -> str:
+        return formatted_plan(plans.QUERIES[name](spark, sf_dir))
+
+    return _get
+
+
+def test_q1_filter_pushdown_and_pruning(plan_of):
+    plan = plan_of("q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection pruned to the 7 referenced columns — no full-width scan
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double" in plan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+    # map-side partial aggregation before the exchange
+    assert "partial_sum" in plan
+
+
+def test_flagship_broadcasts_dimension(plan_of):
+    plan = plan_of("flagship_sliding_alert")
+    assert "BroadcastHashJoin" in plan  # dim join must not shuffle the stream
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange") >= 1  # the one agg shuffle
+    assert "CartesianProduct" not in plan
+
+
+def test_enrich_join_broadcasts(plan_of):
+    plan = plan_of("j1_enrich_left_outer")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q3_topk_avoids_global_sort(plan_of):
+    plan = plan_of("q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan  # per-partition top-k + merge
+    assert "CartesianProduct" not in plan
+
+
+def test_sort_limit_topk_avoids_global_sort(plan_of):
+    plan = plan_of("sort_limit_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_dimensions_broadcast(plan_of):
+    plan = plan_of("q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semi_anti_stay_joins(plan_of):
+    for name in ("join_left_semi", "join_left_anti"):
+        plan = plan_of(name)
+        assert "Join" in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_wordcount_partial_aggregates(plan_of):
+    plan = plan_of("p12_a1_word_count")
+    assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_minhash_no_cartesian(plan_of):
+    """LSH candidate generation must join on (band_id, band_val) buckets —
+    an equi-join — never enumerate all pairs."""
+    plan = plan_of("dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_brute_force_topk_broadcasts_queries(plan_of):
+    """The corpus side must stream; only the tiny query set broadcasts."""
+    plan = plan_of("sim_topk_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_scans_are_columnar_batched(plan_of):
+    for name in ("q1_pricing_summary", "a2_tumbling_window_agg"):
+        assert "Batched: true" in plan_of(name)  # vectorized parquet reader
