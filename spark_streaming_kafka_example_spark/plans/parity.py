@@ -394,3 +394,29 @@ def a3_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def f1_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, sf_dir, "events")
     return df.filter(F.col("value") < 25.0).select("event_id", "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# U3 vectorized twin: the same doubleString surface through an Arrow-batched
+# pandas UDF (the hot-path variant; SURVEY §2.10 extension note).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "u3_udf_pandas_vectorized",
+    """
+    SELECT n_nationkey AS sensor_id, n_name || n_name AS double_field_id
+    FROM nation
+    """,
+)
+def u3_udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udfs import register_udfs
+
+    register_udfs(spark)
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("sensor_master_vec")
+    return spark.sql(
+        """
+        SELECT n_nationkey AS sensor_id, doubleStringVec(n_name) AS double_field_id
+        FROM sensor_master_vec
+        """
+    )
