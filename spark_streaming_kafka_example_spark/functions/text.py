@@ -121,15 +121,23 @@ def fingerprint(col: str = "text") -> Column:
     return F.md5(F.concat_ws(" ", F.array_sort(distinct_words(col))))
 
 
-def shingles(col: str = "text", n: int = 3) -> Column:
-    """Word n-gram shingles (array<string>); empty when the doc is shorter
-    than n words. Stays in codegen via transform/sequence — no UDF."""
+def shingles_from_words(words_col: str, n: int = 3) -> Column:
+    """Word n-gram shingles from a materialized words array column —
+    referencing one attribute instead of re-evaluating split() per
+    subexpression. Empty when the doc is shorter than n words. Stays in
+    codegen via transform/sequence — no UDF."""
+    w = words_col
     return F.expr(
         f"""
-        CASE WHEN size(split({col}, ' ')) >= {n}
-             THEN transform(sequence(1, size(split({col}, ' ')) - {n - 1}),
-                            i -> concat_ws(' ', slice(split({col}, ' '), i, {n})))
+        CASE WHEN size({w}) >= {n}
+             THEN transform(sequence(1, size({w}) - {n - 1}),
+                            i -> concat_ws(' ', slice({w}, i, {n})))
              ELSE array()
         END
         """
     )
+
+
+def shingles(col: str = "text", n: int = 3) -> Column:
+    """Word n-gram shingles of a text column (see shingles_from_words)."""
+    return shingles_from_words(f"split({col}, ' ')", n)

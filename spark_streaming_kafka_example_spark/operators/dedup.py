@@ -45,24 +45,61 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def doc_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct (id, shingle) pairs — the input relation for minhash and
-    jaccard. Distinct early: shrinks everything downstream."""
-    return (
-        df.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle"))
-        .distinct()
-    )
+def doc_shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """(id, shingle) pairs — the input relation for minhash and jaccard.
+
+    ``distinct=True`` (a shuffle) is required for Jaccard set arithmetic;
+    minhash min-aggregation is duplicate-insensitive, so pass False there
+    and skip the shuffle entirely (the min-agg's map-side combine absorbs
+    duplicates for free)."""
+    from ..functions.text import shingles_from_words
+
+    exploded = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_w")
+    ).select(F.col(id_col), F.explode(shingles_from_words("_w", n)).alias("shingle"))
+    return exploded.distinct() if distinct else exploded
+
+
+# MinHash permutation family: one md5-derived 32-bit base hash per shingle,
+# then affine permutations h_j = (a_j*h + b_j) mod P over a prime > 2^32.
+# One digest per shingle instead of num_hashes digests — the hash count no
+# longer multiplies the expensive part. Constants are fixed so the DuckDB
+# oracle reproduces signatures exactly.
+MINHASH_PRIME = 4294967311
+
+
+def _minhash_a(j: int) -> int:
+    # Knuth-multiplicative mixing, capped < 2^30 so a*h (h < 2^32) stays
+    # within int64; forced odd. Small a_j (e.g. 2j+1) would make the
+    # permutations order-preserving => correlated minima => broken LSH.
+    return (2654435761 * (j + 1)) % (2**30) | 1
+
+
+def _minhash_b(j: int) -> int:
+    return (2654435789 * (j + 1) * (j + 13)) % MINHASH_PRIME
 
 
 def minhash_signatures(sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 16) -> DataFrame:
     """MinHash signature per doc: sig_j = min over shingles of
-    md5(j || '|' || shingle). One groupBy with num_hashes min-aggregates —
-    a single shuffle, map-side partial mins."""
+    (a_j * h + b_j) mod P, h = first 8 md5 hex digits as uint32. One groupBy
+    with num_hashes min-aggregates — a single shuffle, map-side partial
+    mins; duplicates in the input are absorbed by the min."""
+    base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+    with_h = sh.withColumn("_h", base)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"sig_{j}")
+        F.min(
+            (F.lit(_minhash_a(j)) * F.col("_h") + F.lit(_minhash_b(j)))
+            % F.lit(MINHASH_PRIME)
+        ).alias(f"sig_{j}")
         for j in range(num_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return with_h.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(

@@ -105,14 +105,28 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dedup 2: MinHash + LSH banding candidate pairs.
 # ---------------------------------------------------------------------------
 
-_NUM_HASHES, _BANDS = 16, 4
-_SIG_MINS = ",\n           ".join(
-    f"min(md5('{j}|' || shingle)) AS sig_{j}" for j in range(_NUM_HASHES)
+# 5 bands x 3 rows: at jaccard ~0.75 (the planted truncations) recall is
+# 1-(1-j^3)^5 ~ 0.95, vs 0.80 for 4x4 — and one fewer hash.
+_NUM_HASHES, _BANDS = 15, 5
+# 32-bit base hash from the first 8 md5 hex digits (nibble arithmetic —
+# DuckDB has no conv()); must equal Spark's conv(substring(md5,1,8),16,10).
+_BASE_H = " + ".join(
+    f"(strpos('0123456789abcdef', substring(md5(shingle), {c + 1}, 1)) - 1)"
+    f" * {16 ** (7 - c)}"
+    for c in range(8)
 )
+_SIG_MINS = ",\n           ".join(
+    f"min(({DD._minhash_a(j)} * h + {DD._minhash_b(j)}) % {DD.MINHASH_PRIME})"
+    f" AS sig_{j}"
+    for j in range(_NUM_HASHES)
+)
+_ROWS_PER_BAND = _NUM_HASHES // _BANDS
 _BAND_SELECTS = "\n    UNION ALL ".join(
     "SELECT doc_id, {b} AS band_id, md5({cat}) AS band_val FROM sig".format(
         b=b,
-        cat=" || '|' || ".join(f"sig_{4 * b + r}" for r in range(4)),
+        cat=" || '|' || ".join(
+            f"sig_{_ROWS_PER_BAND * b + r}" for r in range(_ROWS_PER_BAND)
+        ),
     )
     for b in range(_BANDS)
 )
@@ -123,10 +137,11 @@ _BAND_SELECTS = "\n    UNION ALL ".join(
     f"""
     WITH {NEAR_CORPUS_CTE.strip()},
     {SHINGLES_CTE.strip()},
+    hashed AS (SELECT doc_id, {_BASE_H} AS h FROM sh),
     sig AS (
         SELECT doc_id,
            {_SIG_MINS}
-        FROM sh GROUP BY doc_id
+        FROM hashed GROUP BY doc_id
     ),
     bands AS (
     {_BAND_SELECTS}
@@ -138,7 +153,8 @@ _BAND_SELECTS = "\n    UNION ALL ".join(
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = DD.doc_shingles(_near_corpus(spark, sf_dir))
+    # distinct=False: min-agg absorbs duplicate shingles, saving a shuffle.
+    sh = DD.doc_shingles(_near_corpus(spark, sf_dir), distinct=False)
     sig = DD.minhash_signatures(sh, num_hashes=_NUM_HASHES)
     return DD.lsh_candidate_pairs(sig, num_hashes=_NUM_HASHES, bands=_BANDS)
 
