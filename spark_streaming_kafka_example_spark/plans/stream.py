@@ -214,3 +214,49 @@ def stream_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     counts = stateful_running_count(words)
     return run_to_table(spark, counts, "update")
+
+
+# ---------------------------------------------------------------------------
+# W5 extension through streaming: session_window gap sessions with watermark,
+# complete mode (update is unsupported for streaming session windows; oracle
+# is the same lag/cumsum derivation as the batch twin in plans/tpch.py).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_session_window",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+        SELECT user_id, ts,
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_to_table(spark, agg, "complete")

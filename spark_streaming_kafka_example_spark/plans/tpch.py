@@ -662,3 +662,38 @@ def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Range join (interval containment) — bucketize-then-refine composition
+# (operators/rangejoin.py); the oracle states the plain inequality join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "range_join_purchase_errors",
+    """
+    SELECT p.event_id AS purchase_id, e.event_id AS error_id, e.ts AS error_ts
+    FROM events p JOIN events e ON p.user_id = e.user_id
+    WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+      AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL '1 hour'
+    """,
+)
+def range_join_purchase_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import interval_point_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("p_end"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", "ts"
+    )
+    joined = interval_point_join(
+        purchases, errors, key="user_id", start_col="p_start", end_col="p_end",
+        ts_col="ts", bucket_seconds=3600,
+    )
+    return joined.select("purchase_id", "error_id", F.col("ts").alias("error_ts"))
