@@ -490,3 +490,72 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         *[F.round(F.element_at("features", j + 1), 6).alias(f"f{j}") for j in range(4)],
     )
+
+
+# ---------------------------------------------------------------------------
+# The end-to-end training-data-prep pipeline: quality-score -> language
+# filter -> exact dedup -> per-source corpus stats. One composite query
+# exercising the whole Phase-3 stack the way a real pipeline chains it.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_training_data_prep",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_words,
+               round(len(list_filter(string_split(text, ' '),
+                                     w -> list_contains({_STOPS_SQL}, w)))
+                     / len(string_split(text, ' ')), 4) AS stop_ratio,
+               round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+                     / length(text), 4) AS punct_ratio,
+               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                   AS fp
+        FROM documents
+    ), quality AS (
+        SELECT *, round(least(1.0, n_words / 100.0) * 0.3 + stop_ratio * 0.4
+                        + (1.0 - punct_ratio) * 0.3, 4) AS q
+        FROM scored
+    ), kept AS (
+        SELECT * FROM quality WHERE q >= 0.35
+    ), deduped AS (
+        SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY fp
+    )
+    SELECT k.source,
+           count(*) AS n_docs,
+           round(avg(k.q), 4) AS avg_quality,
+           CAST(sum(k.n_words) AS BIGINT) AS total_tokens
+    FROM deduped d JOIN kept k ON d.doc_id = k.doc_id
+    GROUP BY k.source
+    """,
+)
+def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        TXT.token_count_ws().alias("n_words"),
+        F.round(TXT.stopword_ratio(), 4).alias("stop_ratio"),
+        F.round(TXT.punct_ratio(), 4).alias("punct_ratio"),
+        TXT.fingerprint().alias("fp"),
+    ).withColumn(
+        "q",
+        F.round(
+            F.least(F.lit(1.0), F.col("n_words") / 100.0) * 0.3
+            + F.col("stop_ratio") * 0.4
+            + (1.0 - F.col("punct_ratio")) * 0.3,
+            4,
+        ),
+    )
+    kept = scored.filter(F.col("q") >= 0.35)
+    deduped = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        deduped.join(kept, ["fp", "doc_id"])
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+            F.sum("n_words").alias("total_tokens"),
+        )
+    )

@@ -420,3 +420,46 @@ def u3_udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sensor_master_vec
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Map/array surface: from_json into MapType + explode (capability beyond the
+# reference's fixed structs), and order-insensitive collect via sorted sets.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "map_explode_props",
+    """
+    SELECT event_id, 'k' AS key,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS val
+    FROM events
+    """,
+)
+def map_explode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", T.MapType(T.StringType(), T.LongType()))
+    return df.select("event_id", F.explode(m).alias("key", "val"))
+
+
+@register(
+    "agg_collect_sorted_set",
+    """
+    SELECT user_id,
+           array_to_string(list_sort(list_distinct(list(event_type))), ',')
+               AS types_csv
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_collect_sorted_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # collect_set order is nondeterministic -> sort before serializing, the
+    # only way collected aggregates can be compared (or consumed) stably.
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias(
+                "types_csv"
+            )
+        )
+    )

@@ -1,0 +1,141 @@
+"""Checkpoint recovery (exactly-once file sink) and randomized property
+checks for the composed operators (as-of join, sessionize, range join)
+against independent pandas implementations."""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from spark_streaming_kafka_example_spark.operators.asof import asof_join
+from spark_streaming_kafka_example_spark.operators.rangejoin import interval_point_join
+from spark_streaming_kafka_example_spark.operators.sessionize import sessionize
+from spark_streaming_kafka_example_spark.streaming.pipelines import sensor_archive
+from spark_streaming_kafka_example_spark.streaming.sinks import parquet_sink
+
+from .test_streaming import VALUE_SCHEMA, sensor_json, write_value_batch
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """T2: restarting a checkpointed file-sink query must process only the
+    new batch — no duplicates, no loss."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    write_value_batch(
+        spark, src, [sensor_json(1, "2018/06/15 09:00:00", whc=1.0)], 0
+    )
+
+    def run_once():
+        stream = spark.readStream.schema(VALUE_SCHEMA).parquet(src)
+        q = parquet_sink(sensor_archive(stream), out, ckpt, partition_by="month")
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(out).count() == 1
+    # second batch lands while the query is DOWN; restart from checkpoint
+    write_value_batch(
+        spark, src, [sensor_json(2, "2018/06/15 09:01:00", whc=2.0)], 1
+    )
+    run_once()
+    rows = spark.read.parquet(out).select("id").collect()
+    assert sorted(r.id for r in rows) == [1, 2]  # batch 0 not reprocessed
+
+
+def _random_events(rng: random.Random, n: int, n_keys: int):
+    base = 1_700_000_000
+    return pd.DataFrame(
+        {
+            "event_id": range(n),
+            "user_id": [rng.randrange(n_keys) for _ in range(n)],
+            "ts": pd.to_datetime(
+                [base + rng.randrange(0, 3 * 86400) for _ in range(n)], unit="s"
+            ),
+            "value": [round(rng.uniform(0, 100), 2) for _ in range(n)],
+        }
+    )
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_asof_property_random(spark, seed):
+    rng = random.Random(seed)
+    pdf = _random_events(rng, 300, 8)
+    left = pdf[pdf.event_id % 2 == 0]
+    right = pdf[pdf.event_id % 2 == 1]
+    sleft = spark.createDataFrame(left[["user_id", "ts", "event_id"]])
+    sright = spark.createDataFrame(right[["user_id", "ts", "value"]])
+    out = asof_join(
+        sleft, sright, key="user_id", right_cols=("value",)
+    ).toPandas()
+    expected = pd.merge_asof(
+        left.sort_values("ts")[["event_id", "user_id", "ts"]],
+        right.sort_values("ts")[["user_id", "ts", "value"]].rename(
+            columns={"ts": "ts_right", "value": "value_right"}
+        ),
+        left_on="ts",
+        right_on="ts_right",
+        by="user_id",
+    )
+    m = expected.merge(out, on="event_id", suffixes=("_exp", "_act"))
+    assert len(m) == len(left)
+    for col in ("ts_right", "value_right"):
+        same = (m[f"{col}_exp"].isna() & m[f"{col}_act"].isna()) | (
+            m[f"{col}_exp"] == m[f"{col}_act"]
+        )
+        assert same.all(), f"{col} mismatch at seed {seed}"
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_sessionize_property_random(spark, seed):
+    """Within a session all gaps <= threshold; consecutive sessions are
+    separated by a gap > threshold; session_ids are 1..n per key in time
+    order."""
+    rng = random.Random(seed)
+    pdf = _random_events(rng, 400, 5)
+    gap = 3600
+    out = (
+        sessionize(spark.createDataFrame(pdf), key="user_id", ts_col="ts", gap_seconds=gap)
+        .select("user_id", "ts", "session_id")
+        .toPandas()
+        .sort_values(["user_id", "ts"])
+    )
+    for _, g in out.groupby("user_id"):
+        secs = g.ts.astype("int64") // 10**9
+        sid = g.session_id.to_numpy()
+        gaps = secs.diff().to_numpy()[1:]
+        same_session = sid[1:] == sid[:-1]
+        assert ((gaps <= gap) == same_session).all()
+        assert sid[0] == 1 and (pd.Series(sid).diff().dropna().isin([0, 1])).all()
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_range_join_property_random(spark, seed):
+    """Bucketized range join == naive O(n*m) filter join."""
+    rng = random.Random(seed)
+    pdf = _random_events(rng, 200, 6)
+    intervals = pdf[pdf.event_id % 3 == 0].copy()
+    intervals["p_end"] = intervals.ts + pd.Timedelta(minutes=rng.randrange(30, 180))
+    points = pdf[pdf.event_id % 3 != 0]
+    si = spark.createDataFrame(
+        intervals[["event_id", "user_id", "ts", "p_end"]].rename(
+            columns={"event_id": "iv_id", "ts": "p_start"}
+        )
+    )
+    sp = spark.createDataFrame(
+        points[["event_id", "user_id", "ts"]].rename(columns={"event_id": "pt_id"})
+    )
+    got = (
+        interval_point_join(
+            si, sp, key="user_id", start_col="p_start", end_col="p_end",
+            ts_col="ts", bucket_seconds=1800,
+        )
+        .select("iv_id", "pt_id")
+        .toPandas()
+    )
+    naive = intervals.merge(points, on="user_id", suffixes=("_i", "_p"))
+    naive = naive[(naive.ts_p >= naive.ts_i) & (naive.ts_p <= naive.p_end)]
+    expected = set(zip(naive.event_id_i, naive.event_id_p))
+    assert set(zip(got.iv_id, got.pt_id)) == expected
