@@ -559,3 +559,117 @@ def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_words").alias("total_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF: term frequency x inverse document frequency, top-3 terms per doc.
+# All relational (two aggs + joins + window); ln() is IEEE-identical across
+# engines after round(4).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_tfidf_top3",
+    """
+    WITH terms AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+    ), df AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (
+        SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln(n.n_docs / df.df), 4) AS tfidf
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS rnk
+        FROM scored)
+    WHERE rnk <= 3
+    """,
+)
+def text_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide top-k n-grams (the shingle machinery as an analysis tool).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_top_ngrams",
+    """
+    WITH wordlists AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        FROM wordlists
+    )
+    SELECT shingle, count(*) AS cnt FROM sh GROUP BY shingle
+    ORDER BY cnt DESC, shingle LIMIT 10
+    """,
+)
+def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = DD.doc_shingles(
+        load_table(spark, sf_dir, "documents"), distinct=False
+    )
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("shingle"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vector normalization: elementwise array math via transform (no UDF) —
+# the preprocessing step in front of any cosine-based index.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vector_normalize",
+    f"""
+    WITH {_EMB_D}
+    SELECT vec_id,
+           round(v[1] / {_NORM.format(a='v')}, 4) AS e0_unit,
+           round({_NORM.format(a='v')}, 4) AS norm
+    FROM e
+    """,
+)
+def vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = norm("embedding")
+    return emb.select(
+        "vec_id",
+        F.round(F.element_at("embedding", 1).cast("double") / n, 4).alias("e0_unit"),
+        F.round(n, 4).alias("norm"),
+    )
