@@ -260,3 +260,51 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_table(spark, agg, "complete")
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream inner join with event-time range + watermarks (beyond the
+# reference's stream-static J1): both sides keep bounded state (watermark
+# horizon) and matches emit in append mode. Bounded single-batch run =>
+# result == the batch range join, so it oracles.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_stream_join",
+    """
+    SELECT p.event_id AS purchase_id, e.event_id AS error_id, e.ts AS error_ts
+    FROM events p JOIN events e ON p.user_id = e.user_id
+    WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+      AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL '1 hour'
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    errors = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user_id"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", "1 hour")
+    )
+    joined = purchases.join(
+        errors,
+        (F.col("user_id") == F.col("e_user_id"))
+        & (F.col("error_ts") >= F.col("p_ts"))
+        & (F.col("error_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("purchase_id", "error_id", "error_ts")
+    return run_to_table(spark, joined, "append")

@@ -697,3 +697,27 @@ def range_join_purchase_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts", bucket_seconds=3600,
     )
     return joined.select("purchase_id", "error_id", F.col("ts").alias("error_ts"))
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS through the SQL entry point (U2 + §2.6 extension).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT c_mktsegment, c_nationkey, count(*) AS n
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_nationkey), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_gs")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey, count(*) AS n
+        FROM customer_gs
+        GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_nationkey), ())
+        """
+    )

@@ -54,3 +54,44 @@ def stateful_running_count(words: DataFrame, key_col: str = "word") -> DataFrame
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas (the Spark 4.x-native arbitrary-state API)
+    speaks protobuf to the state server; this container ships a broken
+    google.protobuf, so the TWS path is gated. applyInPandasWithState above
+    is the fully-supported equivalent."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stateful_running_count_tws(words: DataFrame, key_col: str = "word") -> DataFrame:
+    """transformWithStateInPandas running count — same semantics as
+    ``stateful_running_count`` via the newer API (requires RocksDB state
+    store provider + working protobuf; see ``tws_available``)."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._count = handle.getValueState("count", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            new = sum(len(pdf) for pdf in rows)
+            prev = self._count.get()
+            total = (prev[0] if prev else 0) + new
+            self._count.update((total,))
+            yield pd.DataFrame({"word": [key[0]], "count": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return words.groupBy(key_col).transformWithStateInPandas(
+        RunningCount(),
+        outputStructType=_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

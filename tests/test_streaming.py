@@ -215,3 +215,33 @@ def test_stateful_running_count_across_batches(spark, tmp_path):
     for r in rows:  # update mode appends; last emission per word wins
         latest[r.word] = max(latest.get(r.word, 0), r["count"])
     assert latest == {"x": 3, "y": 1, "z": 1}
+
+
+def test_stateful_running_count_tws(spark, tmp_path):
+    """4.x-native transformWithStateInPandas twin — runs only where
+    python-protobuf works (gated; broken in this container)."""
+    from spark_streaming_kafka_example_spark.streaming.stateful import (
+        stateful_running_count_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf unavailable: TWS state protocol needs it")
+    src = str(tmp_path / "tws_src")
+    write_value_batch(spark, src, ["x y", "x"], 0)
+    stream = spark.readStream.schema(VALUE_SCHEMA).parquet(src)
+    words = stream.select(F.explode(F.split("value", " ")).alias("word"))
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    q = (
+        stateful_running_count_tws(words)
+        .writeStream.outputMode("update").format("memory").queryName("t_tws")
+        .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    counts = {r.word: r["count"] for r in spark.table("t_tws").collect()}
+    assert counts == {"x": 2, "y": 1}
