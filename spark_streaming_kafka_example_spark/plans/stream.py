@@ -308,3 +308,38 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("purchase_id", "error_id", "error_ts")
     return run_to_table(spark, joined, "append")
+
+
+# ---------------------------------------------------------------------------
+# Streaming dedup: dropDuplicatesWithinWatermark on the content fingerprint —
+# the streaming half of the LLM dedup stack (state = fingerprints within the
+# watermark horizon; bounded, unlike global dropDuplicates). Single bounded
+# batch => kept set == global distinct, so it oracles.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_dedup_fingerprint",
+    # Output is the kept fingerprint SET: which doc survives per fp depends
+    # on arrival order (first wins), so only the fp set is deterministic.
+    """
+    SELECT DISTINCT
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS fp
+    FROM documents
+    """,
+)
+def stream_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import fingerprint
+
+    docs = documents_stream(spark, sf_dir).select(
+        "doc_id",
+        fingerprint("text").alias("fp"),
+        F.current_timestamp().alias("arr_ts"),  # processing-time watermark
+    )
+    deduped = (
+        docs.withWatermark("arr_ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["fp"])
+        .select("fp")
+    )
+    return run_to_table(spark, deduped, "append")

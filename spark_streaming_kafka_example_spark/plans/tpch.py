@@ -721,3 +721,136 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_nationkey), ())
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function tours: the everyday string/datetime/conditional/null
+# surface, pinned cross-engine. One query per family keeps the matrix
+# readable while touring many functions.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "functions_string_tour",
+    """
+    SELECT n_nationkey,
+           upper(n_name) AS up, lower(n_name) AS lo,
+           substring(n_name, 2, 3) AS sub,
+           length(n_name) AS len,
+           trim(concat('  ', n_name, ' ')) AS trimmed,
+           lpad(n_name, 12, '.') AS padded,
+           replace(n_name, 'A', '@') AS replaced,
+           regexp_replace(n_name, '[AEIOU]', '*', 'g') AS devoweled,
+           reverse(n_name) AS rev,
+           strpos(n_name, 'AN') AS posn,
+           split_part(n_name, 'A', 1) AS first_part
+    FROM nation
+    """,
+)
+def functions_string_tour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.upper("n_name").alias("up"),
+        F.lower("n_name").alias("lo"),
+        F.substring("n_name", 2, 3).alias("sub"),
+        F.length("n_name").alias("len"),
+        F.trim(F.concat(F.lit("  "), F.col("n_name"), F.lit(" "))).alias("trimmed"),
+        F.lpad("n_name", 12, ".").alias("padded"),
+        F.replace(F.col("n_name"), F.lit("A"), F.lit("@")).alias("replaced"),
+        F.regexp_replace("n_name", "[AEIOU]", "*").alias("devoweled"),
+        F.reverse("n_name").alias("rev"),
+        F.instr("n_name", "AN").alias("posn").cast("long"),
+        F.split_part(F.col("n_name"), F.lit("A"), F.lit(1)).alias("first_part"),
+    )
+
+
+@register(
+    "functions_datetime_tour",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(day(o_orderdate) AS INT) AS dom,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+           o_orderdate + INTERVAL '30 days' AS plus30,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+                AS BIGINT) AS days_since_95
+    FROM orders WHERE o_orderkey < 200
+    """,
+)
+def functions_datetime_tour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DuckDB dayofweek: 0=Sunday; Spark dayofweek: 1=Sunday -> +1 on oracle.
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("plus30"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01 00:00:00").cast("timestamp")
+        ).cast("long").alias("days_since_95"),
+    )
+
+
+@register(
+    "functions_conditional_tour",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS band,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_masked,
+           greatest(c_acctbal, 0.0) AS bal_floor,
+           least(CAST(c_nationkey AS BIGINT), 10) AS nk_cap,
+           CASE WHEN c_acctbal > 9999 THEN NULL ELSE round(c_acctbal, 2) END
+               AS bal_or_null
+    FROM customer
+    """,
+)
+def functions_conditional_tour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("band"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER"))
+        .alias("seg_masked"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor"),
+        F.least(F.col("c_nationkey").cast("long"), F.lit(10)).alias("nk_cap"),
+        F.when(F.col("c_acctbal") > 9999, F.lit(None)).otherwise(
+            F.round("c_acctbal", 2)
+        ).alias("bal_or_null"),
+    )
+
+
+@register(
+    "nulls_fill_and_drop",
+    """
+    WITH enriched AS (
+        SELECT e.event_id, c.c_mktsegment
+        FROM events e LEFT JOIN customer c
+          ON e.user_id = c.c_custkey AND c.c_custkey < 100
+    )
+    SELECT event_id, coalesce(c_mktsegment, 'UNKNOWN') AS seg
+    FROM enriched
+    """,
+)
+def nulls_fill_and_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """na.fill over a join that manufactures nulls (only custkey<100
+    matches)."""
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = e.join(c, "user_id", "left_outer").select(
+        "event_id", F.col("c_mktsegment").alias("seg")
+    )
+    return joined.na.fill({"seg": "UNKNOWN"})
