@@ -854,3 +854,42 @@ def nulls_fill_and_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", F.col("c_mktsegment").alias("seg")
     )
     return joined.na.fill({"seg": "UNKNOWN"})
+
+
+# ---------------------------------------------------------------------------
+# Salted two-phase aggregation (skew tool, operators/salting.py): result ==
+# the plain GROUP BY, so the oracle is the plain SQL.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_salted_skew",
+    """
+    SELECT event_type,
+           round(sum(value), 2) AS total,
+           count(*) AS n,
+           round(min(value), 2) AS lo,
+           round(max(value), 2) AS hi
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.salting import salted_agg
+
+    out = salted_agg(
+        load_table(spark, sf_dir, "events"),
+        keys=["event_type"],
+        measures={
+            "total": ("sum", "value"),
+            "n": ("count", "event_id"),
+            "lo": ("min", "value"),
+            "hi": ("max", "value"),
+        },
+    )
+    return out.select(
+        "event_type",
+        F.round("total", 2).alias("total"),
+        "n",
+        F.round("lo", 2).alias("lo"),
+        F.round("hi", 2).alias("hi"),
+    )

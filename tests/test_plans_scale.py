@@ -103,3 +103,21 @@ def test_brute_force_topk_broadcasts_queries(plan_of):
 def test_scans_are_columnar_batched(plan_of):
     for name in ("q1_pricing_summary", "a2_tumbling_window_agg"):
         assert "Batched: true" in plan_of(name)  # vectorized parquet reader
+
+
+def test_asof_single_exchange(plan_of):
+    """The as-of composition must shuffle exactly once (on the key)."""
+    header = plan_of("asof_purchase_last_click").split("\n\n")[0]
+    assert header.count("Exchange") == 1
+
+
+def test_sessionize_single_exchange(plan_of):
+    """lag + cumsum + groupBy all share the per-key partitioning."""
+    header = plan_of("sessionize_gap_30m").split("\n\n")[0]
+    assert header.count("Exchange") == 1
+
+
+def test_salted_agg_two_phase(plan_of):
+    """Salting = exactly two aggregation exchanges (key+salt, then key)."""
+    header = plan_of("agg_salted_skew").split("\n\n")[0]
+    assert header.count("Exchange") == 2
