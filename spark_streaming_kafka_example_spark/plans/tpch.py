@@ -893,3 +893,77 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("lo", 2).alias("lo"),
         F.round("hi", 2).alias("hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Subquery surface through the SQL entry point: scalar subquery + IN
+# (decorrelated by Catalyst into joins — no per-row re-execution).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "subquery_scalar_above_avg",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS price
+    FROM orders
+    WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def subquery_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 2) AS price
+        FROM orders_sq
+        WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders_sq)
+        """
+    )
+
+
+@register(
+    "subquery_in_nations",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+    """,
+)
+def subquery_in_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_sq")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer_sq
+        WHERE c_nationkey IN (SELECT n_nationkey FROM nation_sq
+                              WHERE n_regionkey = 2)
+        """
+    )
+
+
+@register(
+    "set_union_by_name",
+    """
+    SELECT * FROM (
+        SELECT c_custkey AS id, c_acctbal AS bal, c_mktsegment AS seg
+        FROM customer WHERE c_custkey < 50
+        UNION ALL BY NAME
+        SELECT s_acctbal AS bal, s_suppkey AS id, NULL AS seg
+        FROM supplier WHERE s_suppkey < 20
+    )
+    """,
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 50)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_acctbal").alias("bal"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") < 20)
+        .select(F.col("s_acctbal").alias("bal"), F.col("s_suppkey").alias("id"))
+    )
+    return c.unionByName(s, allowMissingColumns=True)
