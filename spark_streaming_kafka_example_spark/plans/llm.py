@@ -673,3 +673,64 @@ def vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("embedding", 1).cast("double") / n, 4).alias("e0_unit"),
         F.round(n, 4).alias("norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality profile: per-column null/range stats in one pass — the
+# validation step before any training-data run.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_profile_events",
+    """
+    SELECT count(*) AS n_rows,
+           CAST(count(*) - count(user_id) AS BIGINT) AS null_user_id,
+           CAST(count(*) - count(props) AS BIGINT) AS null_props,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value,
+           CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_negative_values,
+           min(ts) AS first_ts, max(ts) AS last_ts
+    FROM events
+    """,
+)
+def dq_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("user_id")).alias("null_user_id"),
+        (F.count(F.lit(1)) - F.count("props")).alias("null_props"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("n_negative_values"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic content-hash sampling: reproducible ~10% corpus sample via
+# md5(doc_id) mod — unlike rand()-based sampling this is stable across
+# engines, runs, and cluster sizes (the only sane way to sample a 100 TB
+# corpus you may need to resample identically later).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_deterministic_10pct",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE (strpos('0123456789abcdef',
+                  substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 16 = 0
+    """,
+)
+def sample_deterministic_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    nib = F.instr(
+        F.lit("0123456789abcdef"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+    ) - 1
+    return docs.filter(nib % 16 == 0).select("doc_id", "lang")
