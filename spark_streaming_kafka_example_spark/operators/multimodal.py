@@ -103,3 +103,53 @@ def decode_features(
             )
 
     return df.mapInPandas(batches, out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    every_nth: int = 4,
+    frame_bytes: int = 16,
+    fake: bool = False,
+) -> DataFrame:
+    """Per-batch video frame sampling -> one row per sampled frame via
+    mapInPandas + explode-shaped output (frame_no, frame binary).
+
+    The blob is treated as a sequence of fixed-size frames; every_nth is
+    kept. Real container decode (ffmpeg) is stubbed exactly like
+    decode_features; the fake path slices the raw bytes so partitioning,
+    batch shapes, and the one-to-many output contract are exercised for
+    real.
+
+    Scale: output fan-out is |frames|/every_nth rows per blob — size
+    ``arrow.maxRecordsPerBatch`` and repartition on id afterwards if
+    downstream ops group per frame.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("frame_no", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "real video decode requires ffmpeg (not in this "
+                    "container); pass fake=True for the deterministic stub"
+                )
+            ids, frame_nos, frames = [], [], []
+            for rid, content in zip(pdf[id_col], pdf[content_col]):
+                n_frames = max(len(content) // frame_bytes, 0)
+                for fno in range(0, n_frames, every_nth):
+                    ids.append(rid)
+                    frame_nos.append(fno)
+                    frames.append(
+                        bytes(content[fno * frame_bytes : (fno + 1) * frame_bytes])
+                    )
+            yield pd.DataFrame({id_col: ids, "frame_no": frame_nos, "frame": frames})
+
+    return df.mapInPandas(batches, out_schema)

@@ -31,7 +31,7 @@ def test_minhash_lsh_recalls_planted_near_dups(spark, sf_dir):
     hits = set(zip(pairs.id_a, pairs.id_b))
     planted = [(d, d + 100000) for d in range(0, 500, 5)]
     recall = sum((a, b) in hits for a, b in planted) / len(planted)
-    # 16 hashes / 4 bands on ~0.75-jaccard pairs: recall should be high
+    # 15 hashes / 5 bands of 3 on ~0.75-jaccard pairs: expected recall ~0.95
     assert recall >= 0.8, f"LSH recall {recall}"
 
 
@@ -126,3 +126,23 @@ def test_asof_join_matches_pandas_merge_asof(spark, sf_dir):
         merged.ts_click_exp.isna() & merged.ts_click_act.isna()
     ) | (merged.ts_click_exp == merged.ts_click_act)
     assert same.all()
+
+
+def test_multimodal_frame_sampling(spark, sf_dir):
+    """One-to-many frame extraction keeps ids/order deterministic and
+    frames slice the source bytes."""
+    from spark_streaming_kafka_example_spark.operators.multimodal import (
+        attach_blob,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    blobs = attach_blob(docs)
+    frames = sample_frames(blobs, every_nth=4, frame_bytes=16, fake=True).toPandas()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert set(frames.doc_id) <= set(texts)
+    for _, row in frames.iterrows():
+        raw = texts[row.doc_id].encode("utf-8")
+        assert row.frame_no % 4 == 0
+        start = row.frame_no * 16
+        assert bytes(row.frame) == raw[start : start + 16]
