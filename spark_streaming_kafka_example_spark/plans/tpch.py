@@ -967,3 +967,47 @@ def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_acctbal").alias("bal"), F.col("s_suppkey").alias("id"))
     )
     return c.unionByName(s, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# Array-function tour: construction, membership, slicing, flatten, zip,
+# higher-order transform/filter/aggregate — the array surface LLM pipelines
+# lean on (token lists, embeddings, shingles).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "functions_array_tour",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           len(w) AS n,
+           w[1] AS first_word,
+           array_to_string(w[2:4], ' ') AS mid,
+           list_contains(w, 'spark') AS has_spark,
+           list_position(w, 'the') AS the_pos,
+           array_to_string(list_transform(w[1:3], x -> upper(x)), '|') AS up3,
+           len(list_filter(w, x -> length(x) > 4)) AS n_long,
+           CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+               AS total_chars
+    FROM t
+    """,
+)
+def functions_array_tour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(w).alias("n"),
+        F.element_at(w, 1).alias("first_word"),
+        F.concat_ws(" ", F.slice(w, 2, 3)).alias("mid"),
+        F.array_contains(w, "spark").alias("has_spark"),
+        F.array_position(w, "the").alias("the_pos"),
+        F.concat_ws("|", F.transform(F.slice(w, 1, 3), lambda x: F.upper(x))).alias(
+            "up3"
+        ),
+        F.size(F.filter(w, lambda x: F.length(x) > 4)).alias("n_long"),
+        F.aggregate(
+            w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
+        ).alias("total_chars"),
+    )

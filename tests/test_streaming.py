@@ -245,3 +245,28 @@ def test_stateful_running_count_tws(spark, tmp_path):
     q.awaitTermination()
     counts = {r.word: r["count"] for r in spark.table("t_tws").collect()}
     assert counts == {"x": 2, "y": 1}
+
+
+def test_rate_source_smoke(spark):
+    """Built-in rate source (load-test source) produces rows under a
+    processing-time trigger."""
+    from spark_streaming_kafka_example_spark.sources import rate_stream
+
+    q = (
+        rate_stream(spark, rows_per_second=50)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_rate")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 15
+        while time.time() < deadline and spark.table("t_rate").count() == 0:
+            time.sleep(0.3)
+        assert spark.table("t_rate").count() > 0
+        assert set(spark.table("t_rate").columns) == {"timestamp", "value"}
+    finally:
+        q.stop()
