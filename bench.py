@@ -49,8 +49,17 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_session(app_name="bench")
 
-    # Warm the JVM/IO once so per-query numbers measure the queries.
+    # Warm the JVM/IO/broadcast machinery once so per-query numbers measure
+    # the queries, not codegen compilation and executor spin-up.
+    from pyspark.sql import functions as F
+
+    from spark_streaming_kafka_example_spark.sources import load_table
+
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey, "left_outer").count()
+    load_table(spark, sf_dir, "documents").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
