@@ -734,3 +734,42 @@ def sample_deterministic_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
     ) - 1
     return docs.filter(nib % 16 == 0).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance fuzzy matching (levenshtein is definition-identical across
+# engines): close first-word pairs — the string-metric tier of the dedup
+# stack, candidate-bounded like everything else (restricted id range; at
+# scale the candidate set comes from LSH blocking, never all pairs).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_levenshtein_pairs",
+    """
+    WITH heads AS (
+        SELECT doc_id, string_split(text, ' ')[1] AS head
+        FROM documents WHERE doc_id < 40
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.head, b.head) AS INT) AS dist
+    FROM heads a JOIN heads b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 2
+    """,
+)
+def text_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    heads = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", F.element_at(F.split("text", " "), 1).alias("head"))
+    )
+    a, b = heads.alias("a"), heads.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein(F.col("a.head"), F.col("b.head")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+    )

@@ -84,7 +84,7 @@ def to_json_rows(df: DataFrame, out: str = "value") -> DataFrame:
     return df.select(F.to_json(F.struct("*")).alias(out))
 
 
-def split_explode_words(df: DataFrame, col: str = "value", out: str = "word") -> Column:
+def split_explode_words(df: DataFrame, col: str = "value", out: str = "word") -> DataFrame:
     """Space-split + flatten (SURVEY P12; reference Basic.scala:22
     ``flatMap(_.split(" "))``). PySpark has no typed Dataset; the idiomatic
     equivalent is split()+explode(), which stays inside codegen."""

@@ -133,3 +133,19 @@ def test_foreach_external_app(spark, tmp_path):
     q.awaitTermination()
     got = spark.read.parquet(store).collect()
     assert len(got) == 1 and got[0].id == 1851632 and got[0].month == "201806"
+
+
+def test_from_json_failfast_mode(spark):
+    """Beyond the reference's silent PERMISSIVE default (SURVEY §1.4):
+    FAILFAST surfaces malformed payloads as errors instead of nulls."""
+    from spark_streaming_kafka_example_spark.schemas import SENSOR_RAW_SCHEMA
+
+    bad = spark.createDataFrame([("{not json",)], VALUE_SCHEMA)
+    df = bad.select(
+        F.from_json("value", SENSOR_RAW_SCHEMA, {"mode": "FAILFAST"}).alias("p")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as exc:
+        df.collect()
+    assert "Malformed" in str(exc.value) or "FAILFAST" in str(exc.value)
