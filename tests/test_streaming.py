@@ -270,3 +270,28 @@ def test_rate_source_smoke(spark):
         assert set(spark.table("t_rate").columns) == {"timestamp", "value"}
     finally:
         q.stop()
+
+
+def test_available_now_multi_batch_state(spark, tmp_path):
+    """availableNow + maxFilesPerTrigger=1 splits the backlog into several
+    micro-batches in one run; windowed state must accumulate across them
+    (this is exactly how a backfill over thousands of files behaves)."""
+    src = str(tmp_path / "mb_src")
+    for i, rows in enumerate([["a b"], ["a c"], ["a"]]):
+        write_value_batch(spark, src, rows, i)
+    stream = (
+        spark.readStream.schema(VALUE_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    counts = word_count(stream)
+    q = (
+        counts.writeStream.outputMode("complete").format("memory")
+        .queryName("t_mb")
+        .option("checkpointLocation", str(tmp_path / "mb_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.word: r["count"] for r in spark.table("t_mb").collect()}
+    assert got == {"a": 3, "b": 1, "c": 1}
