@@ -32,8 +32,11 @@ def salted_agg(
         salted_agg(events, ["event_type"], {"total": ("sum", "value"),
                                             "n": ("count", "event_id")})
     """
+    # Content-hash salt: spreads a hot key's rows across buckets no matter
+    # how the input is partitioned (partition-id or rand() salts either
+    # don't redistribute or aren't reproducible).
     salted = df.withColumn(
-        "_salt", (F.spark_partition_id() % F.lit(salt_buckets)).cast("int")
+        "_salt", F.pmod(F.xxhash64(*df.columns), F.lit(salt_buckets)).cast("int")
     )
     partial_aggs = []
     for out, (agg, col) in measures.items():
