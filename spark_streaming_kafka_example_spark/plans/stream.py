@@ -343,3 +343,22 @@ def stream_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("fp")
     )
     return run_to_table(spark, deduped, "append")
+
+
+# ---------------------------------------------------------------------------
+# Continuous incremental top-k (EDBT'20 flavor): the same top-3-per-window
+# aggregate as plans/tpch.topk_incremental_per_window, maintained by the
+# state store over the stream — the rank lives INSIDE the agg, which is what
+# makes it streamable.
+# ---------------------------------------------------------------------------
+
+
+from .tpch import TOPK_WINDOW_ORACLE, _topk_window_agg
+
+
+@register("stream_topk_incremental", TOPK_WINDOW_ORACLE)
+def stream_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = _topk_window_agg(
+        events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    )
+    return run_to_table(spark, agg, "complete")

@@ -1011,3 +1011,104 @@ def functions_array_tour(spark: SparkSession, sf_dir: str) -> DataFrame:
             w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
         ).alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental top-k as an AGGREGATE (cf. EDBT'20 incremental top-k search):
+# top-3 per (6h window, event_type) maintained via sort_array(collect_list)
+# inside the agg — streaming-compatible (state-store incremental), unlike a
+# post-agg rank. Values are scaled to exact integers before serialization so
+# both engines format identically.
+# ---------------------------------------------------------------------------
+
+TOPK_WINDOW_ORACLE = """
+    WITH ranked AS (
+        SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+               event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               event_id,
+               row_number() OVER (
+                   PARTITION BY time_bucket(INTERVAL '6 hours', ts), event_type
+                   ORDER BY CAST(round(value * 100) AS BIGINT) DESC, event_id DESC
+               ) AS rn
+        FROM events
+    )
+    SELECT window_start, event_type,
+           string_agg(cents || ':' || event_id, ',' ORDER BY rn) AS top3
+    FROM ranked WHERE rn <= 3
+    GROUP BY 1, 2
+"""
+
+
+def _topk_window_agg(df: DataFrame) -> DataFrame:
+    item = F.struct(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.col("event_id").alias("event_id"),
+    )
+    top3 = F.slice(F.sort_array(F.collect_list(item), asc=False), 1, 3)
+    as_str = F.concat_ws(
+        ",",
+        F.transform(
+            top3, lambda s: F.concat_ws(":", s["cents"], s["event_id"])
+        ),
+    )
+    return (
+        df.groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(as_str.alias("top3"))
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "top3"
+        )
+    )
+
+
+@register("topk_incremental_per_window", TOPK_WINDOW_ORACLE)
+def topk_incremental_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _topk_window_agg(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Time-series similarity (cf. EDBT'19 streaming series similarity):
+# resample two event streams to aligned hourly buckets, then correlate —
+# corr() is the classic normalized-similarity kernel and both engines share
+# its sample-correlation definition.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "timeseries_corr_view_click",
+    """
+    WITH buckets AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS h,
+               round(sum(CASE WHEN event_type = 'view' THEN value ELSE 0 END), 4)
+                   AS views,
+               round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END), 4)
+                   AS clicks
+        FROM events WHERE event_type IN ('view', 'click')
+        GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           round(corr(views, clicks), 4) AS view_click_corr
+    FROM buckets
+    """,
+)
+def timeseries_corr_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    buckets = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("event_type") == "view", F.col("value")).otherwise(0.0)),
+                4,
+            ).alias("views"),
+            F.round(
+                F.sum(F.when(F.col("event_type") == "click", F.col("value")).otherwise(0.0)),
+                4,
+            ).alias("clicks"),
+        )
+    )
+    return buckets.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.round(F.corr("views", "clicks"), 4).alias("view_click_corr"),
+    )
