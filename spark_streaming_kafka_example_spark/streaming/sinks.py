@@ -109,3 +109,23 @@ def foreach_row_sink(df: DataFrame, writer_obj: Any, mode: str = "append") -> St
     ForeachWriter open/process/close contract (K6; reference
     StreamingWithCasssandra.scala:31-39). Prefer foreach_batch_sink."""
     return df.writeStream.outputMode(mode).foreach(writer_obj).start()
+
+
+def idempotent_parquet_handler(base_dir: str) -> Callable[[DataFrame, int], None]:
+    """foreachBatch handler with exactly-once semantics: each micro-batch
+    lands in its own ``batch_id=N`` partition via dynamic partition
+    overwrite, so a replayed batch (restart between sink write and
+    checkpoint commit) overwrites itself instead of duplicating — the
+    pattern every at-least-once external writer needs at scale (the
+    reference's per-row CQL inserts silently double-write on replay)."""
+
+    def handler(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(base_dir)
+        )
+
+    return handler

@@ -139,3 +139,33 @@ def test_range_join_property_random(spark, seed):
     naive = naive[(naive.ts_p >= naive.ts_i) & (naive.ts_p <= naive.p_end)]
     expected = set(zip(naive.event_id_i, naive.event_id_p))
     assert set(zip(got.iv_id, got.pt_id)) == expected
+
+
+def test_idempotent_foreach_batch_replay(spark, tmp_path):
+    """Replaying a batch through the idempotent handler must not duplicate
+    rows (exactly-once external sink; SCALE.md streaming notes)."""
+    from spark_streaming_kafka_example_spark.sources import load_table
+    from spark_streaming_kafka_example_spark.streaming.sinks import (
+        idempotent_parquet_handler,
+    )
+
+    store = str(tmp_path / "store")
+    handler = idempotent_parquet_handler(store)
+    batch = load_table(spark, "/root/testdata/sf0.001", "nation")
+    handler(batch, 7)
+    handler(batch, 7)  # replay of the same micro-batch
+    handler(batch.limit(5), 8)
+    out = spark.read.parquet(store)
+    assert out.filter("batch_id = 7").count() == 25  # not 50
+    assert out.filter("batch_id = 8").count() == 5
+
+
+def test_stream_and_batch_event_schemas_agree(spark):
+    """sources.load_table and plans.stream.events_stream must expose the
+    same logical schema (ns->us conversion included)."""
+    from spark_streaming_kafka_example_spark.plans.stream import events_stream
+    from spark_streaming_kafka_example_spark.sources import load_table
+
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    stream = events_stream(spark, "/root/testdata/sf0.001")
+    assert batch.schema == stream.schema
