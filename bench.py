@@ -35,6 +35,9 @@ HEADLINE = [
     # Added as phases land (missing names are skipped):
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q18_large_volume_customer",
     "window_topk_per_group",
     "sessionize_gap_30m",
     "dedup_minhash_lsh",

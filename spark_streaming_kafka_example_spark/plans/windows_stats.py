@@ -1,0 +1,185 @@
+"""Window-function ranking/navigation tours and statistical aggregates.
+
+Completes SURVEY §2.8's "free with PySpark" families beyond the basics
+already in tpch.py (row_number top-k, running sum, lag delta): rank
+variants (rank/dense_rank/ntile/percent_rank/cume_dist), frame navigation
+(first/last value over bounded frames), event-time rolling aggregates via
+RANGE BETWEEN INTERVAL frames, and the second-moment aggregate surface
+(stddev/variance/corr/covar).
+
+Scale notes: every window here partitions by a key (user_id /
+c_mktsegment) — one hash exchange, then per-partition sort; no global
+windows over the fact table. The rolling range frame is the streaming-
+friendly shape: state per partition is bounded by the frame width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..sources import load_table
+from . import register
+
+
+@register(
+    "window_rank_tour",
+    """
+    SELECT c_custkey, c_mktsegment,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 4) AS pct_rank,
+           round(cume_dist() OVER w, 4) AS cdist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def window_rank_tour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cdist"),
+    )
+
+
+@register(
+    "window_frame_navigation",
+    """
+    SELECT event_id, user_id,
+           round(first_value(value) OVER w, 2) AS first_val,
+           round(last_value(value) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+               AS final_val,
+           round(lead(value, 1) OVER w, 2) AS next_val,
+           round(avg(value) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_frame_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ma3 = w.rowsBetween(-2, 0)
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.first("value").over(w), 2).alias("first_val"),
+        F.round(F.last("value").over(whole), 2).alias("final_val"),
+        F.round(F.lead("value", 1).over(w), 2).alias("next_val"),
+        F.round(F.avg("value").over(ma3), 4).alias("ma3"),
+    )
+
+
+@register(
+    "window_rolling_1h_range",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER w, 4) AS rolling_sum_1h,
+           CAST(count(*) OVER w AS BIGINT) AS rolling_n_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_rolling_1h_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time rolling window via RANGE frame — peers share the frame, so
+    the result is deterministic under duplicate timestamps (unlike ROWS).
+    Expressed through the SQL entry point: the DataFrame ``rangeBetween``
+    API takes only numeric offsets, while SQL accepts interval bounds."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_roll")
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               round(sum(value) OVER w, 4) AS rolling_sum_1h,
+               count(*) OVER w AS rolling_n_1h
+        FROM events_roll
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """
+    )
+
+
+@register(
+    "agg_stats_tour",
+    """
+    SELECT event_type,
+           round(stddev_samp(value), 4) AS sd,
+           round(var_samp(value), 4) AS var,
+           round(stddev_pop(value), 4) AS sd_pop,
+           round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_uid,
+           round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS covar_uid,
+           round(avg(value), 4) AS mean
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_stats_tour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    uid = F.col("user_id").cast("double")
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.stddev_samp("value"), 4).alias("sd"),
+            F.round(F.var_samp("value"), 4).alias("var"),
+            F.round(F.stddev_pop("value"), 4).alias("sd_pop"),
+            F.round(F.corr(F.col("value"), uid), 4).alias("corr_uid"),
+            F.round(F.covar_samp(F.col("value"), uid), 4).alias("covar_uid"),
+            F.round(F.avg("value"), 4).alias("mean"),
+        )
+    )
+
+
+@register(
+    "sample_stratified_hash",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total
+    FROM (
+        SELECT * FROM (
+            SELECT event_type, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY md5(CAST(event_id AS VARCHAR)),
+                                               event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS grp_n
+            FROM events
+        ) WHERE rn <= greatest(CAST(floor(grp_n * 0.1) AS BIGINT), 1)
+    )
+    GROUP BY event_type
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified 10% sample: md5-ordered row_number per
+    stratum (not ``sampleBy`` — RNG seeds don't reproduce across engines).
+    The per-group quota keeps every stratum represented — the training-data
+    sampling shape (class-balanced subsets) at any scale: one exchange on
+    the stratum key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    wn = Window.partitionBy("event_type")
+    sampled = (
+        ev.select(
+            "event_type",
+            "value",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("grp_n"),
+        )
+        .filter(
+            F.col("rn")
+            <= F.greatest(F.floor(F.col("grp_n") * 0.1), F.lit(1))
+        )
+    )
+    return sampled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )

@@ -121,3 +121,37 @@ def test_salted_agg_two_phase(plan_of):
     """Salting = exactly two aggregation exchanges (key+salt, then key)."""
     header = plan_of("agg_salted_skew").split("\n\n")[0]
     assert header.count("Exchange") == 2
+
+
+def test_q6_all_predicates_push_to_scan(plan_of):
+    plan = plan_of("q6_forecast_revenue")
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    # scan reads only the 4 referenced columns
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read and "l_extendedprice" in read
+
+
+def test_q9_dimensions_broadcast_fact_never_builds(plan_of):
+    plan = plan_of("q9_product_profit")
+    assert plan.count("BroadcastHashJoin") >= 3  # part, supplier, nation
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_topk_and_broadcast_nation(plan_of):
+    plan = plan_of("q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q18_semi_join_before_wide_join(plan_of):
+    plan = plan_of("q18_large_volume_customer")
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q4_semi_join_with_residual_condition(plan_of):
+    plan = plan_of("q4_order_priority")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
