@@ -709,3 +709,203 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2 (adapted): minimum-cost supplier per part within a region. The distinct
+# (l_partkey, l_suppkey) projection of lineitem stands in for the missing
+# partsupp bridge, and s_acctbal for ps_supplycost; the plan shape —
+# dimension-filtered bridge, per-part minimum, join-back, deterministic
+# top-k — is canonical Q2.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH bridge AS (
+        SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+        FROM lineitem
+    ), costed AS (
+        SELECT p_partkey, p_type, s_suppkey, s_name,
+               round(s_acctbal, 2) AS cost, n_name
+        FROM part, bridge, supplier, nation, region
+        WHERE p_partkey = partkey AND s_suppkey = suppkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE' AND p_size = 15
+    )
+    SELECT * FROM (
+        SELECT * FROM costed c
+        WHERE cost = (SELECT min(cost) FROM costed c2
+                      WHERE c2.p_partkey = c.p_partkey)
+    )
+    ORDER BY cost, p_partkey, s_suppkey
+    LIMIT 20
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    part, li, supp, nation, region = _t(
+        spark, sf_dir, "part", "lineitem", "supplier", "nation", "region"
+    )
+    part = part.filter(F.col("p_size") == 15)
+    region = region.filter(F.col("r_name") == "EUROPE")
+    bridge = li.select(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).distinct()
+    costed = (
+        bridge.join(F.broadcast(part), F.col("partkey") == part.p_partkey)
+        .join(F.broadcast(supp), F.col("suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .select(
+            "p_partkey", "p_type", "s_suppkey", "s_name",
+            F.round("s_acctbal", 2).alias("cost"), "n_name",
+        )
+    )
+    # "= (SELECT min ...)" decorrelates to a rank-1 window per part: the
+    # bridge shuffles once on p_partkey, never re-scanning per row.
+    w = Window.partitionBy("p_partkey").orderBy("cost")
+    return (
+        costed.withColumn("mn", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("mn"))
+        .drop("mn")
+        .orderBy("cost", "p_partkey", "s_suppkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 (adapted): important-stock identification — per-part shipped value
+# with a HAVING over a global-scalar fraction subquery. lineitem value
+# stands in for partsupp stock value; the two-pass shape (grouped agg +
+# broadcast scalar of its own total) is canonical Q11.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q11_important_stock",
+    """
+    WITH pv AS (
+        SELECT l_partkey, sum(l_extendedprice * l_quantity) AS val
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, round(val, 2) AS part_value
+    FROM pv
+    WHERE val > (SELECT sum(val) * 0.001 FROM pv)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("val")
+    )
+    threshold = pv.agg((F.sum("val") * 0.001).alias("threshold"))
+    return (
+        pv.crossJoin(F.broadcast(threshold))
+        .filter(F.col("val") > F.col("threshold"))
+        .select("l_partkey", F.round("val", 2).alias("part_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 (adapted): suppliers with significant shipments of a part family in a
+# year — the nested-IN chain (parts LIKE -> aggregated lineitem HAVING ->
+# supplier semi join) mirrors canonical Q20 with lineitem for partsupp.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q20_excess_shippers",
+    """
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE '%gear%')
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey
+        HAVING sum(l_quantity) > 100
+    )
+    """,
+)
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp, li, part = _t(spark, sf_dir, "supplier", "lineitem", "part")
+    gear = part.filter(F.col("p_name").like("%gear%")).select("p_partkey")
+    shippers = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(gear), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    return supp.join(
+        shippers, supp.s_suppkey == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+# ---------------------------------------------------------------------------
+# Q21 (adapted): suppliers who alone were late on multi-supplier orders —
+# the canonical double-correlated EXISTS / NOT EXISTS self-join pair
+# ("another supplier participated" / "no other supplier was late"), with
+# ship-lag beyond 60 days standing in for the missing receipt/commit dates.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q21_waiting_supplier",
+    """
+    WITH late AS (
+        SELECT l_orderkey, l_suppkey
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL '60 days'
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM supplier s JOIN late l1 ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp, li, orders = _t(spark, sf_dir, "supplier", "lineitem", "orders")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select(F.col("l_orderkey").alias("lt_orderkey"),
+                F.col("l_suppkey").alias("lt_suppkey"))
+    )
+    # EXISTS: some other supplier on the order -> semi join against lineitem
+    # keyed on order, requiring a different suppkey (residual condition).
+    other_any = li.select(F.col("l_orderkey").alias("o2_orderkey"),
+                          F.col("l_suppkey").alias("o2_suppkey"))
+    with_other = late.join(
+        other_any,
+        (F.col("lt_orderkey") == F.col("o2_orderkey"))
+        & (F.col("lt_suppkey") != F.col("o2_suppkey")),
+        "left_semi",
+    )
+    # NOT EXISTS: no other LATE supplier on the order -> anti self-join.
+    other_late = late.select(F.col("lt_orderkey").alias("o3_orderkey"),
+                             F.col("lt_suppkey").alias("o3_suppkey"))
+    sole_late = with_other.join(
+        other_late,
+        (F.col("lt_orderkey") == F.col("o3_orderkey"))
+        & (F.col("lt_suppkey") != F.col("o3_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole_late.join(F.broadcast(supp), F.col("lt_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

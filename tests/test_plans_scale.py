@@ -155,3 +155,19 @@ def test_q4_semi_join_with_residual_condition(plan_of):
     plan = plan_of("q4_order_priority")
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q21_self_joins_stay_equi(plan_of):
+    """Double-correlated EXISTS/NOT EXISTS must plan as semi/anti equi-joins
+    on l_orderkey with residual suppkey conditions — never nested loops."""
+    plan = plan_of("q21_waiting_supplier")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q11_threshold_broadcasts(plan_of):
+    """The global-scalar fraction must broadcast to the grouped side (one
+    extra row), not shuffle the per-part aggregate again."""
+    plan = plan_of("q11_important_stock")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
