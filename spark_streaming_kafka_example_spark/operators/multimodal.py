@@ -25,7 +25,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
-__all__ = ["MEDIA_META_SCHEMA", "attach_blob", "decode_features", "FEATURE_DIM"]
+__all__ = [
+    "MEDIA_META_SCHEMA",
+    "attach_blob",
+    "decode_features",
+    "resize_media",
+    "sample_frames",
+    "FEATURE_DIM",
+]
 
 MEDIA_META_SCHEMA = T.StructType(
     [
@@ -151,5 +158,62 @@ def sample_frames(
                         bytes(content[fno * frame_bytes : (fno + 1) * frame_bytes])
                     )
             yield pd.DataFrame({id_col: ids, "frame_no": frame_nos, "frame": frames})
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def resize_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    meta_col: str = "meta",
+    width: int = 32,
+    height: int = 4,
+    fake: bool = False,
+) -> DataFrame:
+    """Per-batch media resize via mapInPandas: content -> width*height-byte
+    payload with the metadata struct rewritten to the target dimensions.
+
+    Real resampling (PIL) is stubbed like decode_features; the fake path
+    truncates the payload to width*height bytes — deterministic, so the
+    whole operator is oracle-checkable — while keeping the real operator's
+    contract: binary in/out, metadata follows content, Arrow batch shapes
+    unchanged.
+
+    Scale: resize is the canonical shrink-early op — run it before any
+    shuffle so downstream exchanges carry thumbnails, not originals.
+    """
+    target = width * height
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("meta", MEDIA_META_SCHEMA),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resize requires PIL (not in this container); "
+                    "pass fake=True for the deterministic stub"
+                )
+            metas = [
+                {
+                    "mime": m["mime"],
+                    "width": width,
+                    "height": height,
+                    "duration_ms": m["duration_ms"],
+                }
+                for m in pdf[meta_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "content": pdf[content_col].map(lambda b: bytes(b[:target])),
+                    "meta": metas,
+                }
+            )
 
     return df.mapInPandas(batches, out_schema)

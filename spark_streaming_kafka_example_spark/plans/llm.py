@@ -773,3 +773,31 @@ def text_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") <= 2)
     )
+
+
+@register(
+    "multimodal_resize",
+    """
+    SELECT doc_id,
+           CAST(least(length(text), 128) AS BIGINT) AS n_bytes,
+           md5(substring(text, 1, 128)) AS content_md5,
+           32 AS width, 4 AS height
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stub over the blob table: 32x4 target -> 128-byte payload.
+    The fake resize is a deterministic byte-truncation (operators/
+    multimodal.py), so md5(content) is cross-checkable in SQL (documents
+    text is ASCII: char offsets == byte offsets)."""
+    from ..operators.multimodal import resize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_media(attach_blob(docs), width=32, height=4, fake=True)
+    return resized.select(
+        "doc_id",
+        F.length("content").cast("long").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+        F.col("meta.width").cast("int").alias("width"),
+        F.col("meta.height").cast("int").alias("height"),
+    )

@@ -146,3 +146,24 @@ def test_multimodal_frame_sampling(spark, sf_dir):
         assert row.frame_no % 4 == 0
         start = row.frame_no * 16
         assert bytes(row.frame) == raw[start : start + 16]
+
+
+def test_multimodal_resize_contract(spark, sf_dir):
+    """Resize rewrites content to width*height bytes and the metadata to
+    the target dims; the real-decode path stays stubbed."""
+    from spark_streaming_kafka_example_spark.operators.multimodal import (
+        attach_blob,
+        resize_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(8)
+    blobs = attach_blob(docs)
+    out = resize_media(blobs, width=8, height=2, fake=True).toPandas()
+    texts = {r.doc_id: r.text.encode("utf-8") for r in docs.collect()}
+    assert len(out) == 8
+    for _, row in out.iterrows():
+        assert bytes(row.content) == texts[row.doc_id][:16]
+        assert row.meta["width"] == 8 and row.meta["height"] == 2
+    with pytest.raises(Exception) as exc:
+        resize_media(blobs, fake=False).collect()
+    assert "NotImplementedError" in str(exc.value) or "resize" in str(exc.value)
