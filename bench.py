@@ -27,6 +27,7 @@ plans.load_all()
 # of each operator family that exists in the registry at bench time.
 HEADLINE = [
     "flagship_sliding_alert",
+    "stream_flagship_alert",
     "a3_sliding_window_agg",
     "a2_tumbling_window_agg",
     "j1_enrich_left_outer",

@@ -362,3 +362,41 @@ def stream_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
     )
     return run_to_table(spark, agg, "complete")
+
+
+# ---------------------------------------------------------------------------
+# The full reference pipeline through the streaming machinery in one query:
+# stream-static enrich join -> watermarked sliding window agg -> post-agg
+# alert filter (StreamingWithKafkaJoinedData.scala:46 + SlidingWindow.scala:
+# 52-66 chained, as the reference runs them across two programs via the
+# joined-sensor-data topic). Complete mode keeps every window, so the
+# drained result equals the batch flagship and shares its oracle.
+# ---------------------------------------------------------------------------
+
+from .parity import FLAGSHIP_ORACLE  # noqa: E402  (same result, same oracle)
+
+
+@register("stream_flagship_alert", FLAGSHIP_ORACLE)
+def stream_flagship_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    enriched = enrich_join(stream, dim, key="user_id", how="left_outer")
+    agg = (
+        enriched.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes", "1 minute"), "segment")
+        .agg(
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "segment",
+            "sum_value",
+            "n_events",
+        )
+        .filter(F.col("sum_value") < 200.0)
+    )
+    return run_to_table(spark, agg, "complete")
