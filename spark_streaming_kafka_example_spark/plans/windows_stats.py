@@ -183,3 +183,56 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
     )
+
+
+@register(
+    "rollup_time_multires",
+    """
+    SELECT event_type,
+           date_trunc('day', ts) AS d,
+           CASE WHEN grouping(date_trunc('hour', ts)) = 0
+                THEN date_trunc('hour', ts) END AS h,
+           CASE WHEN grouping(date_trunc('minute', ts)) = 0
+                THEN date_trunc('minute', ts) END AS m,
+           round(sum(value), 2) AS total,
+           count(*) AS n
+    FROM events
+    GROUP BY GROUPING SETS (
+        (event_type, date_trunc('day', ts), date_trunc('hour', ts),
+         date_trunc('minute', ts)),
+        (event_type, date_trunc('day', ts), date_trunc('hour', ts)),
+        (event_type, date_trunc('day', ts)))
+    """,
+)
+def rollup_time_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: minute, hour, and day
+    aggregates per event_type in ONE pass (grouping sets -> a single Expand
+    + one shuffle), the way a continuous-aggregate hierarchy materializes.
+    At 100 TB this beats three separate scans 3:1 on I/O; the Expand feeds
+    partial aggregation, so the exchange carries |groups|, not 3x|rows|."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("minute", "ts").alias("m"),
+        "value",
+    )
+    return ev.groupingSets(
+        [["event_type", "d", "h", "m"], ["event_type", "d", "h"], ["event_type", "d"]],
+        "event_type", "d", "h", "m",
+    ).agg(F.round(F.sum("value"), 2).alias("total"), F.count(F.lit(1)).alias("n"))
+
+
+@register("agg_percentile_approx")  # GK sketch != DuckDB's t-digest -> rows-only
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile capability: Greenwald-Khanna sketch, single pass,
+    mergeable partials — the 100 TB replacement for exact percentiles
+    (agg_median_percentile), same query shape."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.percentile_approx("c_acctbal", 0.5, 10000).alias("median_approx"),
+            F.percentile_approx("c_acctbal", 0.9, 10000).alias("p90_approx"),
+        )
+    )
