@@ -463,3 +463,52 @@ def agg_collect_sorted_set(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# P2 variants: JSON-path extraction without a declared schema —
+# get_json_object (JSONPath) and json_tuple (multi-field generator), the
+# schema-less siblings of from_json for exploratory/evolving payloads.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p2b_json_path_extract",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_path,
+           json_extract_string(props, '$.k') AS k_tuple
+    FROM events
+    """,
+)
+def p2b_json_path_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "events")
+    return df.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_path"),
+        F.json_tuple(F.col("props"), "k").alias("k_tuple"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P12 variant: posexplode — positional flatten (token position matters for
+# n-grams/attention windows). Oracle: DuckDB zips same-length unnests.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p12b_posexplode_words",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents WHERE doc_id < 50)
+    SELECT doc_id,
+           CAST(unnest(range(len(w))) AS INT) AS pos,
+           unnest(w) AS word
+    FROM t
+    """,
+)
+def p12b_posexplode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
