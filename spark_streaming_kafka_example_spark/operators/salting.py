@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["salted_agg"]
+__all__ = ["salted_agg", "salted_join"]
 
 _REAGG = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
 
@@ -47,3 +47,35 @@ def salted_agg(
         _REAGG[agg](f"_p_{out}").alias(out) for out, (agg, _) in measures.items()
     ]
     return partials.groupBy(*keys).agg(*final_aggs)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: spread each hot fact key across ``salt_buckets``
+    subkeys, replicate the (small) right side once per bucket, and join on
+    (key, salt). Result-identical to ``fact.join(dim, key, how)``.
+
+    Use when the small side is too big to broadcast outright but a hot fact
+    key overwhelms one reducer of a shuffle join and AQE's skew splitting
+    can't kick in (e.g. the join feeds a window function that pins
+    partitioning). Shuffle volume: |fact| + buckets x |dim| — cheap whenever
+    dim << fact, which is the only regime where key skew hurts.
+
+    Only inner/left joins make sense here (every fact row keeps exactly the
+    matches it had; dim-preserving sides would see replicated dim rows).
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(*fact.columns), F.lit(salt_buckets)).cast("int")
+    )
+    replicated_dim = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    joined = salted_fact.join(replicated_dim, [key, "_salt"], how)
+    return joined.drop("_salt")

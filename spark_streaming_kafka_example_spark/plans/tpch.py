@@ -1112,3 +1112,24 @@ def timeseries_corr_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_buckets"),
         F.round(F.corr("views", "clicks"), 4).alias("view_click_corr"),
     )
+
+
+@register(
+    "join_salted_skew",
+    """
+    SELECT e.event_id, e.user_id, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (operators/salting.py salted_join): result == the
+    plain join, so the oracle states the plain SQL. The skew tool for when
+    AQE can't split (window-pinned partitioning downstream)."""
+    from ..operators.salting import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    out = salted_join(ev, cust, key="user_id", salt_buckets=8)
+    return out.select("event_id", "user_id", "c_mktsegment")

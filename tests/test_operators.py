@@ -167,3 +167,31 @@ def test_multimodal_resize_contract(spark, sf_dir):
     with pytest.raises(Exception) as exc:
         resize_media(blobs, fake=False).collect()
     assert "NotImplementedError" in str(exc.value) or "resize" in str(exc.value)
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """salted_join == plain join for inner and left (including unmatched
+    fact keys surviving the left join with nulls)."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_kafka_example_spark.operators.salting import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    # restrict dim so some fact keys miss (exercises null-preserving left)
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    for how in ("inner", "left"):
+        plain = ev.join(dim, "user_id", how).select(
+            "event_id", "user_id", "c_mktsegment"
+        )
+        salted = salted_join(ev, dim, key="user_id", salt_buckets=4, how=how).select(
+            "event_id", "user_id", "c_mktsegment"
+        )
+        assert plain.exceptAll(salted).count() == 0
+        assert salted.exceptAll(plain).count() == 0
+
+    with pytest.raises(ValueError):
+        salted_join(ev, dim, key="user_id", how="full_outer")
