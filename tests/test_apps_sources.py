@@ -11,7 +11,7 @@ from pyspark.sql import types as T
 
 from spark_streaming_kafka_example_spark import apps
 from spark_streaming_kafka_example_spark.schemas import SENSOR_MASTER_SCHEMA
-from spark_streaming_kafka_example_spark.sources import read_csv_master
+from spark_streaming_kafka_example_spark.sources import load_table, read_csv_master
 
 from .test_streaming import VALUE_SCHEMA, sensor_json, write_value_batch
 
@@ -149,3 +149,68 @@ def test_from_json_failfast_mode(spark):
     with _pytest.raises(Exception) as exc:
         df.collect()
     assert "Malformed" in str(exc.value) or "FAILFAST" in str(exc.value)
+
+
+def test_batch_format_roundtrips(spark, sf_dir, tmp_path):
+    """S4/S5 family completeness: the engine reads and writes every
+    text/columnar batch format Spark ships (json-lines, csv, orc) with
+    declared schemas — no inference — and values survive the round trip."""
+    src = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .limit(100)
+    )
+    expected = {r.event_id: (r.user_id, r.event_type, round(r.value, 6))
+                for r in src.collect()}
+    for fmt in ("json", "csv", "orc"):
+        out = str(tmp_path / f"rt_{fmt}")
+        src.write.format(fmt).option("header", "true").save(out)
+        back = (
+            spark.read.format(fmt)
+            .schema(src.schema)
+            .option("header", "true")
+            .load(out)
+        )
+        got = {r.event_id: (r.user_id, r.event_type, round(r.value, 6))
+               for r in back.collect()}
+        assert got == expected, f"{fmt} roundtrip mismatch"
+
+
+def test_stateful_count_on_rocksdb_state_store(spark, sf_dir, tmp_path):
+    """The 100 TB state-store posture (SCALE.md): the same windowed agg runs
+    on the RocksDB provider (spill-to-disk state, bounded executor memory)
+    and produces the in-memory provider's results."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_kafka_example_spark.plans.stream import (
+        events_stream,
+        run_to_table,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        agg = (
+            events_stream(spark, sf_dir)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("event_type", "n")
+        )
+        got = run_to_table(spark, agg, "complete")
+        expected = (
+            load_table(spark, sf_dir, "events")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("event_type", "n")
+        )
+        assert got.exceptAll(expected).count() == 0
+        assert expected.exceptAll(got).count() == 0
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
