@@ -171,3 +171,60 @@ def test_q11_threshold_broadcasts(plan_of):
     extra row), not shuffle the per-part aggregate again."""
     plan = plan_of("q11_important_stock")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_nested_schema_pruning(spark, sf_dir, tmp_path):
+    """Selecting one subfield of a nested struct must prune the scan to that
+    subfield (ReadSchema shows the narrowed struct) — at 100 TB reading
+    coord.lat must not drag the whole sensor struct off disk."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_kafka_example_spark.sources import load_table
+
+    nested_dir = str(tmp_path / "nested")
+    (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.struct(
+                F.struct(F.col("value").alias("lat"), F.col("value").alias("lon"))
+                .alias("coord"),
+                F.col("event_type").alias("kind"),
+                F.col("props").alias("payload"),
+            ).alias("sensor"),
+        )
+        .write.parquet(nested_dir)
+    )
+    df = spark.read.parquet(nested_dir).select(
+        "event_id", F.col("sensor.coord.lat").alias("lat")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "lat" in read_schema
+    assert "payload" not in read_schema and "kind" not in read_schema, read_schema
+    assert df.count() > 0
+
+
+def test_range_partitioned_sorted_write(spark, sf_dir, tmp_path):
+    """The sorted-layout write pattern (range partition + sort within
+    partitions): the plan shows RangePartitioning (sampled boundaries, no
+    global sort) and every output file is internally key-sorted — the
+    layout that makes downstream merge joins and min/max skipping work."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_kafka_example_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    shaped = ev.repartitionByRange(4, "user_id").sortWithinPartitions(
+        "user_id", "ts"
+    )
+    plan = shaped._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+
+    out = str(tmp_path / "sorted_events")
+    shaped.write.parquet(out)
+    import glob
+
+    for f in glob.glob(out + "/part-*.parquet"):
+        part = spark.read.parquet(f).select("user_id").toPandas().user_id
+        assert list(part) == sorted(part), f"{f} not sorted"
