@@ -1,0 +1,72 @@
+"""Connected components over a pair list — duplicate-cluster assignment.
+
+Near-dup pipelines need more than pairs: "keep one canonical doc per
+duplicate CLUSTER" requires grouping transitively-linked pairs
+((a,b),(b,c) -> {a,b,c}). This is min-label propagation: every node starts
+labeled with itself; each round a node takes the minimum label among
+itself and its neighbors; fixpoint = each component labeled by its minimum
+member. Rounds needed = graph diameter, and duplicate clusters are
+shallow (near-cliques from LSH/jaccard edges), so convergence is fast.
+
+Scale notes: each round is one join on node + one min-aggregate — all
+distributed, nothing on the driver except the scalar convergence check.
+Lineage is cut every round with localCheckpoint so 10 rounds don't build a
+10-deep replan. For planet-scale graphs swap in the large-star/small-star
+variant (same primitives, fewer rounds on high-diameter graphs); for the
+near-clique dup graphs this propagation is already within 1-2 rounds of
+optimal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["connected_components"]
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Return (node, cluster_id) for every node in ``pairs``, where
+    cluster_id is the minimum node id of its connected component."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left_outer")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))

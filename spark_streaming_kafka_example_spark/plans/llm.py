@@ -801,3 +801,53 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.width").cast("int").alias("width"),
         F.col("meta.height").cast("int").alias("height"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup 6: duplicate-CLUSTER assignment — connected components over the
+# jaccard-verified pair graph (operators/components.py min-label
+# propagation). Oracle: recursive-CTE reachability (label = min reachable
+# node), a fixpoint DuckDB computes exactly like the propagation loop.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {NEAR_CORPUS_CTE.strip()},
+    {SHINGLES_CTE.strip()},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes na ON inter.id_a = na.doc_id
+        JOIN sizes nb ON inter.id_b = nb.doc_id
+        WHERE round(inter / (na.n + nb.n - inter), 4) >= 0.4
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT r.node, e.dst FROM reach r JOIN edges e ON r.label = e.src
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters: every doc in the >=0.4-jaccard pair
+    graph labeled with its component's minimum doc_id ("keep the canonical,
+    drop the rest" becomes a trivial filter on node != cluster_id)."""
+    from ..operators.components import connected_components
+
+    sh = DD.doc_shingles(_near_corpus(spark, sf_dir))
+    pairs = DD.jaccard_pairs(sh, threshold=0.4).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")

@@ -195,3 +195,25 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
 
     with pytest.raises(ValueError):
         salted_join(ev, dim, key="user_id", how="full_outer")
+
+
+def test_connected_components_transitive_chains(spark):
+    """Chains merge transitively ((1-2),(2-3),(3-4) -> one cluster labeled
+    1), disjoint edges stay separate, and convergence handles a long path
+    (diameter > 2)."""
+    from spark_streaming_kafka_example_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (22, 23), (23, 24)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.node: r.cluster_id for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20, 24: 20,
+    }
