@@ -512,3 +512,35 @@ def p12b_posexplode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
     )
+
+
+# ---------------------------------------------------------------------------
+# U-extension: Python UDTF through the SQL entry point (LATERAL join) —
+# the table-valued sibling of U3's scalar UDF. Oracle zips same-length
+# unnests for (pos, bigram).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "u4_udtf_lateral_bigrams",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents WHERE doc_id < 30)
+    SELECT doc_id,
+           CAST(unnest(range(len(w) - 1)) AS INT) AS pos,
+           unnest(list_transform(range(len(w) - 1),
+                                 i -> w[i+1] || ' ' || w[i+2])) AS bigram
+    FROM t WHERE len(w) > 1
+    """,
+)
+def u4_udtf_lateral_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udfs import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 30
+    ).createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        "SELECT d.doc_id, b.pos, b.bigram "
+        "FROM docs_udtf d, LATERAL bigrams(d.text) b"
+    )
