@@ -236,3 +236,31 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile_approx("c_acctbal", 0.9, 10000).alias("p90_approx"),
         )
     )
+
+
+@register(
+    "agg_linear_regression",
+    """
+    SELECT event_type,
+           round(regr_slope(value, CAST(user_id AS DOUBLE)), 6) AS slope,
+           round(regr_intercept(value, CAST(user_id AS DOUBLE)), 6) AS intercept,
+           round(regr_r2(value, CAST(user_id AS DOUBLE)), 6) AS r2,
+           CAST(regr_count(value, CAST(user_id AS DOUBLE)) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS in one aggregation pass (regr_* family): slope,
+    intercept, fit quality — the streaming-friendly sufficient-statistics
+    form (sums/products), so it distributes like any sum."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("regr_slope(value, CAST(user_id AS DOUBLE))"), 6).alias("slope"),
+            F.round(F.expr("regr_intercept(value, CAST(user_id AS DOUBLE))"), 6).alias("intercept"),
+            F.round(F.expr("regr_r2(value, CAST(user_id AS DOUBLE))"), 6).alias("r2"),
+            F.expr("regr_count(value, CAST(user_id AS DOUBLE))").cast("long").alias("n"),
+        )
+    )

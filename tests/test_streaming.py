@@ -295,3 +295,44 @@ def test_available_now_multi_batch_state(spark, tmp_path):
     q.awaitTermination()
     got = {r.word: r["count"] for r in spark.table("t_mb").collect()}
     assert got == {"a": 3, "b": 1, "c": 1}
+
+
+def test_observe_metrics_on_streaming_query(spark, sf_dir):
+    """df.observe piggybacks data-quality counters on the streaming query
+    itself (no second pass over the data): row count, null-join-miss count,
+    and value sum arrive via the query's observedMetrics."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_kafka_example_spark.plans.stream import events_stream
+    from spark_streaming_kafka_example_spark.sources import load_table
+    from spark_streaming_kafka_example_spark.streaming.sinks import memory_sink
+
+    stream = events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    observed = stream.join(F.broadcast(dim), "user_id", "left_outer").observe(
+        "dq",
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("c_mktsegment").isNull().cast("long")).alias("dim_misses"),
+        F.round(F.sum("value"), 2).alias("value_total"),
+    )
+    query = memory_sink(observed, "observe_dq", mode="append")
+    query.awaitTermination()
+
+    metrics = None
+    for progress in reversed(query.recentProgress):
+        if progress.observedMetrics.get("dq"):
+            metrics = progress.observedMetrics["dq"]
+            break
+    assert metrics is not None, "no observed metrics in query progress"
+
+    expected = load_table(spark, sf_dir, "events")
+    assert metrics["rows"] == expected.count()
+    misses = (
+        expected.join(dim, "user_id", "left_outer")
+        .filter(F.col("c_mktsegment").isNull())
+        .count()
+    )
+    assert metrics["dim_misses"] == misses
+    assert metrics["value_total"] > 0
