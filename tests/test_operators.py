@@ -217,3 +217,21 @@ def test_connected_components_transitive_chains(spark):
         10: 10, 11: 10,
         20: 20, 21: 20, 22: 20, 23: 20, 24: 20,
     }
+
+
+def test_mapinarrow_decode_matches_mapinpandas(spark, sf_dir):
+    """The Arrow-native decode path produces byte-identical features to the
+    mapInPandas path (same Arrow batches, no pandas hop)."""
+    from spark_streaming_kafka_example_spark.operators.multimodal import (
+        attach_blob,
+        decode_features,
+        decode_features_arrow,
+    )
+
+    blobs = attach_blob(load_table(spark, sf_dir, "documents").limit(50))
+    a = decode_features(blobs, fake=True).toPandas().set_index("doc_id")
+    b = decode_features_arrow(blobs, fake=True).toPandas().set_index("doc_id")
+    assert sorted(a.index) == sorted(b.index)
+    for doc_id in a.index:
+        assert a.loc[doc_id, "n_bytes"] == b.loc[doc_id, "n_bytes"]
+        assert list(a.loc[doc_id, "features"]) == list(b.loc[doc_id, "features"])

@@ -336,3 +336,37 @@ def test_observe_metrics_on_streaming_query(spark, sf_dir):
     )
     assert metrics["dim_misses"] == misses
     assert metrics["value_total"] > 0
+
+
+def test_streaming_sink_compaction(spark, sf_dir, tmp_path):
+    """The small-files answer (SCALE.md): a per-batch parquet sink leaves
+    one file per micro-batch partition; compaction rewrites the archive to
+    N internally-sorted files with identical contents."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_kafka_example_spark.plans.stream import events_stream
+    from spark_streaming_kafka_example_spark.streaming.sinks import parquet_sink
+
+    out = str(tmp_path / "archive")
+    ckpt = str(tmp_path / "ckpt")
+    stream = events_stream(spark, sf_dir).withColumn(
+        "month", F.date_format("ts", "yyyyMM").cast("int")
+    )
+    q = parquet_sink(stream, out, ckpt)
+    q.awaitTermination()
+
+    import glob
+
+    before = glob.glob(out + "/**/*.parquet", recursive=True)
+    archive = spark.read.parquet(out)
+    n_rows = archive.count()
+
+    compacted_dir = str(tmp_path / "compacted")
+    archive.repartitionByRange(2, "user_id").sortWithinPartitions(
+        "user_id", "ts"
+    ).write.parquet(compacted_dir)
+    after = glob.glob(compacted_dir + "/*.parquet")
+    assert len(after) <= 2 < max(len(before), 3)
+    compacted = spark.read.parquet(compacted_dir)
+    assert compacted.count() == n_rows
+    assert compacted.exceptAll(archive).count() == 0
