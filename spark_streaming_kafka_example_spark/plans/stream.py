@@ -400,3 +400,52 @@ def stream_flagship_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sum_value") < 200.0)
     )
     return run_to_table(spark, agg, "complete")
+
+
+# ---------------------------------------------------------------------------
+# T4 deepened: explicit-user-state gap sessionizer (streaming/stateful.py)
+# — the state-machine template updateStateByKey hints at. Emits CLOSED
+# sessions; the oracle derives the same set in SQL (gap sessionization
+# minus each key's final, still-open session).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_sessionizer_closed",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN date_diff('second',
+                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts)
+                        > 1800
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ), per_session AS (
+        SELECT user_id, sid,
+               min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events, round(sum(value), 2) AS session_value,
+               max(sid) OVER (PARTITION BY user_id) AS max_sid
+        FROM sessions GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end, n_events, session_value
+    FROM per_session WHERE sid <> max_sid
+    """,
+)
+def stream_sessionizer_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import stateful_sessionizer
+
+    out = stateful_sessionizer(
+        events_stream(spark, sf_dir).select("user_id", "ts", "value"),
+        gap_seconds=1800,
+    )
+    table = run_to_table(spark, out, "append")
+    return table.select(
+        "user_id", "session_start", "session_end", "n_events",
+        F.round("session_value", 2).alias("session_value"),
+    )

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
-__all__ = ["stateful_running_count"]
+__all__ = ["stateful_running_count", "stateful_sessionizer"]
 
 _OUTPUT_SCHEMA = T.StructType(
     [
@@ -94,4 +94,84 @@ def stateful_running_count_tws(words: DataFrame, key_col: str = "word") -> DataF
         outputStructType=_OUTPUT_SCHEMA,
         outputMode="Update",
         timeMode="None",
+    )
+
+
+_SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("session_value", T.DoubleType()),
+    ]
+)
+# state: open session = (start, last_seen, n, total)
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start", T.TimestampType()),
+        T.StructField("last_seen", T.TimestampType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def stateful_sessionizer(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom gap-based sessionizer with EXPLICIT user state — the state
+    machine ``session_window`` runs internally, written out as the richer-
+    state template the reference's updateStateByKey hints at (SURVEY T4):
+    per-key state carries (start, last_seen, n, total); an arriving event
+    either extends the open session or closes it (emitting the finished
+    session) and opens a new one.
+
+    Emits CLOSED sessions only; the still-open session per key stays in
+    the state store (bounded by keys, not stream length; pair with a
+    timeout to flush idle keys in production).
+    """
+    import datetime as _dt
+
+    gap = _dt.timedelta(seconds=gap_seconds)
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(ts_col)
+        if state.exists:
+            start, last_seen, n, total = state.get
+        else:
+            start = last_seen = None
+            n, total = 0, 0.0
+        closed: list[tuple] = []
+        for ts, val in zip(rows[ts_col], rows[value_col]):
+            ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+            if last_seen is not None and (ts - last_seen) > gap:
+                closed.append((key[0], start, last_seen, n, total))
+                start, n, total = ts, 0, 0.0
+            if start is None:
+                start = ts
+            last_seen = ts
+            n += 1
+            total += float(val)
+        state.update((start, last_seen, n, total))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "session_end",
+                         "n_events", "session_value"],
+            )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=_SESSION_OUTPUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

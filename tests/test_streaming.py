@@ -370,3 +370,48 @@ def test_streaming_sink_compaction(spark, sf_dir, tmp_path):
     compacted = spark.read.parquet(compacted_dir)
     assert compacted.count() == n_rows
     assert compacted.exceptAll(archive).count() == 0
+
+
+def test_stateful_sessionizer_closed_sessions_match_batch(spark, sf_dir):
+    """The explicit-state sessionizer's CLOSED sessions equal the batch
+    sessionization minus each key's final (still-open) session."""
+    from pyspark.sql import Window, functions as F
+
+    from spark_streaming_kafka_example_spark.operators.sessionize import sessionize
+    from spark_streaming_kafka_example_spark.plans.stream import (
+        events_stream,
+        run_to_table,
+    )
+    from spark_streaming_kafka_example_spark.sources import load_table
+    from spark_streaming_kafka_example_spark.streaming.stateful import (
+        stateful_sessionizer,
+    )
+
+    out = stateful_sessionizer(
+        events_stream(spark, sf_dir).select("user_id", "ts", "value"),
+        gap_seconds=1800,
+    )
+    got = run_to_table(spark, out, "append").select(
+        "user_id", "session_start", "session_end", "n_events",
+        F.round("session_value", 2).alias("session_value"),
+    )
+
+    batch = sessionize(
+        load_table(spark, sf_dir, "events"), key="user_id", ts_col="ts",
+        gap_seconds=1800,
+    )
+    per_session = batch.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+    last = Window.partitionBy("user_id")
+    expected = (
+        per_session.withColumn("max_sid", F.max("session_id").over(last))
+        .filter(F.col("session_id") != F.col("max_sid"))
+        .select("user_id", "session_start", "session_end", "n_events",
+                "session_value")
+    )
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
