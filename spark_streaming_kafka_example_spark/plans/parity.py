@@ -544,3 +544,57 @@ def u4_udtf_lateral_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, b.pos, b.bigram "
         "FROM docs_udtf d, LATERAL bigrams(d.text) b"
     )
+
+
+# ---------------------------------------------------------------------------
+# Cogroup (grouped two-sided pandas merge): per-key alignment of two
+# streams of the same table — the API for custom two-input per-key logic
+# that joins can't express row-wise. Oracle: per-user first-click /
+# first-purchase aggregation join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cogroup_conversion_lag",
+    """
+    WITH clicks AS (
+        SELECT user_id, min(ts) AS first_click FROM events
+        WHERE event_type = 'click' GROUP BY user_id
+    ), purchases AS (
+        SELECT user_id, min(ts) AS first_purchase FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT c.user_id,
+           CAST(date_diff('microsecond', c.first_click, p.first_purchase)
+                AS BIGINT) AS lag_us
+    FROM clicks c JOIN purchases p ON c.user_id = p.user_id
+    """,
+)
+def cogroup_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-click -> first-purchase lag per user via
+    ``groupBy().cogroup().applyInPandas`` — both sides arrive pre-grouped
+    per key in one Arrow batch each, no join materialization in between."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+
+    def lag(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame({"user_id": [], "lag_us": []})
+        # exact micros (timestamps are µs-resolution): no sub-second
+        # truncation semantics to disagree on cross-engine
+        delta = right.ts.min() - left.ts.min()
+        return pd.DataFrame(
+            {
+                "user_id": [left.user_id.iloc[0]],
+                "lag_us": [delta // pd.Timedelta(microseconds=1)],
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(lag, "user_id long, lag_us long")
+    )

@@ -1133,3 +1133,45 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = salted_join(ev, cust, key="user_id", salt_buckets=8)
     return out.select("event_id", "user_id", "c_mktsegment")
+
+
+@register(
+    "set_except_all",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag difference (multiplicities subtract) vs set_except's set
+    semantics — both are engine capabilities."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.exceptAll(s)
+
+
+@register(
+    "set_intersect_all",
+    """
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 8000
+    INTERSECT ALL
+    SELECT c_nationkey FROM customer WHERE c_custkey % 2 = 0
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c1 = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 8000)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    c2 = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    return c1.intersectAll(c2)
