@@ -264,3 +264,63 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("regr_count(value, CAST(user_id AS DOUBLE))").cast("long").alias("n"),
         )
     )
+
+
+@register(
+    "functions_math_tour",
+    """
+    SELECT event_id,
+           round(abs(value - 50.0), 4) AS abs_dev,
+           CAST(ceil(value) AS BIGINT) AS up,
+           CAST(floor(value) AS BIGINT) AS down,
+           round(sqrt(value), 4) AS root,
+           round(pow(value, 2), 4) AS squared,
+           round(exp(value / 100.0), 6) AS ex,
+           round(ln(value + 1.0), 6) AS log_nat,
+           round(log10(value + 1.0), 6) AS log_ten,
+           CAST(sign(value - 50.0) AS DOUBLE) AS sgn,
+           CAST(user_id % 7 AS BIGINT) AS modulo,
+           -- DuckDB 1.0 has no width_bucket; same semantics by hand
+           CAST(CASE WHEN value < 0 THEN 0 WHEN value >= 100 THEN 11
+                     ELSE floor(value / 10) + 1 END AS BIGINT) AS bucket
+    FROM events WHERE event_id < 500
+    """,
+)
+def functions_math_tour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = F.col("value")
+    return load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500).select(
+        "event_id",
+        F.round(F.abs(v - 50.0), 4).alias("abs_dev"),
+        F.ceil(v).cast("long").alias("up"),
+        F.floor(v).cast("long").alias("down"),
+        F.round(F.sqrt(v), 4).alias("root"),
+        F.round(F.pow(v, 2), 4).alias("squared"),
+        F.round(F.exp(v / 100.0), 6).alias("ex"),
+        F.round(F.log(v + 1.0), 6).alias("log_nat"),
+        F.round(F.log10(v + 1.0), 6).alias("log_ten"),
+        F.signum(v - 50.0).alias("sgn"),
+        (F.col("user_id") % 7).cast("long").alias("modulo"),
+        F.width_bucket(v, F.lit(0.0), F.lit(100.0), F.lit(10)).cast("long").alias("bucket"),
+    )
+
+
+@register(
+    "agg_bitwise_tour",
+    """
+    SELECT event_type,
+           CAST(bit_and(user_id) AS BIGINT) AS band,
+           CAST(bit_or(user_id) AS BIGINT) AS bor,
+           CAST(bit_xor(user_id) AS BIGINT) AS bxor
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitwise_tour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr("bit_and(user_id)").cast("long").alias("band"),
+            F.expr("bit_or(user_id)").cast("long").alias("bor"),
+            F.expr("bit_xor(user_id)").cast("long").alias("bxor"),
+        )
+    )
