@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.vectors import cosine
 
-__all__ = ["brute_force_topk", "ivf_topk"]
+__all__ = ["brute_force_topk", "ivf_topk", "build_ivf_index", "ivf_topk_indexed"]
 
 
 def brute_force_topk(
@@ -105,6 +105,61 @@ def ivf_topk(
     scored = (
         F.broadcast(probed)
         .join(assigned, "bucket")
+        .filter(F.col("q_id") != F.col(id_col))
+        .select(
+            "q_id",
+            F.col(id_col).alias("n_id"),
+            F.round(cosine("qv", vec_col), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: bucket assignments written as parquet
+    PARTITIONED BY bucket. The one-time pass SCALE.md promises — at 100 TB
+    the assignment job runs once and every query afterwards touches only
+    its probed buckets' files (partition-pruned scan), not the corpus."""
+    assigned = assign_buckets(corpus, centroids, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query the materialized index: per query find the n_probe nearest
+    centroids, then scan ONLY those bucket partitions (`bucket IN (...)`
+    prunes at plan time). Same output contract as ivf_topk."""
+    c = centroids.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv"))
+    qprobe = (
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
+        .crossJoin(F.broadcast(c))
+        .select("q_id", "qv", "cent_id", F.round(cosine("qv", "cv"), 4).alias("ccos"))
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
+    probed = (
+        qprobe.withColumn("prnk", F.row_number().over(wq))
+        .filter(F.col("prnk") <= n_probe)
+        .select("q_id", "qv", F.col("cent_id").alias("bucket"))
+    )
+    index = spark.read.parquet(index_path)
+    scored = (
+        F.broadcast(probed)
+        .join(index, "bucket")
         .filter(F.col("q_id") != F.col(id_col))
         .select(
             "q_id",

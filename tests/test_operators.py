@@ -235,3 +235,35 @@ def test_mapinarrow_decode_matches_mapinpandas(spark, sf_dir):
     for doc_id in a.index:
         assert a.loc[doc_id, "n_bytes"] == b.loc[doc_id, "n_bytes"]
         assert list(a.loc[doc_id, "features"]) == list(b.loc[doc_id, "features"])
+
+
+def test_ivf_materialized_index_matches_inline(spark, sf_dir, tmp_path):
+    """The materialized IVF index (bucket-partitioned parquet) returns the
+    inline ivf_topk results exactly, and the probe scan is partition-pruned
+    to the probed buckets."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_kafka_example_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    idx = str(tmp_path / "ivf_index")
+    build_ivf_index(emb, centroids, idx)
+
+    inline = ivf_topk(emb, queries, centroids, k=5, n_probe=2)
+    indexed = ivf_topk_indexed(spark, idx, queries, centroids, k=5, n_probe=2)
+    cols = ["q_id", "n_id", "cos", "rnk"]
+    assert inline.select(*cols).exceptAll(indexed.select(*cols)).count() == 0
+    assert indexed.select(*cols).exceptAll(inline.select(*cols)).count() == 0
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    pruned = [l for l in plan.splitlines()
+              if "PartitionFilters:" in l and "dynamicpruning" in l.lower()
+              or "PartitionFilters: [isnotnull(bucket" in l]
+    assert pruned or "bucket" in plan.split("PartitionFilters:")[-1].splitlines()[0]
