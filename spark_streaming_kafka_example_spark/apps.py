@@ -136,8 +136,11 @@ def _window_analysis(
     checkpoint: str | None,
 ) -> list[StreamingQuery]:
     if joined is None:
+        # The analyses consume the joined-sensor-data topic, whose payload is
+        # the FLAT enriched record (reference SlidingWindow.scala:24) — not
+        # the nested raw-sensor schema.
         raw = kafka_stream(spark, bootstrap, topic)
-        joined = pipelines.sensor_ingest(raw).withColumnRenamed("id", "sensor_id")
+        joined = pipelines.sensor_joined_ingest(raw)
     agg = pipelines.windowed_analysis(
         joined,
         window_duration=window_duration,

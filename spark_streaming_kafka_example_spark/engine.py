@@ -68,6 +68,12 @@ def get_session(
         # Arrow for pandas UDFs / toPandas (the only Python<->JVM data plane).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # NB: driver memory is a static JVM conf — it only takes effect when
+        # THIS call launches the JVM. If getOrCreate() returns an
+        # already-running session (driver-owned session in verify, second
+        # get_session call), it is silently ignored; launch paths that need a
+        # guaranteed heap must set it via spark-submit/SPARK_DRIVER_MEMORY
+        # before the first session is created.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
     if extra_conf:

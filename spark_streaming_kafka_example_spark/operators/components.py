@@ -44,6 +44,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -69,4 +70,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed > 0:
+        # Diameter exceeded max_iterations: labels are NOT component minima.
+        # Observable failure beats silently-wrong clusters.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing); raise "
+            "max_iterations for high-diameter graphs"
+        )
     return labels.select("node", F.col("label").alias("cluster_id"))

@@ -20,6 +20,24 @@ __all__ = ["salted_agg", "salted_join"]
 _REAGG = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
 
 
+def _salt_col(df: DataFrame, salt_buckets: int):
+    """Salt expression that spreads a hot key even when its rows are
+    byte-identical: content hash over the hashable columns (MapType is not
+    xxhash64-able) folded with monotonically_increasing_id(), so identical
+    rows still land in different buckets. The salt's value never affects the
+    RESULT (partials re-aggregate / dim side is replicated to every bucket),
+    only the spread, so the id's non-determinism across retries is safe."""
+    hashable = [
+        F.col(f.name)
+        for f in df.schema.fields
+        if "map<" not in f.dataType.simpleString()
+    ]
+    return F.pmod(
+        F.xxhash64(*hashable, F.monotonically_increasing_id()),
+        F.lit(salt_buckets),
+    ).cast("int")
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
@@ -32,12 +50,7 @@ def salted_agg(
         salted_agg(events, ["event_type"], {"total": ("sum", "value"),
                                             "n": ("count", "event_id")})
     """
-    # Content-hash salt: spreads a hot key's rows across buckets no matter
-    # how the input is partitioned (partition-id or rand() salts either
-    # don't redistribute or aren't reproducible).
-    salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(*df.columns), F.lit(salt_buckets)).cast("int")
-    )
+    salted = df.withColumn("_salt", _salt_col(df, salt_buckets))
     partial_aggs = []
     for out, (agg, col) in measures.items():
         fn = F.count if agg == "count" else _REAGG[agg]
@@ -71,9 +84,7 @@ def salted_join(
     """
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
-    salted_fact = fact.withColumn(
-        "_salt", F.pmod(F.xxhash64(*fact.columns), F.lit(salt_buckets)).cast("int")
-    )
+    salted_fact = fact.withColumn("_salt", _salt_col(fact, salt_buckets))
     replicated_dim = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )

@@ -758,21 +758,15 @@ def sample_deterministic_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-corpus variant (oracle-checkable). The operator also accepts
+    ``candidates=`` from LSH blocking for unbounded corpora — behavioral
+    test: tests/test_operators.py::test_levenshtein_pairs_with_candidates."""
     heads = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 40)
         .select("doc_id", F.element_at(F.split("text", " "), 1).alias("head"))
     )
-    a, b = heads.alias("a"), heads.alias("b")
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.levenshtein(F.col("a.head"), F.col("b.head")).alias("dist"),
-        )
-        .filter(F.col("dist") <= 2)
-    )
+    return DD.levenshtein_pairs(heads, key_col="head", max_dist=2)
 
 
 @register(

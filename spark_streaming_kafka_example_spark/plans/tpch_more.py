@@ -466,7 +466,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
     FROM supplier, revenue
     WHERE s_suppkey = supplier_no
-      AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+      AND round(total_revenue, 2) = (SELECT max(round(total_revenue, 2)) FROM revenue)
     """,
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -485,8 +485,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # Rank on the ROUNDED revenue: Spark and DuckDB sum partitions in
+    # different orders, so last-ulp differences on the raw double could
+    # change who ties for rank 1 (oracle convention, plans/__init__.py).
     top = revenue.withColumn(
-        "rnk", F.rank().over(Window.orderBy(F.desc("total_revenue")))
+        "rnk", F.rank().over(Window.orderBy(F.desc(F.round("total_revenue", 2))))
     ).filter(F.col("rnk") == 1)
     return (
         F.broadcast(top)

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..analytics import alert_filter, enrich_join, group_count, windowed_sum
-from ..schemas import SENSOR_RAW_SCHEMA
+from ..schemas import SENSOR_JOINED_SCHEMA, SENSOR_RAW_SCHEMA
 from ..transforms import (
     cast_value_string,
     flatten_sensor,
@@ -22,6 +22,7 @@ from ..transforms import (
 
 __all__ = [
     "sensor_ingest",
+    "sensor_joined_ingest",
     "sensor_archive",
     "sensor_enrich",
     "windowed_analysis",
@@ -33,6 +34,16 @@ def sensor_ingest(raw: DataFrame) -> DataFrame:
     """Kafka value bytes -> parsed, flattened sensor rows
     (reference StreamingWithKafka.scala:17-34: CAST -> from_json -> flatten)."""
     return flatten_sensor(parse_json(cast_value_string(raw)))
+
+
+def sensor_joined_ingest(raw: DataFrame) -> DataFrame:
+    """Kafka value bytes of the *joined-sensor-data* topic -> flat enriched
+    rows (reference SlidingWindow.scala:24 / TumblingWindow.scala:24: the
+    window analyses re-ingest the enrich pipeline's output, whose payload is
+    the FLAT ``SENSOR_JOINED_SCHEMA`` — sensor_id/field_id at top level, no
+    coord/main nesting)."""
+    parsed = parse_json(cast_value_string(raw), schema=SENSOR_JOINED_SCHEMA)
+    return parsed.select("parsed.*")
 
 
 def sensor_archive(raw: DataFrame) -> DataFrame:

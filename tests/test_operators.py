@@ -42,6 +42,32 @@ def test_jaccard_scores_planted_pairs_high(spark, sf_dir):
     assert (planted.jaccard >= 0.4).all()
 
 
+def test_levenshtein_pairs_with_candidates(spark, sf_dir):
+    """The candidates= path must score exactly the supplied pairs (the LSH
+    blocking contract) and agree with the all-pairs path on them."""
+    from spark_streaming_kafka_example_spark.operators import dedup as DD
+
+    heads = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", F.element_at(F.split("text", " "), 1).alias("head"))
+    )
+    sh = DD.doc_shingles(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60),
+        distinct=False,
+    )
+    cands = DD.lsh_candidate_pairs(DD.minhash_signatures(sh))
+    restricted = DD.levenshtein_pairs(
+        heads, key_col="head", max_dist=2, candidates=cands
+    ).toPandas()
+    full = DD.levenshtein_pairs(heads, key_col="head", max_dist=2).toPandas()
+    cand_set = set(map(tuple, cands.toPandas().to_numpy()))
+    full_map = {(r.id_a, r.id_b): r.dist for r in full.itertuples()}
+    got = {(r.id_a, r.id_b): r.dist for r in restricted.itertuples()}
+    assert set(got) == {p for p in full_map if p in cand_set}
+    assert all(full_map[p] == d for p, d in got.items())
+
+
 def test_simhash_exact_copies_have_zero_hamming(spark, sf_dir):
     fp = plans.QUERIES["dedup_simhash_fingerprints"](spark, sf_dir).toPandas()
     by_id = dict(zip(fp.doc_id, fp.simhash))

