@@ -64,6 +64,7 @@ CORE_WINDOW = [
     "dedup_clusters",
     "sim_topk_bruteforce",
     "sim_ivf_topk",
+    "sim_ivf_kmeans_topk",
     "text_analysis_profile",
     "text_quality_score",
     "multimodal_features",

@@ -2,12 +2,16 @@
 (SURVEY §7 Phase 3).
 
 The Spark-side plumbing is real and tested — schema, partition-preserving
-``mapInPandas`` with Arrow batches, stable output schema. The actual media
-decode is STUBBED: this container has no image/audio libraries, so
-``decode_features`` raises NotImplementedError unless ``fake=True``, in
-which case a deterministic md5-derived pseudo-feature stands in (same
-shape/typing as a real extractor, so downstream similarity/dedup plumbing
-is exercised end-to-end).
+``mapInPandas`` with Arrow batches, stable output schema. Two decode paths:
+
+- ``fake=True``: deterministic md5-derived pseudo-feature / byte-truncation
+  resize — same shapes and typing as the real path, oracle-checkable in
+  SQL, used by the registered queries (testdata has no real media).
+- ``fake=False`` (default): REAL image decode via the pure-python/numpy
+  codec in ``functions.imaging`` (PNG 8-bit gray/RGB/GA/RGBA, PPM/PGM) —
+  decode -> luminance-histogram features, nearest-neighbor resize ->
+  re-encode. No external libraries needed. Video frame extraction
+  (``sample_frames``) still requires ffmpeg and stays stubbed.
 
 Scale notes: binary payloads ride through Arrow in batches — set
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` down (e.g. 256) when blobs
@@ -74,6 +78,14 @@ def _fake_feature(content: bytes) -> list[float]:
     return [b / 255.0 for b in h[:FEATURE_DIM]]
 
 
+def _real_feature(content: bytes) -> list[float]:
+    """Real image feature: decode (PNG/PPM) then a FEATURE_DIM-bin
+    luminance histogram (functions.imaging — pure numpy, no PIL)."""
+    from ..functions.imaging import decode_image, intensity_histogram
+
+    return intensity_histogram(decode_image(bytes(content)), FEATURE_DIM)
+
+
 def decode_features(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -82,9 +94,9 @@ def decode_features(
 ) -> DataFrame:
     """Per-batch media decode -> feature vector via mapInPandas.
 
-    Real decode path is stubbed (no PIL/ffmpeg in this container): without
-    ``fake=True`` the tasks raise NotImplementedError. The fake path keeps
-    identical Arrow batch shapes and output schema.
+    ``fake=False`` really decodes (PNG/PPM via functions.imaging) and emits
+    a luminance-histogram feature; ``fake=True`` keeps the md5 stub with
+    identical Arrow batch shapes and output schema (oracle runs).
     """
     out_schema = T.StructType(
         [
@@ -93,20 +105,16 @@ def decode_features(
             _FEATURES_FIELD,
         ]
     )
+    extract = _fake_feature if fake else _real_feature
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg (not in this "
-                    "container); pass fake=True for the deterministic stub"
-                )
             content = pdf[content_col]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
                     "n_bytes": content.map(len),
-                    "features": content.map(_fake_feature),
+                    "features": content.map(extract),
                 }
             )
 
@@ -172,14 +180,15 @@ def resize_media(
     height: int = 4,
     fake: bool = False,
 ) -> DataFrame:
-    """Per-batch media resize via mapInPandas: content -> width*height-byte
-    payload with the metadata struct rewritten to the target dimensions.
+    """Per-batch media resize via mapInPandas: content -> resized payload
+    with the metadata struct rewritten to the target dimensions.
 
-    Real resampling (PIL) is stubbed like decode_features; the fake path
-    truncates the payload to width*height bytes — deterministic, so the
-    whole operator is oracle-checkable — while keeping the real operator's
-    contract: binary in/out, metadata follows content, Arrow batch shapes
-    unchanged.
+    ``fake=False`` really decodes (PNG/PPM), nearest-neighbor-resamples to
+    (width, height) with functions.imaging, and re-encodes as PNG;
+    ``fake=True`` truncates the payload to width*height bytes —
+    deterministic, so the registered query stays oracle-checkable. Both
+    keep the operator contract: binary in/out, metadata follows content,
+    Arrow batch shapes unchanged.
 
     Scale: resize is the canonical shrink-early op — run it before any
     shuffle so downstream exchanges carry thumbnails, not originals.
@@ -193,16 +202,24 @@ def resize_media(
         ]
     )
 
+    if fake:
+        def _resize(b: bytes) -> bytes:
+            return bytes(b[:target])
+
+        out_mime = None  # keep source mime
+    else:
+        from ..functions.imaging import decode_image, encode_png, resize_nearest
+
+        def _resize(b: bytes) -> bytes:
+            return encode_png(resize_nearest(decode_image(bytes(b)), width, height))
+
+        out_mime = "image/png"
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "real image resize requires PIL (not in this container); "
-                    "pass fake=True for the deterministic stub"
-                )
             metas = [
                 {
-                    "mime": m["mime"],
+                    "mime": out_mime or m["mime"],
                     "width": width,
                     "height": height,
                     "duration_ms": m["duration_ms"],
@@ -212,7 +229,7 @@ def resize_media(
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "content": pdf[content_col].map(lambda b: bytes(b[:target])),
+                    "content": pdf[content_col].map(_resize),
                     "meta": metas,
                 }
             )
@@ -229,8 +246,8 @@ def decode_features_arrow(
     """Arrow-native twin of decode_features via mapInArrow: RecordBatch in,
     RecordBatch out, no pandas materialization between Arrow and the
     extractor — the lowest-overhead Python hop for MB-scale blobs (pandas
-    object-dtype copies skipped entirely). Same stub contract and output
-    as decode_features; test-pinned equal.
+    object-dtype copies skipped entirely). Same fake/real contract and
+    output as decode_features; test-pinned equal.
     """
     import pyarrow as pa
 
@@ -242,20 +259,17 @@ def decode_features_arrow(
         ]
     )
 
+    extract = _fake_feature if fake else _real_feature
+
     def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in it:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg (not in this "
-                    "container); pass fake=True for the deterministic stub"
-                )
             content = batch.column(batch.schema.get_field_index(content_col))
             blobs = [c.as_py() for c in content]
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column(batch.schema.get_field_index(id_col)),
                     pa.array([len(b) for b in blobs], pa.int64()),
-                    pa.array([_fake_feature(b) for b in blobs],
+                    pa.array([extract(b) for b in blobs],
                              pa.list_(pa.float64())),
                 ],
                 names=[id_col, "n_bytes", "features"],

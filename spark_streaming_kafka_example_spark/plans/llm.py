@@ -365,6 +365,86 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, centroids, k=5, n_probe=2)
 
 
+# IVF with LEARNED centroids: deterministic spherical k-means (fixed init =
+# k lowest-id vectors, 2 Lloyd iterations, cosine assignment round(4) with
+# cent_id tie-break, per-dim means round(6)) — every training step is
+# engine-reproducible, so the oracle REPLAYS TRAINING in SQL (unrolled
+# iterations; zipped unnest(range(len(v)))/unnest(v) stands in for
+# WITH ORDINALITY, which DuckDB 1.0 lacks). Centroids verified bit-identical
+# Spark vs DuckDB at sf0.01.
+
+_KMEANS_K = 8
+
+
+def _kmeans_iter_sql(i: int, prev: str) -> str:
+    return f"""
+    s{i} AS (SELECT e.vec_id, e.v, {prev}.cent_id,
+                  round({_DOT.format(a='e.v', b=f'{prev}.cv')}
+                        / ({_NORM.format(a='e.v')} * {_NORM.format(a=f'{prev}.cv')}), 4) AS ccos
+           FROM e, {prev}),
+    a{i} AS (SELECT vec_id, v, cent_id AS bucket FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY ccos DESC, cent_id) rn FROM s{i})
+           WHERE rn = 1),
+    d{i} AS (SELECT bucket, unnest(range(len(v))) AS ord, unnest(v) AS val FROM a{i}),
+    m{i} AS (SELECT bucket, ord, round(avg(val), 6) AS val FROM d{i} GROUP BY 1, 2),
+    c{i} AS (SELECT bucket AS cent_id, list(val ORDER BY ord) AS cv FROM m{i} GROUP BY 1)"""
+
+
+@register(
+    "sim_ivf_kmeans_topk",
+    f"""
+    WITH {_EMB_D},
+    c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {_KMEANS_K}),
+    {_kmeans_iter_sql(1, 'c0')},
+    {_kmeans_iter_sql(2, 'c1')},
+    assigned AS (
+        SELECT vec_id, v, bucket FROM (
+            SELECT e.vec_id, e.v, c2.cent_id AS bucket,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({_DOT.format(a='e.v', b='c2.cv')}
+                             / ({_NORM.format(a='e.v')} * {_NORM.format(a='c2.cv')}), 4)
+                             DESC, c2.cent_id) AS crnk
+            FROM e, c2)
+        WHERE crnk = 1
+    ),
+    probed AS (
+        SELECT q_id, qv, bucket FROM (
+            SELECT e.vec_id AS q_id, e.v AS qv, c2.cent_id AS bucket,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({_DOT.format(a='e.v', b='c2.cv')}
+                             / ({_NORM.format(a='e.v')} * {_NORM.format(a='c2.cv')}), 4)
+                             DESC, c2.cent_id) AS prnk
+            FROM e, c2 WHERE e.vec_id < 5)
+        WHERE prnk <= 2
+    ),
+    scored AS (
+        SELECT p.q_id, a.vec_id AS n_id,
+               round({_DOT.format(a='p.qv', b='a.v')}
+                     / ({_NORM.format(a='p.qv')} * {_NORM.format(a='a.v')}), 4) AS cos
+        FROM probed p JOIN assigned a ON p.bucket = a.bucket
+        WHERE a.vec_id <> p.q_id
+    )
+    SELECT q_id, n_id, cos, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos DESC, n_id) AS rnk
+        FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import kmeans_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cent = kmeans_centroids(emb, k=_KMEANS_K, iterations=2).select(
+        F.col("cent_id").alias("vec_id"), F.col("cv").alias("embedding")
+    )
+    return ivf_topk(emb, queries, cent, k=5, n_probe=2)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis: token counts, quality, language-ID, fingerprints.
 # ---------------------------------------------------------------------------

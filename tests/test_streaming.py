@@ -160,6 +160,51 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     assert rows.get("2018-06-15T09:00:00") == 10.0  # late 99.0 not added
 
 
+def test_watermark_drops_late_rows_sliding_window(spark, tmp_path):
+    """W1 x W3 (VERDICT r1 next-round #8): the same late-row exclusion must
+    hold for SLIDING windows — a late row may not reopen any of the
+    already-finalized overlapping windows it would have contributed to."""
+    src = str(tmp_path / "wm_slide_src")
+    write_value_batch(
+        spark, src,
+        [sensor_json(1851632, "2018/06/15 09:02:30", whc=10.0),
+         sensor_json(1851632, "2018/06/15 09:30:00", whc=10.0)],
+        0,
+    )
+    stream = spark.readStream.schema(VALUE_SCHEMA).parquet(src)
+    flat = sensor_ingest(stream).withColumnRenamed("id", "sensor_id")
+    flat = flat.withColumn("field_id", F.lit("field1"))
+    agg = windowed_analysis(
+        flat, window_duration="4 minutes", slide_duration="2 minutes",
+        watermark="10 minutes", alert_threshold=None,
+    )
+    name = "t_watermark_slide"
+    q = (
+        agg.writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation", str(tmp_path / "wm_slide_ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # 09:03:10 is >10 min behind the 09:30 max event time; its two
+        # overlapping 4-min windows (09:00, 09:02) are already finalized.
+        write_value_batch(
+            spark, src, [sensor_json(1851632, "2018/06/15 09:03:10", whc=99.0)], 1
+        )
+        q.processAllAvailable()
+        write_value_batch(
+            spark, src, [sensor_json(1851632, "2018/06/15 09:50:00", whc=10.0)], 2
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r.window_start.isoformat(): r.sum_whc for r in spark.table(name).collect()}
+    # both windows overlapping 09:02:30 hold only the on-time 10.0
+    assert rows.get("2018-06-15T09:00:00") == 10.0
+    assert rows.get("2018-06-15T09:02:00") == 10.0
+
+
 def test_parquet_sink_with_month_partitions(spark, tmp_path):
     """K4 + P10: partitioned parquet archive + checkpoint round-trips."""
     src = str(tmp_path / "arch_src")
