@@ -350,8 +350,16 @@ def embedding_near_pairs(
     brute-force-identical in practice and the DuckDB brute-force oracle
     stays the checker. Defaults are tuned for threshold ~0.99; lower
     thresholds need fewer bits / more bands (recall = 1-(1-p^bits)^bands).
+
+    Scoring uses the Arrow-batched numpy cosine (``cosine_pandas``), not the
+    zip_with/aggregate expression: Spark interprets higher-order-function
+    lambdas per element, so scoring |candidates| pairs costs
+    |candidates| * 3 * dim interpreted evals — on clustered corpora (many
+    bucket-mates) that dominates the whole query. One numpy matmul per Arrow
+    batch replaces it; both paths accumulate in double and round(4) for the
+    oracle compare.
     """
-    from ..functions.vectors import cosine
+    from ..functions.vectors import cosine_pandas
 
     coded = emb.select(
         F.col(id_col),
@@ -375,6 +383,6 @@ def embedding_near_pairs(
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", F.round(cosine("va", "vb"), 4).alias("cos"))
+        .select("id_a", "id_b", F.round(cosine_pandas("va", "vb"), 4).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
