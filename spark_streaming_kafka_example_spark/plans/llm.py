@@ -245,6 +245,108 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup 4b: winnowing (rolling-hash) fingerprints — operators/winnowing.py.
+# k=8, w=4: any shared substring of length >= 11 chars yields >= 1 common
+# fingerprint (the SIGMOD'03 winnowing guarantee), so overlap pairs catch
+# copied PASSAGES, complementing whole-document MinHash similarity. k=8
+# (not the classic 5) because the synthetic corpus draws from a tiny
+# vocabulary — shorter grams collide so heavily that every doc pair shares
+# fingerprints.
+# ---------------------------------------------------------------------------
+
+_WINNOW_K, _WINNOW_W = 8, 4
+
+# 32-bit k-gram hash: first 8 md5 hex digits as uint32 (DuckDB has no
+# conv(); nibble arithmetic mirrors Spark's conv(substring(md5,1,8),16,10)).
+_GRAM_H = " + ".join(
+    f"(strpos('0123456789abcdef', substring(md5(gram), {c + 1}, 1)) - 1)"
+    f" * {16 ** (7 - c)}"
+    for c in range(8)
+)
+
+# Winnowing CTE over a relation named `corpus(doc_id, text)`.
+_WINNOW_CTE = f"""
+grams AS (
+    SELECT doc_id, i - 1 AS pos, substring(text, i, {_WINNOW_K}) AS gram
+    FROM (SELECT doc_id, text,
+                 unnest(generate_series(
+                     1, greatest(length(text) - {_WINNOW_K - 1}, 0))) AS i
+          FROM corpus)
+),
+hashed AS (SELECT doc_id, pos, {_GRAM_H} AS h FROM grams),
+winmins AS (
+    SELECT doc_id, pos,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW
+                        AND {_WINNOW_W - 1} FOLLOWING) AS fp,
+           max(pos) OVER (PARTITION BY doc_id) AS max_pos
+    FROM hashed
+),
+fps AS (
+    SELECT DISTINCT doc_id, fp FROM winmins
+    WHERE pos + {_WINNOW_W - 1} <= max_pos
+)"""
+
+
+@register(
+    "text_winnowing_fingerprint",
+    f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents),
+    {_WINNOW_CTE.strip()}
+    SELECT doc_id, count(*) AS n_fps, min(fp) AS min_fp, max(fp) AS max_fp,
+           CAST(sum(fp) AS BIGINT) AS sum_fp
+    FROM fps GROUP BY doc_id
+    """,
+)
+def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing fingerprint profile (set size + extrema +
+    checksum) — the whole fingerprint set is checked via sum/min/max
+    without hashing an unordered array column."""
+    from ..operators.winnowing import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fps = winnow_fingerprints(docs, k=_WINNOW_K, w=_WINNOW_W)
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+        F.sum("fp").alias("sum_fp"),
+    )
+
+
+@register(
+    "dedup_winnow_overlap",
+    f"""
+    WITH {NEAR_CORPUS_CTE.strip()},
+    {_WINNOW_CTE.strip()},
+    sizes AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, shared,
+           round(shared / least(na.n_fp, nb.n_fp), 4) AS ov_coef
+    FROM shared
+    JOIN sizes na ON shared.id_a = na.doc_id
+    JOIN sizes nb ON shared.id_b = nb.doc_id
+    WHERE round(shared / least(na.n_fp, nb.n_fp), 4) >= 0.5
+    """,
+)
+def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copied-passage pairs: fingerprint overlap coefficient >= 0.5 (the
+    truncated-tail plants score 1.0 — their fingerprint set is contained
+    in the original's). Equi-join on fp — bucket-bounded, never
+    all-pairs."""
+    from ..operators.winnowing import winnow_fingerprints, winnow_overlap_pairs
+
+    fps = winnow_fingerprints(
+        _near_corpus(spark, sf_dir), k=_WINNOW_K, w=_WINNOW_W
+    )
+    return winnow_overlap_pairs(fps, min_overlap=0.5)
+
+
+# ---------------------------------------------------------------------------
 # Dedup 5: embedding-cosine near-dup (planted duplicate vectors).
 # ---------------------------------------------------------------------------
 
