@@ -24,18 +24,35 @@ from ..streaming.sinks import memory_sink
 from ..streaming.stateful import stateful_running_count
 from . import register
 
-# Physical schema of events.parquet as the *streaming* reader sees it under
-# nanosAsLong (ts is raw INT64 nanos; file streams require explicit schema).
-EVENTS_PHYSICAL_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# Physical schema of events.parquet as the *streaming* reader sees it (file
+# streams require an explicit schema). The testdata generator has shipped
+# ``ts`` as both TIMESTAMP(NANOS) (surfaced as raw-nanos LongType under
+# nanosAsLong) and TIMESTAMP(MICROS) (a plain TimestampType) across rounds,
+# so the schema is chosen per-directory from the parquet footer.
+
+
+def _events_schema(sf_dir: str) -> tuple[T.StructType, bool]:
+    """(streaming schema for events.parquet, whether ts is raw nanos)."""
+    ts_is_nanos = True
+    try:
+        import pyarrow.parquet as pq
+
+        t = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+        ts_is_nanos = getattr(t, "unit", "ns") == "ns"
+    except Exception:
+        pass  # unreadable footer: assume the original nanos layout
+    ts_type = T.LongType() if ts_is_nanos else T.TimestampType()
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    return schema, ts_is_nanos
 
 DOCUMENTS_SCHEMA = T.StructType(
     [
@@ -49,16 +66,21 @@ DOCUMENTS_SCHEMA = T.StructType(
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unbounded view of events.parquet with the ns->timestamp conversion
-    (mirrors sources.load_table)."""
+    """Unbounded view of events.parquet with ts as TimestampType
+    (mirrors sources.load_table, including the ns->micros conversion when
+    the file carries raw nanos)."""
+    schema, ts_is_nanos = _events_schema(sf_dir)
     # Stream the directory with a glob filter (a bare file path breaks the
     # source's basePath/partition discovery on some plans).
     raw = (
-        spark.readStream.schema(EVENTS_PHYSICAL_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_nanos:
+        # Integer div, NOT /1000: epoch nanos exceed double's 2^53 mantissa.
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
