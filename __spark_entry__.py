@@ -40,21 +40,19 @@ CORE_WINDOW = [
     "p10_month_partition_key",
     "p12_a1_word_count",
     "u1_u3_udf_sql",
-    "u3_udf_pandas_vectorized",
     "j1_enrich_left_outer",
     "f1_threshold_filter",
     # §2.7 windowed aggregation
     "a2_tumbling_window_agg",
     "a3_sliding_window_agg",
-    # §2.8 sort/limit/set ops
+    # §2.8 sort/limit/set ops (set_union_distinct represents the set-op
+    # family; intersect/except/q5/u3_pandas were trimmed from the pinned set
+    # in r03 — all lifetime driver-proven — to widen the rotation window)
     "sort_limit_topk",
     "set_union_distinct",
-    "set_intersect",
-    "set_except",
     # TPC-H canon
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
     # LLM-pipeline families: dedup, similarity, text, multimodal, pipeline
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -101,6 +99,20 @@ def _driver_checked_names() -> set[str]:
     return seen
 
 
+# Unchecked queries enter the window in this order first (r02 VERDICT: this
+# round's new operators + the update/append streaming twins must not be
+# crowded out by the q2-q22 block), then registration order.
+ROTATION_PRIORITY = [
+    "text_winnowing_fingerprint",
+    "dedup_winnow_overlap",
+    "text_levenshtein_lsh",
+    "stream_sliding_update",
+    "stream_enrich_join_append",
+    "stream_wordcount_complete",
+    "stream_stream_join",
+]
+
+
 def _ordered_names() -> list[str]:
     """CORE window first, then queries the driver has never green-checked
     (rotating them into the window over rounds), then the already-green rest."""
@@ -109,6 +121,8 @@ def _ordered_names() -> list[str]:
     core_set = set(core)
     checked = _driver_checked_names()
     unchecked = [n for n in all_names if n not in core_set and n not in checked]
+    prio = {n: i for i, n in enumerate(ROTATION_PRIORITY)}
+    unchecked.sort(key=lambda n: (prio.get(n, len(prio)), all_names.index(n)))
     rest = [n for n in all_names if n not in core_set and n in checked]
     return core + unchecked + rest
 

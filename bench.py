@@ -50,6 +50,7 @@ HEADLINE = [
     "sim_topk_bruteforce",
     "sim_ivf_topk",
     "text_quality_score",
+    "text_levenshtein_lsh",
 ]
 
 

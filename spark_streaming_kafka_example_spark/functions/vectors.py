@@ -36,8 +36,11 @@ def cosine_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
     vectors; numpy does the fused multiply-adds per batch."""
     import numpy as np
 
-    av = np.stack(a.to_numpy())
-    bv = np.stack(b.to_numpy())
+    # float64 accumulation regardless of (float32) storage — matches the
+    # expression twin and the DuckDB oracle's double arithmetic, so round(4)
+    # never flips on a float32-accumulation boundary.
+    av = np.stack(a.to_numpy()).astype(np.float64, copy=False)
+    bv = np.stack(b.to_numpy()).astype(np.float64, copy=False)
     num = (av * bv).sum(axis=1)
     den = np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
     return pd.Series(num / den)

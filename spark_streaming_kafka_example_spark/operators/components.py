@@ -51,23 +51,23 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # Carry the old label through the join so convergence is a cheap
+        # filter+count over the ALREADY-MATERIALIZED checkpoint — one join
+        # job per round, not two (the old self-join convergence check cost a
+        # full extra join+shuffle per iteration).
+        step = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left_outer")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = step.filter(F.col("label") != F.col("old_label")).count()
+        labels = step.select("node", "label")
         if changed == 0:
             break
     if changed > 0:

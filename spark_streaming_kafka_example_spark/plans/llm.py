@@ -942,13 +942,60 @@ def sample_deterministic_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-corpus variant (oracle-checkable). The operator also accepts
     ``candidates=`` from LSH blocking for unbounded corpora — behavioral
-    test: tests/test_operators.py::test_levenshtein_pairs_with_candidates."""
+    test: tests/test_operators.py::test_levenshtein_pairs_with_candidates;
+    the at-scale path is oracle-proven by ``text_levenshtein_lsh``."""
     heads = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 40)
         .select("doc_id", F.element_at(F.split("text", " "), 1).alias("head"))
     )
     return DD.levenshtein_pairs(heads, key_col="head", max_dist=2)
+
+
+@register(
+    "text_levenshtein_lsh",
+    f"""
+    WITH {NEAR_CORPUS_CTE.strip()},
+    {SHINGLES_CTE.strip()},
+    hashed AS (SELECT doc_id, {_BASE_H} AS h FROM sh),
+    sig AS (
+        SELECT doc_id,
+           {_SIG_MINS}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+    {_BAND_SELECTS}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+    ),
+    heads AS (SELECT doc_id, string_split(text, ' ')[1] AS head FROM corpus)
+    SELECT c.id_a, c.id_b,
+           CAST(levenshtein(ha.head, hb.head) AS INT) AS dist
+    FROM cand c
+    JOIN heads ha ON c.id_a = ha.doc_id
+    JOIN heads hb ON c.id_b = hb.doc_id
+    WHERE levenshtein(ha.head, hb.head) <= 2
+    """,
+)
+def text_levenshtein_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AT-SCALE edit-distance path: LSH banding supplies the candidate
+    pairs, levenshtein scores only |candidates| rows via two key-lookup
+    joins — never an all-pairs self-join (plan-contract test:
+    tests/test_plans_scale.py::test_levenshtein_lsh_no_cartesian). The
+    whole chain (minhash -> bands -> candidates -> edit distance) is
+    replayed by the oracle."""
+    corpus = _near_corpus(spark, sf_dir)
+    sh = DD.doc_shingles(corpus, distinct=False)
+    sig = DD.minhash_signatures(sh, num_hashes=_NUM_HASHES)
+    cand = DD.lsh_candidate_pairs(sig, num_hashes=_NUM_HASHES, bands=_BANDS)
+    heads = corpus.select(
+        "doc_id", F.element_at(F.split("text", " "), 1).alias("head")
+    )
+    return DD.levenshtein_pairs(heads, key_col="head", max_dist=2, candidates=cand)
 
 
 @register(

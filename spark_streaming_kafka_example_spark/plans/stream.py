@@ -32,16 +32,36 @@ from . import register
 
 
 def _events_schema(sf_dir: str) -> tuple[T.StructType, bool]:
-    """(streaming schema for events.parquet, whether ts is raw nanos)."""
+    """(streaming schema for events.parquet, whether ts is raw nanos).
+
+    Mirrors what the batch reader (sources.load_table) surfaces for the same
+    footer:
+    - TIMESTAMP(NANOS): raw-nanos LongType (nanosAsLong), converted below
+      to TimestampType via timestamp_micros(ts div 1000).
+    - TIMESTAMP(MICROS/MILLIS, naive or UTC-adjusted): TimestampType.
+      NOT TimestampNTZType: event-time watermarks require TimestampType
+      (Spark raises EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on NTZ), so both
+      readers unify on it — load_table casts its inferred NTZ the same way.
+      Under the pinned UTC session the naive->instant read is wall-clock
+      identity, which is what keeps DuckDB value parity.
+    """
     ts_is_nanos = True
     try:
         import pyarrow.parquet as pq
 
         t = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
         ts_is_nanos = getattr(t, "unit", "ns") == "ns"
-    except Exception:
-        pass  # unreadable footer: assume the original nanos layout
-    ts_type = T.LongType() if ts_is_nanos else T.TimestampType()
+    except (ImportError, OSError, KeyError) as exc:
+        # Unreadable footer: assume the original nanos layout, but say so —
+        # a mis-sniffed round would otherwise fail opaquely downstream.
+        import warnings
+
+        warnings.warn(
+            f"events.parquet footer unreadable ({exc!r}); assuming "
+            "TIMESTAMP(NANOS) layout for the streaming schema",
+            stacklevel=2,
+        )
+    ts_type: T.DataType = T.LongType() if ts_is_nanos else T.TimestampType()
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),

@@ -48,19 +48,35 @@ __all__ = [
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata parquet table.
 
-    ``events.ts`` is physically INT64 TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong=true`` (set in engine.py) Spark
-    surfaces it as raw nanos LongType. Convert by integer-truncating to
-    microseconds — exactly what DuckDB does when it reads the same file — so
-    oracle comparisons agree.
+    ``events.ts``'s physical type varies by testdata round:
+
+    - INT64 TIMESTAMP(NANOS): with ``spark.sql.legacy.parquet.nanosAsLong=
+      true`` (set in engine.py) Spark surfaces raw nanos LongType; convert
+      by integer-truncating to microseconds — exactly what DuckDB does when
+      it reads the same file — so oracle comparisons agree.
+    - TIMESTAMP(MICROS, naive): Spark infers TimestampNTZType; cast to
+      TimestampType. Event-time watermarks REQUIRE TimestampType
+      (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), so both this reader and the
+      streaming twin (plans.stream.events_stream) unify on it; under the
+      pinned UTC session the NTZ->TZ cast is wall-clock identity, keeping
+      DuckDB value parity.
     """
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # Integer div, NOT `/1000`: epoch nanos (~1.7e18) exceed double's
-        # 2^53 mantissa, so float division drifts by up to a microsecond.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        # keep original column order
-        df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # Integer div, NOT `/1000`: epoch nanos (~1.7e18) exceed double's
+            # 2^53 mantissa, so float division drifts by up to a microsecond.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # keep original column order
+            df = df.select(
+                "event_id", "ts", "user_id", "event_type", "value", "props"
+            )
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+            df = df.select(
+                "event_id", "ts", "user_id", "event_type", "value", "props"
+            )
     return df
 
 

@@ -102,6 +102,14 @@ def test_embedding_cosine_no_cartesian(plan_of):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_levenshtein_lsh_no_cartesian(plan_of):
+    """The at-scale edit-distance path: candidates from LSH banding, scored
+    via key-lookup equi-joins — never the all-pairs fallback self-join."""
+    plan = plan_of("text_levenshtein_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_brute_force_topk_broadcasts_queries(plan_of):
     """The corpus side must stream; only the tiny query set broadcasts."""
     plan = plan_of("sim_topk_bruteforce")
