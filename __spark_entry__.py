@@ -106,6 +106,7 @@ ROTATION_PRIORITY = [
     "text_winnowing_fingerprint",
     "dedup_winnow_overlap",
     "text_levenshtein_lsh",
+    "text_pii_scrub",
     "stream_sliding_update",
     "stream_enrich_join_append",
     "stream_wordcount_complete",

@@ -21,9 +21,12 @@ __all__ = [
     "lang_id",
     "fingerprint",
     "shingles",
+    "pii_counts",
+    "scrub_pii",
     "LANG_MARKERS",
     "EN_STOPWORDS",
     "BPE_TOKEN_RE",
+    "PII_PATTERNS",
 ]
 
 # Whitespace tokenization: the documents fixture is single-space separated.
@@ -112,6 +115,36 @@ def lang_id(col: str = "text") -> Column:
             cond = c if cond is None else (cond & c)
         expr = F.when(cond, F.lit(langs[i])).otherwise(expr)
     return expr
+
+
+# PII redaction (training-data cleaning): regexes kept to the common
+# Java-regex/RE2 subset (no backrefs, no lookaround; literal dots via [.])
+# so Spark and the DuckDB oracle match byte-for-byte. Order matters: email
+# before ip (an email's domain can contain digit runs), ssn before ip.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    ("ip", "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}", "<IP>"),
+)
+
+
+def pii_counts(col: str = "text") -> dict[str, Column]:
+    """Per-kind match counts on the ORIGINAL text (regexp_extract_all —
+    identical builtin in DuckDB)."""
+    return {
+        kind: F.size(F.regexp_extract_all(F.col(col), F.lit(pat), 0))
+        for kind, pat, _ in PII_PATTERNS
+    }
+
+
+def scrub_pii(col: str = "text") -> Column:
+    """Text with every PII_PATTERNS match replaced by its placeholder
+    token. Chained regexp_replace — global in both Spark and DuckDB
+    (DuckDB needs the 'g' flag; the oracle SQL passes it)."""
+    out = F.col(col)
+    for _, pat, rep in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
 
 
 def fingerprint(col: str = "text") -> Column:

@@ -130,6 +130,11 @@ def lsh_candidate_pairs(
     melted = banded.selectExpr(
         id_col, f"stack({bands}, {stack_expr}) AS (band_id, band_val)"
     )
+    # Materialize the banded signatures ONCE: the self-join otherwise
+    # recomputes the whole shingle->md5->min-agg pipeline per side. At
+    # cluster scale this is the "write the signature table" step; locally
+    # a lineage-cutting checkpoint is its single-job equivalent.
+    melted = melted.localCheckpoint()
     a = melted.alias("a")
     b = melted.alias("b")
     return (
@@ -160,6 +165,9 @@ def jaccard_pairs(
     collision counts; pair it with LSH candidates (or drop ultra-frequent
     shingles) when the corpus has hot shingles.
     """
+    # The shingle relation feeds sizes + both join sides: materialize once
+    # instead of recomputing the explode(+distinct shuffle) three times.
+    sh = sh.localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -281,6 +289,9 @@ def simhash_near_pairs(
         "simhash",
         "stack(4, 0, chunk_0, 1, chunk_1, 2, chunk_2, 3, chunk_3) AS (chunk_id, chunk_val)",
     )
+    # One materialization of the chunked fingerprints; the self-join would
+    # otherwise run the 32-bit-sum fingerprint aggregation twice.
+    melted = melted.localCheckpoint()
     a, b = melted.alias("a"), melted.alias("b")
     pairs = (
         a.join(
@@ -365,6 +376,9 @@ def embedding_near_pairs(
         F.col(id_col),
         hyperplane_band_codes(vec_col, bands, bits, seed).alias("_codes"),
     ).select(F.col(id_col), F.posexplode("_codes").alias("band_id", "code"))
+    # Materialize the LSH codes once — the self-join would run the
+    # hyperplane pandas UDF (one matmul per batch) on both sides.
+    coded = coded.localCheckpoint()
     a, b = coded.alias("a"), coded.alias("b")
     cand = (
         a.join(

@@ -60,6 +60,22 @@ def brute_force_topk(
     )
 
 
+def _argmax_centroid(scored: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Nearest-centroid argmax as a hash aggregation: max_by on the
+    (ccos, -cent_id) struct reproduces the (desc ccos, asc cent_id)
+    window-rank tie-break with map-side partial aggregation and NO sort —
+    at scale this shuffles one pre-combined row per vector instead of
+    sort-exchanging corpus x k scored rows. Keys are unique per group
+    (cent_id is distinct), so the result is deterministic.
+
+    Output: (id_col, bucket, vec_col)."""
+    key = F.struct(F.col("ccos"), (-F.col("cent_id")).alias("neg_cent"))
+    return scored.groupBy(id_col).agg(
+        F.max_by("cent_id", key).alias("bucket"),
+        F.first(vec_col).alias(vec_col),  # constant within the group
+    )
+
+
 def kmeans_centroids(
     emb: DataFrame,
     k: int = 8,
@@ -92,11 +108,8 @@ def kmeans_centroids(
                 F.round(cosine_pandas(vec_col, "cv"), 4).alias("ccos"),
             )
         )
-        w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cent_id"))
-        assigned = (
-            scored.withColumn("crnk", F.row_number().over(w))
-            .filter(F.col("crnk") == 1)
-            .select(F.col("cent_id").alias("bucket"), F.col(vec_col))
+        assigned = _argmax_centroid(scored, id_col, vec_col).select(
+            "bucket", F.col(vec_col)
         )
         per_dim = (
             assigned.select("bucket", F.posexplode(vec_col).alias("ord", "val"))
@@ -119,7 +132,7 @@ def assign_buckets(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign every corpus vector to its nearest centroid (broadcast
-    centroids; one pass over the corpus, no shuffle until the rank)."""
+    centroids; one pass over the corpus, argmax via hash agg — no sort)."""
     c = centroids.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv"))
     scored = (
         corpus.select(F.col(id_col), F.col(vec_col))
@@ -131,11 +144,8 @@ def assign_buckets(
             F.round(cosine_pandas(vec_col, "cv"), 4).alias("ccos"),
         )
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cent_id"))
-    return (
-        scored.withColumn("crnk", F.row_number().over(w))
-        .filter(F.col("crnk") == 1)
-        .select(id_col, vec_col, F.col("cent_id").alias("bucket"))
+    return _argmax_centroid(scored, id_col, vec_col).select(
+        id_col, vec_col, "bucket"
     )
 
 

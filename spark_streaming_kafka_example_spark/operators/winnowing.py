@@ -108,6 +108,10 @@ def winnow_overlap_pairs(
     ultra-hot fingerprints — boilerplate — the same way hot shingles are
     handled in jaccard_pairs) — never an all-pairs product.
     """
+    # fps feeds sizes + both join sides: materialize the fingerprint set
+    # once instead of recomputing the k-gram explode + sliding-min three
+    # times (at cluster scale: write the fingerprint table, then join).
+    fps = fps.localCheckpoint()
     sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
     a, b = fps.alias("a"), fps.alias("b")
     shared = (

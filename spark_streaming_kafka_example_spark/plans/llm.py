@@ -998,6 +998,76 @@ def text_levenshtein_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.levenshtein_pairs(heads, key_col="head", max_dist=2, candidates=cand)
 
 
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data cleaning): plant deterministic email/ssn/ip
+# strings in every 7th doc, then count + redact them with regexes from the
+# common Java-regex/RE2 subset (functions/text.py PII_PATTERNS) so DuckDB
+# replays the redaction byte-for-byte. At scale this is a pure map stage:
+# no shuffle, whole-stage codegen, filterable at scan time.
+# ---------------------------------------------------------------------------
+
+_PII_PATS = {kind: pat for kind, pat, _ in TXT.PII_PATTERNS}
+
+_PII_SCRUB_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(text, '"
+    + _PII_PATS["email"] + "', '<EMAIL>', 'g'), '"
+    + _PII_PATS["ssn"] + "', '<SSN>', 'g'), '"
+    + _PII_PATS["ip"] + "', '<IP>', 'g')"
+)
+
+_PII_ORACLE = (
+    """
+    WITH pcorpus AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com ssn 123-45-6789 ip 10.0.'
+                         || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                    ELSE text END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '""" + _PII_PATS["email"] + """')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(text, '""" + _PII_PATS["ssn"] + """')) AS INT) AS n_ssn,
+           CAST(len(regexp_extract_all(text, '""" + _PII_PATS["ip"] + """')) AS INT) AS n_ip,
+           md5(""" + _PII_SCRUB_SQL + """) AS clean_md5
+    FROM pcorpus
+    """
+)
+
+
+@register("text_pii_scrub", _PII_ORACLE)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count and redact planted PII per document. clean_md5 hashes the
+    scrubbed text, so the oracle verifies the exact redaction output, not
+    just the counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com ssn 123-45-6789 ip 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    counts = TXT.pii_counts("text")
+    return planted.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["ssn"].alias("n_ssn"),
+        counts["ip"].alias("n_ip"),
+        F.md5(TXT.scrub_pii("text")).alias("clean_md5"),
+    )
+
+
 @register(
     "multimodal_resize",
     """

@@ -446,3 +446,37 @@ def test_ivf_materialized_index_matches_inline(spark, sf_dir, tmp_path):
               if "PartitionFilters:" in l and "dynamicpruning" in l.lower()
               or "PartitionFilters: [isnotnull(bucket" in l]
     assert pruned or "bucket" in plan.split("PartitionFilters:")[-1].splitlines()[0]
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    """scrub_pii must replace every email/ssn/ip occurrence with its
+    placeholder and pii_counts must count matches on the original text."""
+    from spark_streaming_kafka_example_spark.functions.text import (
+        pii_counts,
+        scrub_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "write to a.user+x@mail.example.org or 10.1.2.3 today"),
+            (2, "ssn 123-45-6789 and again 987-65-4321."),
+            (3, "nothing sensitive here"),
+        ],
+        "id long, text string",
+    )
+    counts = pii_counts("text")
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            counts["email"].alias("n_email"),
+            counts["ssn"].alias("n_ssn"),
+            counts["ip"].alias("n_ip"),
+            scrub_pii("text").alias("clean"),
+        ).collect()
+    }
+    assert (out[1]["n_email"], out[1]["n_ip"]) == (1, 1)
+    assert out[1]["clean"] == "write to <EMAIL> or <IP> today"
+    assert out[2]["n_ssn"] == 2
+    assert out[2]["clean"] == "ssn <SSN> and again <SSN>."
+    assert out[3]["clean"] == "nothing sensitive here"
