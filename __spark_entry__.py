@@ -137,6 +137,10 @@ def _apply_session_conf(spark: SparkSession) -> None:
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # The driver's plain session defaults to 200 shuffle partitions —
+        # at sf0.01 that is 6x more tasks than data; 32 matches engine.py
+        # (results are partition-count independent by oracle convention).
+        "spark.sql.shuffle.partitions": "32",
     }.items():
         try:
             spark.conf.set(k, v)

@@ -1036,12 +1036,11 @@ _PII_ORACLE = (
 )
 
 
-@register("text_pii_scrub", _PII_ORACLE)
-def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count and redact planted PII per document. clean_md5 hashes the
-    scrubbed text, so the oracle verifies the exact redaction output, not
-    just the counts."""
-    docs = load_table(spark, sf_dir, "documents")
+def pii_scrub_projection(docs: DataFrame) -> DataFrame:
+    """Plant deterministic PII in every 7th doc, then count + redact.
+    Shared by the batch query and the map-only streaming twin
+    (plans/stream.py stream_pii_scrub) — a pure projection, so it applies
+    to bounded and unbounded inputs identically."""
     planted = docs.select(
         "doc_id",
         F.when(
@@ -1066,6 +1065,14 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["ip"].alias("n_ip"),
         F.md5(TXT.scrub_pii("text")).alias("clean_md5"),
     )
+
+
+@register("text_pii_scrub", _PII_ORACLE)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count and redact planted PII per document. clean_md5 hashes the
+    scrubbed text, so the oracle verifies the exact redaction output, not
+    just the counts."""
+    return pii_scrub_projection(load_table(spark, sf_dir, "documents"))
 
 
 @register(

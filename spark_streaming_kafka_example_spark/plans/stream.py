@@ -388,6 +388,22 @@ def stream_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# In-stream PII scrubbing: the cleaning stage of a streaming ingest
+# pipeline — a pure per-row projection (no state, no watermark, append
+# mode), so the drained bounded run equals the batch query and shares its
+# oracle. At scale this runs at source parallelism with zero shuffle.
+# ---------------------------------------------------------------------------
+
+from .llm import _PII_ORACLE, pii_scrub_projection  # noqa: E402
+
+
+@register("stream_pii_scrub", _PII_ORACLE)
+def stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scrubbed = pii_scrub_projection(documents_stream(spark, sf_dir))
+    return run_to_table(spark, scrubbed, "append")
+
+
+# ---------------------------------------------------------------------------
 # Continuous incremental top-k (EDBT'20 flavor): the same top-3-per-window
 # aggregate as plans/tpch.topk_incremental_per_window, maintained by the
 # state store over the stream — the rank lives INSIDE the agg, which is what
