@@ -31,21 +31,32 @@ def connected_components(
     max_iterations: int = 20,
 ) -> DataFrame:
     """Return (node, cluster_id) for every node in ``pairs``, where
-    cluster_id is the minimum node id of its connected component."""
+    cluster_id is the minimum node id of its connected component.
+
+    ``max_iterations`` counts propagation rounds INCLUDING the fused first
+    round; at least one looped round must remain to verify convergence.
+    """
+    if max_iterations < 2:
+        raise ValueError("max_iterations must be >= 2 (one round to "
+                         "propagate, one to verify convergence)")
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
         .localCheckpoint()
     )
+    # Fused first round: starting from self-labels, one propagation step
+    # yields exactly least(node, min(neighbor)) — computable straight from
+    # the edge list with a single min-aggregate, no label join needed.
+    # (Every node appears as src because edges are symmetrized above.)
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("_nbr"))
+        .select("node", F.least(F.col("node"), F.col("_nbr")).alias("label"))
         .localCheckpoint()
     )
     changed = 0
-    for _ in range(max_iterations):
+    for _ in range(max_iterations - 1):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")

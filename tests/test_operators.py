@@ -480,3 +480,21 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert out[2]["n_ssn"] == 2
     assert out[2]["clean"] == "ssn <SSN> and again <SSN>."
     assert out[3]["clean"] == "nothing sensitive here"
+
+
+def test_connected_components_raises_when_diameter_exceeds_budget(spark):
+    """A path graph of diameter 5 cannot converge in 3 total rounds (1
+    fused + 2 looped): the operator must raise, never return wrong labels."""
+    import pytest as _pytest
+
+    from spark_streaming_kafka_example_spark.operators.components import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=3)
+    with _pytest.raises(ValueError, match="max_iterations"):
+        connected_components(chain, max_iterations=1)
