@@ -169,3 +169,41 @@ def test_stream_and_batch_event_schemas_agree(spark):
     batch = load_table(spark, "/root/testdata/sf0.001", "events")
     stream = events_stream(spark, "/root/testdata/sf0.001")
     assert batch.schema == stream.schema
+
+
+@pytest.mark.parametrize("unit", ["ns", "us"])
+def test_event_schemas_agree_across_ts_layouts(spark, tmp_path, unit):
+    """The testdata generator has shipped events.ts as TIMESTAMP(NANOS)
+    (r01) and naive TIMESTAMP(MICROS) (r02/r03). Both physical layouts must
+    surface the SAME logical schema (TimestampType ts) from the batch and
+    streaming readers, with identical microsecond values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from spark_streaming_kafka_example_spark.plans.stream import events_stream
+    from spark_streaming_kafka_example_spark.sources import load_table
+
+    d = tmp_path / unit
+    d.mkdir()
+    micros = 1_700_000_000_123_456  # 2023-11-14T22:13:20.123456Z
+    scale = 1000 if unit == "ns" else 1
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([micros * scale, (micros + 7) * scale], pa.timestamp(unit)),
+            "user_id": pa.array([10, 20], pa.int64()),
+            "event_type": pa.array(["view", "click"]),
+            "value": pa.array([1.5, 2.5], pa.float64()),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    # version 2.6 keeps TIMESTAMP(NANOS) physical (2.4 coerces to micros)
+    pq.write_table(tbl, d / "events.parquet", version="2.6")
+
+    batch = load_table(spark, str(d), "events")
+    stream = events_stream(spark, str(d))
+    assert batch.schema == stream.schema
+    assert isinstance(batch.schema["ts"].dataType, T.TimestampType)
+    got = [r.ts for r in batch.orderBy("event_id").collect()]
+    assert [int(t.timestamp() * 1_000_000) for t in got] == [micros, micros + 7]
