@@ -16,10 +16,11 @@ Scale notes (local[32] today, 1000-executor cluster tomorrow):
 - ``timeParserPolicy=CORRECTED``: the reference ran Spark 2.2 SimpleDateFormat
   patterns ("yyyy/MM/dd HH:mm:ss"); we consciously opt into the
   DateTimeFormatter semantics (SURVEY "What's hard" #2).
-- ``nanosAsLong``: the events testdata carries INT64 TIMESTAMP(NANOS), which
-  Spark's vectorized parquet reader rejects; we read it as raw nanos and
-  convert (truncate) to TimestampType in sources.py, matching DuckDB's
-  ns->us truncation.
+- ``nanosAsLong``: the events testdata has shipped INT64 TIMESTAMP(NANOS)
+  (which Spark's vectorized parquet reader otherwise rejects) in some data
+  drops and naive TIMESTAMP(MICROS) in others; with this conf the nanos
+  layout reads as raw longs, and sources.load_table normalizes BOTH layouts
+  to TimestampType (truncating nanos like DuckDB does).
 """
 
 from __future__ import annotations

@@ -90,12 +90,33 @@ def _minhash_b(j: int) -> int:
     return (2654435789 * (j + 1) * (j + 13)) % MINHASH_PRIME
 
 
-def minhash_signatures(sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 16) -> DataFrame:
+def minhash_signatures(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    hash_fn: str = "md5",
+) -> DataFrame:
     """MinHash signature per doc: sig_j = min over shingles of
-    (a_j * h + b_j) mod P, h = first 8 md5 hex digits as uint32. One groupBy
-    with num_hashes min-aggregates — a single shuffle, map-side partial
-    mins; duplicates in the input are absorbed by the min."""
-    base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+    (a_j * h + b_j) mod P, h a 32-bit shingle hash. One groupBy with
+    num_hashes min-aggregates — a single shuffle, map-side partial mins;
+    duplicates in the input are absorbed by the min.
+
+    ``hash_fn``: "md5" (first 8 hex digits as uint32 — reproducible in
+    DuckDB, the oracle-parity default) or "xxhash64" (JVM intrinsic, no
+    string materialization — the production path at scale; signatures
+    differ from md5's but the LSH recall properties are identical, see
+    tests/test_operators.py::test_minhash_lsh_xxhash64_recalls_planted).
+    """
+    if hash_fn == "md5":
+        base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast(
+            "long"
+        )
+    elif hash_fn == "xxhash64":
+        # fold the signed 64-bit hash into the uint32 domain the affine
+        # permutation family expects (pmod, not %, for negative hashes)
+        base = F.pmod(F.xxhash64(F.col("shingle")), F.lit(2**32).cast("long"))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (md5|xxhash64)")
     with_h = sh.withColumn("_h", base)
     aggs = [
         F.min(

@@ -498,3 +498,19 @@ def test_connected_components_raises_when_diameter_exceeds_budget(spark):
         connected_components(chain, max_iterations=3)
     with _pytest.raises(ValueError, match="max_iterations"):
         connected_components(chain, max_iterations=1)
+
+
+def test_minhash_lsh_xxhash64_recalls_planted(spark, sf_dir):
+    """The production hash path (xxhash64, no md5 string materialization)
+    must keep the same LSH recall on the planted near-dups — signatures
+    differ, blocking behavior doesn't."""
+    from spark_streaming_kafka_example_spark.operators import dedup as DD
+    from spark_streaming_kafka_example_spark.plans.llm import _near_corpus
+
+    sh = DD.doc_shingles(_near_corpus(spark, sf_dir), distinct=False)
+    sig = DD.minhash_signatures(sh, num_hashes=15, hash_fn="xxhash64")
+    pairs = DD.lsh_candidate_pairs(sig, num_hashes=15, bands=5).toPandas()
+    hits = set(zip(pairs.id_a, pairs.id_b))
+    planted = [(d, d + 100000) for d in range(0, 500, 5)]
+    recall = sum((a, b) in hits for a, b in planted) / len(planted)
+    assert recall >= 0.8, f"xxhash64 LSH recall {recall}"
