@@ -107,6 +107,7 @@ ROTATION_PRIORITY = [
     "dedup_winnow_overlap",
     "text_levenshtein_lsh",
     "text_pii_scrub",
+    "stream_vector_bucketize",
     "stream_sliding_update",
     "stream_enrich_join_append",
     "stream_wordcount_complete",

@@ -84,6 +84,14 @@ DOCUMENTS_SCHEMA = T.StructType(
     ]
 )
 
+EMBEDDINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unbounded view of events.parquet with ts as TimestampType
@@ -107,6 +115,14 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.readStream.schema(DOCUMENTS_SCHEMA)
         .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EMBEDDINGS_SCHEMA)
+        .option("pathGlobFilter", "embeddings.parquet")
         .parquet(sf_dir)
     )
 
@@ -401,6 +417,58 @@ from .llm import _PII_ORACLE, pii_scrub_projection  # noqa: E402
 def stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     scrubbed = pii_scrub_projection(documents_stream(spark, sf_dir))
     return run_to_table(spark, scrubbed, "append")
+
+
+# ---------------------------------------------------------------------------
+# In-stream vector bucketization: an embedding ingest pipeline assigning
+# each arriving vector to its nearest IVF centroid (stream-static broadcast
+# of the centroid table + ONE stateful argmax aggregation — streaming
+# allows a single aggregation, so the argmax IS the agg and the state per
+# key is just the best-(ccos, cent_id) pair, never the vector). The
+# drained single-batch run equals the batch assignment, which the oracle
+# replays with the same round(4) + centroid-id tie-break.
+# ---------------------------------------------------------------------------
+
+from .llm import _DOT, _NORM  # noqa: E402
+
+
+@register(
+    "stream_vector_bucketize",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 50 = 0)
+    SELECT vec_id, bucket FROM (
+        SELECT e.vec_id, cent.cent_id AS bucket,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round({_DOT.format(a='e.v', b='cent.cv')}
+                         / ({_NORM.format(a='e.v')} * {_NORM.format(a='cent.cv')}), 4)
+                         DESC, cent.cent_id) AS crnk
+        FROM e, cent)
+    WHERE crnk = 1
+    """,
+)
+def stream_vector_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import cosine_pandas
+
+    cent = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 50 == 0)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv"))
+    )
+    scored = (
+        embeddings_stream(spark, sf_dir)
+        .select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "cent_id",
+            F.round(cosine_pandas("embedding", "cv"), 4).alias("ccos"),
+        )
+    )
+    key = F.struct(F.col("ccos"), (-F.col("cent_id")).alias("neg_cent"))
+    assigned = scored.groupBy("vec_id").agg(F.max_by("cent_id", key).alias("bucket"))
+    return run_to_table(spark, assigned, "update")
 
 
 # ---------------------------------------------------------------------------
