@@ -51,6 +51,7 @@ HEADLINE = [
     "sim_ivf_topk",
     "text_quality_score",
     "text_levenshtein_lsh",
+    "stream_vector_bucketize",
 ]
 
 
