@@ -272,18 +272,34 @@ def _nibble(h, c: int):
 
 
 def simhash_fingerprints(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "md5",
 ) -> DataFrame:
-    """(id, simhash) with a 32-bit fingerprint as BIGINT."""
+    """(id, simhash) with a 32-bit fingerprint as BIGINT.
+
+    ``hash_fn``: "md5" (nibble arithmetic — DuckDB-reproducible, the
+    oracle default) or "xxhash64" (JVM intrinsic bit ops — the production
+    path; different fingerprints, same hamming-distance clustering of
+    near-identical docs)."""
     tokens = df.select(
         F.col(id_col), F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok")
     ).distinct()
-    h = F.md5(F.col("tok"))
     bit_sums = []
-    for i in range(SIMHASH_BITS):
-        c, off = divmod(i, 4)
-        bit = F.floor(_nibble(h, c) / (2 ** (3 - off))) % 2
-        bit_sums.append(F.sum(bit * 2 - 1).alias(f"s_{i}"))
+    if hash_fn == "md5":
+        h = F.md5(F.col("tok"))
+        for i in range(SIMHASH_BITS):
+            c, off = divmod(i, 4)
+            bit = F.floor(_nibble(h, c) / (2 ** (3 - off))) % 2
+            bit_sums.append(F.sum(bit * 2 - 1).alias(f"s_{i}"))
+    elif hash_fn == "xxhash64":
+        h64 = F.xxhash64(F.col("tok"))
+        for i in range(SIMHASH_BITS):
+            bit = F.shiftright(h64, i).bitwiseAND(F.lit(1))
+            bit_sums.append(F.sum(bit * 2 - 1).alias(f"s_{i}"))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (md5|xxhash64)")
     sums = tokens.groupBy(id_col).agg(*bit_sums)
     acc = F.lit(0).cast("long")
     for i in range(SIMHASH_BITS):

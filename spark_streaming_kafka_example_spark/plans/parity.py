@@ -490,6 +490,33 @@ def p2b_json_path_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# P2 modern variant: the Spark 4 VARIANT type — parse once, shred typed
+# paths lazily (the replacement for schema-on-read from_json when the
+# payload schema is open-ended). try_variant_get on a missing path yields
+# NULL instead of raising.
+
+
+@register(
+    "p2c_variant_shred",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k_int,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(NULL AS VARCHAR) AS missing
+    FROM events
+    """,
+)
+def p2c_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return df.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # P12 variant: posexplode — positional flatten (token position matters for
 # n-grams/attention windows). Oracle: DuckDB zips same-length unnests.

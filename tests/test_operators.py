@@ -514,3 +514,16 @@ def test_minhash_lsh_xxhash64_recalls_planted(spark, sf_dir):
     planted = [(d, d + 100000) for d in range(0, 500, 5)]
     recall = sum((a, b) in hits for a, b in planted) / len(planted)
     assert recall >= 0.8, f"xxhash64 LSH recall {recall}"
+
+
+def test_simhash_xxhash64_zero_hamming_on_copies(spark, sf_dir):
+    """The production simhash hash path must still give identical
+    fingerprints (hamming 0) for exact-copy documents."""
+    from spark_streaming_kafka_example_spark.operators import dedup as DD
+    from spark_streaming_kafka_example_spark.plans.llm import _exact_corpus
+
+    fp = DD.simhash_fingerprints(_exact_corpus(spark, sf_dir), hash_fn="xxhash64")
+    pairs = DD.simhash_near_pairs(fp, max_hamming=0).toPandas()
+    hits = set(zip(pairs.id_a, pairs.id_b))
+    planted = [(d, d + 200000) for d in range(0, 500, 7)]
+    assert all((a, b) in hits for a, b in planted)
