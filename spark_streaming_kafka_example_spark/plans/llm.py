@@ -830,6 +830,61 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Statistical LM quality score (CCNet/Gopher-style filtering): build the
+# corpus unigram-bigram frequency table, then score each document by its
+# average bigram log-probability — low scores flag boilerplate/gibberish.
+# Scale: the LM table is one count-aggregate; scoring is a shuffle
+# equi-join of the bigram fact against it (at 100 TB: either that join, or
+# swap the exact table for a count-min sketch broadcast — same query
+# shape). The total is a 1-row broadcast, never a collect.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_bigram_logfreq",
+    """
+    WITH wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                      i -> w[i] || ' ' || w[i+1])) AS bigram
+        FROM wl
+    ),
+    freq AS (SELECT bigram, count(*) AS c FROM bg GROUP BY bigram),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM freq)
+    SELECT b.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(ln(f.c / t.t)), 4) AS lm_score
+    FROM bg b
+    JOIN freq f ON b.bigram = f.bigram
+    CROSS JOIN tot t
+    GROUP BY b.doc_id
+    """,
+)
+def text_bigram_logfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus-trained
+    bigram table. Natural log on doubles in both engines; round(4) absorbs
+    the last-ulp libm-vs-Math.log drift."""
+    from ..functions.text import shingles_from_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id", F.split("text", " ").alias("_w")
+    ).select("doc_id", F.explode(shingles_from_words("_w", 2)).alias("bigram"))
+    freq = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").cast("double").alias("t"))
+    return (
+        bg.join(freq, "bigram")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("c") / F.col("t"))), 4).alias("lm_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Vector normalization: elementwise array math via transform (no UDF) —
 # the preprocessing step in front of any cosine-based index.
 # ---------------------------------------------------------------------------
