@@ -406,7 +406,7 @@ _COS_QC = (
         FROM e q, e c
         WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
     )
-    SELECT q_id, n_id, cos, rnk FROM (
+    SELECT q_id, n_id, cos + 0 AS cos, rnk FROM (  -- +0: kill IEEE -0.0
         SELECT *, row_number() OVER (PARTITION BY q_id
                                      ORDER BY cos DESC, n_id) AS rnk
         FROM scored)
@@ -453,7 +453,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM probed p JOIN assigned a ON p.bucket = a.bucket
         WHERE a.vec_id <> p.q_id
     )
-    SELECT q_id, n_id, cos, rnk FROM (
+    SELECT q_id, n_id, cos + 0 AS cos, rnk FROM (  -- +0: kill IEEE -0.0
         SELECT *, row_number() OVER (PARTITION BY q_id
                                      ORDER BY cos DESC, n_id) AS rnk
         FROM scored)
@@ -529,7 +529,7 @@ def _kmeans_iter_sql(i: int, prev: str) -> str:
         FROM probed p JOIN assigned a ON p.bucket = a.bucket
         WHERE a.vec_id <> p.q_id
     )
-    SELECT q_id, n_id, cos, rnk FROM (
+    SELECT q_id, n_id, cos + 0 AS cos, rnk FROM (  -- +0: kill IEEE -0.0
         SELECT *, row_number() OVER (PARTITION BY q_id
                                      ORDER BY cos DESC, n_id) AS rnk
         FROM scored)
@@ -895,12 +895,15 @@ def text_bigram_logfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_EMB_D}
     SELECT vec_id,
-           round(v[1] / {_NORM.format(a='v')}, 4) AS e0_unit,
+           round(v[1] / {_NORM.format(a='v')}, 4) + 0 AS e0_unit,
            round({_NORM.format(a='v')}, 4) AS norm
     FROM e
     """,
 )
 def vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # `+ 0` in the oracle: DuckDB round() preserves IEEE -0.0 for tiny
+    # negative inputs; Spark's BigDecimal round never emits it. Adding zero
+    # canonicalizes (-0.0 + 0 == 0.0) without changing any other value.
     from ..functions.vectors import norm
 
     emb = load_table(spark, sf_dir, "embeddings")

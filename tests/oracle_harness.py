@@ -32,6 +32,9 @@ def _canon_cell(v: Any) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "<null>"
+        if v == 0:
+            return repr(0.0)  # -0.0 == 0.0: DuckDB round() keeps the IEEE
+            # sign, Spark's BigDecimal round never emits it — same value.
         return repr(round(v, 9))
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
