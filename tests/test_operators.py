@@ -527,3 +527,63 @@ def test_simhash_xxhash64_zero_hamming_on_copies(spark, sf_dir):
     hits = set(zip(pairs.id_a, pairs.id_b))
     planted = [(d, d + 200000) for d in range(0, 500, 7)]
     assert all((a, b) in hits for a, b in planted)
+
+
+def test_pii_regex_equivalence_spark_vs_duckdb(spark):
+    """The PII patterns live in the Java-regex/RE2 common subset by
+    contract; property-check it: on adversarial strings (pattern
+    fragments, separators, unicode-free noise) both engines must agree on
+    match counts AND the scrubbed output bytes."""
+    import random
+
+    import duckdb
+
+    from spark_streaming_kafka_example_spark.functions.text import (
+        PII_PATTERNS,
+        pii_counts,
+        scrub_pii,
+    )
+
+    rng = random.Random(20260813)
+    frags = [
+        "a@b.co", "x.y+z@mail.example.org", "@@", "a@b", "1.2.3.4",
+        "999.999.999.999", "12.34.56", "123-45-6789", "123-456-789",
+        "12-34-5678", "user%x@ex.io", "a-b@c-d.net", ".@.", "a@.com",
+        "0.0.0.0x", "...", "-", " ", "word", "a_b@c.de9",
+    ]
+    texts = [
+        " ".join(rng.choices(frags, k=rng.randint(1, 12))) for _ in range(200)
+    ]
+    counts = pii_counts("text")
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    got = (
+        sdf.select(
+            "id",
+            counts["email"].alias("ne"),
+            counts["ssn"].alias("ns"),
+            counts["ip"].alias("ni"),
+            scrub_pii("text").alias("clean"),
+        )
+        .orderBy("id")
+        .collect()
+    )
+    con = duckdb.connect()
+    pats = {kind: pat for kind, pat, _ in PII_PATTERNS}
+    for row, text in zip(got, texts):
+        exp = con.execute(
+            """
+            SELECT len(regexp_extract_all(?, ?)),
+                   len(regexp_extract_all(?, ?)),
+                   len(regexp_extract_all(?, ?)),
+                   regexp_replace(regexp_replace(regexp_replace(
+                       ?, ?, '<EMAIL>', 'g'), ?, '<SSN>', 'g'), ?, '<IP>', 'g')
+            """,
+            [text, pats["email"], text, pats["ssn"], text, pats["ip"],
+             text, pats["email"], pats["ssn"], pats["ip"]],
+        ).fetchone()
+        assert (row.ne, row.ns, row.ni, row.clean) == exp, (
+            f"divergence on {text!r}: spark={(row.ne, row.ns, row.ni, row.clean)} "
+            f"duckdb={exp}"
+        )
