@@ -15,7 +15,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import text as TXT
-from ..functions.vectors import cosine
 from ..operators import dedup as DD
 from ..operators.multimodal import attach_blob, decode_features
 from ..operators.similarity import brute_force_topk, ivf_topk
