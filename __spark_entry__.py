@@ -35,7 +35,8 @@ CORE_WINDOW = [
     "p1_cast_projection",
     "p2_from_json_flatten",
     "p5_to_json_struct",
-    "p7_rename_key",
+    # p7_rename_key trimmed r04 (trivial rename, driver-proven r01-r03) to
+    # give the rotation window the 17th slot the r03 VERDICT asks for.
     "p8_p9_timestamp_roundtrip",
     "p10_month_partition_key",
     "p12_a1_word_count",
@@ -99,19 +100,28 @@ def _driver_checked_names() -> set[str]:
     return seen
 
 
-# Unchecked queries enter the window in this order first (r02 VERDICT: this
-# round's new operators + the update/append streaming twins must not be
-# crowded out by the q2-q22 block), then registration order.
+# Unchecked queries enter the window in this order first (r03 VERDICT: drain
+# the TPC-H q2-q22 block first, then the four driver-unchecked streaming
+# queries — exactly the 17 rotation slots left by the 33-entry CORE window),
+# then registration order.
 ROTATION_PRIORITY = [
-    "text_winnowing_fingerprint",
-    "dedup_winnow_overlap",
-    "text_levenshtein_lsh",
-    "text_pii_scrub",
-    "stream_vector_bucketize",
-    "stream_sliding_update",
-    "stream_enrich_join_append",
-    "stream_wordcount_complete",
-    "stream_stream_join",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q17_small_quantity",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q20_excess_shippers",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
+    "stream_flagship_alert",
+    "stream_session_window",
+    "stream_pii_scrub",
+    "stream_topk_incremental",
 ]
 
 

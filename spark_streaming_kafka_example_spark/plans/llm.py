@@ -131,24 +131,34 @@ _BAND_SELECTS = "\n    UNION ALL ".join(
 )
 
 
+# MinHash sig -> LSH band -> candidate-pair pipeline over the (distinct)
+# `sh` shingle relation; shared by the minhash, jaccard, and cluster oracles
+# (the min-agg is duplicate-insensitive, so distinct vs not cannot change it).
+_LSH_CAND_CTE = f"""
+hashed AS (SELECT doc_id, {_BASE_H} AS h FROM sh),
+sig AS (
+    SELECT doc_id,
+       {_SIG_MINS}
+    FROM hashed GROUP BY doc_id
+),
+bands AS (
+{_BAND_SELECTS}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+)"""
+
+
 @register(
     "dedup_minhash_lsh",
     f"""
     WITH {NEAR_CORPUS_CTE.strip()},
     {SHINGLES_CTE.strip()},
-    hashed AS (SELECT doc_id, {_BASE_H} AS h FROM sh),
-    sig AS (
-        SELECT doc_id,
-           {_SIG_MINS}
-        FROM hashed GROUP BY doc_id
-    ),
-    bands AS (
-    {_BAND_SELECTS}
-    )
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a JOIN bands b
-      ON a.band_id = b.band_id AND a.band_val = b.band_val
-         AND a.doc_id < b.doc_id
+    {_LSH_CAND_CTE.strip()}
+    SELECT id_a, id_b FROM cand
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,8 +169,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Dedup 3: exact n-gram Jaccard (>= 0.4) on shared-shingle pairs.
+# Dedup 3: exact n-gram Jaccard (>= 0.4), candidate-bounded by MinHash-LSH.
+# The LSH prefilter is what makes this scale: the intersection is computed
+# candidate-driven (two key-lookup joins), never via a shingle self-join
+# whose hot boilerplate shingles would explode quadratically at 100 TB
+# (r03 VERDICT "What's wrong" #1). Recall at the planted jaccard ~0.75 is
+# ~0.95 per the 5x3 banding math at _NUM_HASHES; the oracle replays the
+# identical candidate generation, so the check stays exact.
 # ---------------------------------------------------------------------------
+
+# Candidate-bounded jaccard scoring over `sh` + `cand`; shared by
+# dedup_ngram_jaccard and the dedup_clusters pair graph.
+_JACCARD_SCORED_CTE = """
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT c.id_a, c.id_b, count(*) AS inter
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT id_a, id_b,
+           round(inter / (na.n + nb.n - inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes na ON inter.id_a = na.doc_id
+    JOIN sizes nb ON inter.id_b = nb.doc_id
+    WHERE round(inter / (na.n + nb.n - inter), 4) >= 0.4
+)"""
 
 
 @register(
@@ -168,24 +204,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {NEAR_CORPUS_CTE.strip()},
     {SHINGLES_CTE.strip()},
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    inter AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        FROM sh a JOIN sh b
-          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    )
-    SELECT id_a, id_b,
-           round(inter / (na.n + nb.n - inter), 4) AS jaccard
-    FROM inter
-    JOIN sizes na ON inter.id_a = na.doc_id
-    JOIN sizes nb ON inter.id_b = nb.doc_id
-    WHERE round(inter / (na.n + nb.n - inter), 4) >= 0.4
+    {_LSH_CAND_CTE.strip()},
+    {_JACCARD_SCORED_CTE.strip()}
+    SELECT id_a, id_b, jaccard FROM scored
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = DD.doc_shingles(_near_corpus(spark, sf_dir))
-    return DD.jaccard_pairs(sh, threshold=0.4)
+    # One materialization of the distinct shingle relation feeds the minhash
+    # signature derivation AND the candidate-driven jaccard scoring.
+    sh = DD.doc_shingles(_near_corpus(spark, sf_dir)).localCheckpoint()
+    sig = DD.minhash_signatures(sh, num_hashes=_NUM_HASHES)
+    cand = DD.lsh_candidate_pairs(sig, num_hashes=_NUM_HASHES, bands=_BANDS)
+    return DD.jaccard_pairs(sh, threshold=0.4, candidates=cand, checkpoint=False)
 
 
 # ---------------------------------------------------------------------------
@@ -1173,22 +1203,10 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH RECURSIVE {NEAR_CORPUS_CTE.strip()},
     {SHINGLES_CTE.strip()},
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    inter AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        FROM sh a JOIN sh b
-          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    ),
-    pairs AS (
-        SELECT id_a, id_b
-        FROM inter
-        JOIN sizes na ON inter.id_a = na.doc_id
-        JOIN sizes nb ON inter.id_b = nb.doc_id
-        WHERE round(inter / (na.n + nb.n - inter), 4) >= 0.4
-    ),
-    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-              UNION SELECT id_b, id_a FROM pairs),
+    {_LSH_CAND_CTE.strip()},
+    {_JACCARD_SCORED_CTE.strip()},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM scored
+              UNION SELECT id_b, id_a FROM scored),
     reach(node, label) AS (
         SELECT src, src FROM edges
         UNION
@@ -1201,10 +1219,25 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive duplicate clusters: every doc in the >=0.4-jaccard pair
     graph labeled with its component's minimum doc_id ("keep the canonical,
-    drop the rest" becomes a trivial filter on node != cluster_id)."""
+    drop the rest" becomes a trivial filter on node != cluster_id).
+
+    The pair graph is the candidate-bounded jaccard output (MinHash-LSH
+    candidates -> exact jaccard verify), so no stage of the pipeline is a
+    shingle self-join — the r03-flagged hot-shingle skew path is gone."""
     from ..operators.components import connected_components
 
-    sh = DD.doc_shingles(_near_corpus(spark, sf_dir))
-    pairs = DD.jaccard_pairs(sh, threshold=0.4).select("id_a", "id_b")
-    cc = connected_components(pairs)
+    cc = connected_components(jaccard_pair_graph(spark, sf_dir))
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+def jaccard_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The >=0.4-jaccard edge relation feeding dedup_clusters: LSH
+    candidates verified by candidate-driven exact jaccard. Exposed as a
+    helper so the plan-shape tests can pin the lazy pair-graph plan (the
+    connected-components loop checkpoints eagerly, hiding it)."""
+    sh = DD.doc_shingles(_near_corpus(spark, sf_dir)).localCheckpoint()
+    sig = DD.minhash_signatures(sh, num_hashes=_NUM_HASHES)
+    cand = DD.lsh_candidate_pairs(sig, num_hashes=_NUM_HASHES, bands=_BANDS)
+    return DD.jaccard_pairs(
+        sh, threshold=0.4, candidates=cand, checkpoint=False
+    ).select("id_a", "id_b")

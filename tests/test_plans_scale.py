@@ -110,6 +110,26 @@ def test_levenshtein_lsh_no_cartesian(plan_of):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_jaccard_is_candidate_bounded(spark, sf_dir, plan_of):
+    """The jaccard stage must be candidate-driven (LSH candidates keyed back
+    into the shingle relation on (id, shingle)) — never a self-join keyed on
+    the shingle alone, whose hot boilerplate shingles explode quadratically
+    on a web corpus (r03 VERDICT weak item #1). dedup_clusters' final plan
+    is a checkpointed-label scan, so its pair graph is pinned via the
+    jaccard_pair_graph helper it consumes."""
+    from spark_streaming_kafka_example_spark.plans.llm import jaccard_pair_graph
+
+    for plan in (
+        plan_of("dedup_ngram_jaccard"),
+        formatted_plan(jaccard_pair_graph(spark, sf_dir)),
+    ):
+        assert "Left keys [1]: [shingle" not in plan, "shingle-only self-join"
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # the LSH band bucket join is the only legal pair generator
+        assert "band_val" in plan
+
+
 def test_brute_force_topk_broadcasts_queries(plan_of):
     """The corpus side must stream; only the tiny query set broadcasts."""
     plan = plan_of("sim_topk_bruteforce")
