@@ -72,9 +72,10 @@ def main() -> None:
     ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey, "left_outer").count()
     load_table(spark, sf_dir, "documents").count()
 
-    # Min of two runs per query: single samples on a shared host swing up
-    # to 2x on unchanged queries (observed on idle-vs-busy reruns); the min
-    # is the standard noise-resistant point estimate and still includes
+    # Min of three runs per query: single samples on a shared host swing up
+    # to 2x on unchanged queries (observed on idle-vs-busy reruns), and even
+    # min-of-two left a phantom +15% on q9 in r03 that r04 had to chase; the
+    # min is the standard noise-resistant point estimate and still includes
     # plan + execution end-to-end.
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -82,7 +83,7 @@ def main() -> None:
         if fn is None:
             continue
         samples = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)

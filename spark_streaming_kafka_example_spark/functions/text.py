@@ -130,7 +130,19 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 
 def pii_counts(col: str = "text") -> dict[str, Column]:
     """Per-kind match counts on the ORIGINAL text (regexp_extract_all —
-    identical builtin in DuckDB)."""
+    identical builtin in DuckDB).
+
+    Counts are per-pattern on the raw text and may OVERLAP: a span matching
+    two patterns (e.g. the IP-shaped local part of ``1.2.3.4@x.com``) counts
+    toward both kinds, while ``scrub_pii`` — which applies patterns in
+    PII_PATTERNS order to the progressively-scrubbed text — emits only the
+    first pattern's placeholder for it. So ``sum(n_*)`` can exceed the
+    number of placeholders actually emitted; the counts answer "how often
+    does each pattern fire", not "how many redactions happened". Both
+    engines replay the same raw-text semantics, so oracle parity is
+    unaffected (r03 ADVICE: documented deviation, kept intentionally —
+    counting on scrubbed text would hide cross-kind hits from the
+    data-quality profile)."""
     return {
         kind: F.size(F.regexp_extract_all(F.col(col), F.lit(pat), 0))
         for kind, pat, _ in PII_PATTERNS

@@ -32,8 +32,17 @@ def cosine(a, b) -> Column:
 
 @F.pandas_udf(T.DoubleType())
 def cosine_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Arrow-vectorized cosine — the perf twin of ``cosine`` for wide
-    vectors; numpy does the fused multiply-adds per batch."""
+    """Arrow-vectorized cosine, BIT-IDENTICAL to the ``cosine`` expression.
+
+    The sums accumulate sequentially over dimensions (vectorized across the
+    rows of the batch): per row this is exactly the fold
+    ``(((0.0 + x0) + x1) + ...)`` that both ``F.aggregate`` and DuckDB's
+    list fold perform, so results match the oracle to the last ulp. numpy's
+    pairwise ``.sum(axis=1)`` would be faster per batch but sums in a
+    different association order — last-ulp drift that round(4) can flip on a
+    boundary-landing value, making oracle parity data-dependent (r03
+    ADVICE). The dim-loop keeps the batch-vectorized speed (dim ops per
+    batch, never per-row Python) AND the exact fold semantics."""
     import numpy as np
 
     # float64 accumulation regardless of (float32) storage — matches the
@@ -41,6 +50,13 @@ def cosine_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
     # never flips on a float32-accumulation boundary.
     av = np.stack(a.to_numpy()).astype(np.float64, copy=False)
     bv = np.stack(b.to_numpy()).astype(np.float64, copy=False)
-    num = (av * bv).sum(axis=1)
-    den = np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
-    return pd.Series(num / den)
+    n, dim = av.shape
+    num = np.zeros(n)
+    na = np.zeros(n)
+    nb = np.zeros(n)
+    for i in range(dim):
+        x, y = av[:, i], bv[:, i]
+        num = num + x * y
+        na = na + x * x
+        nb = nb + y * y
+    return pd.Series(num / (np.sqrt(na) * np.sqrt(nb)))

@@ -51,7 +51,10 @@ def _events_schema(sf_dir: str) -> tuple[T.StructType, bool]:
 
         t = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
         ts_is_nanos = getattr(t, "unit", "ns") == "ns"
-    except (ImportError, OSError, KeyError) as exc:
+    except (ImportError, OSError, KeyError, ValueError) as exc:
+        # ValueError covers pyarrow's ArrowInvalid (its subclass) on a
+        # corrupt/truncated footer — r03 ADVICE: without it the documented
+        # warn-and-assume fallback never fired for exactly that case.
         # Unreadable footer: assume the original nanos layout, but say so —
         # a mis-sniffed round would otherwise fail opaquely downstream.
         import warnings
@@ -128,10 +131,35 @@ def embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_to_table(spark: SparkSession, df: DataFrame, mode: str) -> DataFrame:
-    """Start df -> memory sink with availableNow, drain, return the table."""
+    """Start df -> memory sink with availableNow, drain, return the table.
+
+    ORACLE HARNESS ONLY: a memory sink (append mode especially) materializes
+    the entire relation on the driver — fine for bounded sf0.01 parity runs,
+    never the production idiom. Real pipelines write through the parquet /
+    kafka / foreachBatch sinks in streaming/sinks.py (checkpointed,
+    executor-side, exactly-once).
+
+    Update-mode parity additionally assumes the whole bounded source fits in
+    ONE micro-batch (CLAUDE.md: "update only safe single-batch"): a second
+    batch would re-emit updated rows for the same key and the memory table
+    would hold both versions. availableNow over a single parquet file
+    satisfies that today; this guard turns a silent parity break (e.g. a
+    multi-file testdata drop or a maxFilesPerTrigger option) into a loud one.
+    """
     name = f"mem_{uuid.uuid4().hex[:10]}"
     query = memory_sink(df, name, mode=mode)
     query.awaitTermination()
+    if mode == "update":
+        data_batches = sum(
+            1 for p in query.recentProgress if p["numInputRows"] > 0
+        )
+        if data_batches > 1:
+            raise AssertionError(
+                f"update-mode oracle run processed {data_batches} micro-batches;"
+                " per-key update rows would be duplicated in the memory table."
+                " Re-bound the source to a single batch or dedupe to the last"
+                " update per key before comparing."
+            )
     return spark.table(name)
 
 

@@ -83,6 +83,32 @@ def test_embedding_cosine_finds_planted_vectors(spark, sf_dir):
         assert (v, v + 100000) in hits
 
 
+def test_cosine_pandas_bit_identical_to_expression(spark, sf_dir):
+    """cosine_pandas accumulates sequentially over dims, so it must equal
+    the F.aggregate fold expression to the LAST ULP (no rounding): that
+    exact-fold property is what lets oracle-parity queries use the fast
+    numpy path without data-dependent round(4) boundary flips (r03
+    ADVICE)."""
+    from spark_streaming_kafka_example_spark.functions.vectors import (
+        cosine,
+        cosine_pandas,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = emb.select((F.col("vec_id")).alias("ib"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("ia") < F.col("ib")).limit(5000)
+    diff = (
+        pairs.select(
+            cosine("va", "vb").alias("expr_cos"),
+            cosine_pandas("va", "vb").alias("np_cos"),
+        )
+        .filter(F.col("expr_cos") != F.col("np_cos"))
+        .count()
+    )
+    assert diff == 0
+
+
 def test_ivf_recall_on_clustered_vectors(spark):
     """On clusterable data (IVF's actual use case) probing the nearest
     bucket must recover the exact top-1. The sf embeddings are uniform
