@@ -169,6 +169,62 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup 2b: signature-based jaccard ESTIMATE over the LSH candidates — the
+# cheapest at-scale verify: E[fraction of agreeing minhash components] =
+# jaccard (Broder), so candidates are scored from the signature table alone,
+# never re-touching the shingle relation. Two key-lookup joins over
+# |candidates| rows; at 100 TB this is the "score from the signature store"
+# step that runs between LSH banding and (optional) exact verification.
+# ---------------------------------------------------------------------------
+
+_SIG_AGREE = " + ".join(
+    f"CASE WHEN a.sig_{j} = b.sig_{j} THEN 1 ELSE 0 END"
+    for j in range(_NUM_HASHES)
+)
+
+
+@register(
+    "dedup_minhash_estimate",
+    f"""
+    WITH {NEAR_CORPUS_CTE.strip()},
+    {SHINGLES_CTE.strip()},
+    {_LSH_CAND_CTE.strip()}
+    SELECT c.id_a, c.id_b,
+           round(({_SIG_AGREE}) / {_NUM_HASHES}.0, 4) AS est_jaccard
+    FROM cand c
+    JOIN sig a ON a.doc_id = c.id_a
+    JOIN sig b ON b.doc_id = c.id_b
+    WHERE round(({_SIG_AGREE}) / {_NUM_HASHES}.0, 4) >= 0.4
+    """,
+)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates scored by the minhash jaccard estimator (>= 0.4).
+
+    The signature relation is materialized once and feeds banding AND both
+    lookup sides of the scoring join, so the whole query reads shingles
+    exactly once end-to-end."""
+    sh = DD.doc_shingles(_near_corpus(spark, sf_dir), distinct=False)
+    sig = DD.minhash_signatures(sh, num_hashes=_NUM_HASHES).localCheckpoint()
+    cand = DD.lsh_candidate_pairs(sig, num_hashes=_NUM_HASHES, bands=_BANDS)
+    agree = sum(
+        F.when(F.col(f"a.sig_{j}") == F.col(f"b.sig_{j}"), 1).otherwise(0)
+        for j in range(_NUM_HASHES)
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        cand.join(a, F.col("a.doc_id") == F.col("id_a"))
+        .join(b, F.col("b.doc_id") == F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(agree / float(_NUM_HASHES), 4).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= 0.4)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Dedup 3: exact n-gram Jaccard (>= 0.4), candidate-bounded by MinHash-LSH.
 # The LSH prefilter is what makes this scale: the intersection is computed
 # candidate-driven (two key-lookup joins), never via a shingle self-join

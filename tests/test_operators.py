@@ -36,6 +36,18 @@ def test_minhash_lsh_recalls_planted_near_dups(spark, sf_dir):
     assert recall >= 0.8, f"LSH recall {recall}"
 
 
+def test_minhash_estimate_tracks_true_jaccard(spark, sf_dir):
+    """The signature estimator must land near the exact jaccard on the
+    planted ~0.75 truncation pairs: with 15 hashes the estimator's sd is
+    sqrt(j(1-j)/15) ~ 0.11, so individual estimates stay in a wide band and
+    the planted-pair mean stays in a tight one."""
+    est = plans.QUERIES["dedup_minhash_estimate"](spark, sf_dir).toPandas()
+    planted = est[(est.id_b - est.id_a) == 100000]
+    assert len(planted) >= 80  # LSH recall ~0.95 on ~100 planted pairs
+    assert (planted.est_jaccard >= 0.4).all()
+    assert 0.6 <= planted.est_jaccard.mean() <= 0.9
+
+
 def test_jaccard_scores_planted_pairs_high(spark, sf_dir):
     pairs = plans.QUERIES["dedup_ngram_jaccard"](spark, sf_dir).toPandas()
     planted = pairs[(pairs.id_b - pairs.id_a) == 100000]
