@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "connected_components_star"]
 
 
 def connected_components(
@@ -90,3 +90,99 @@ def connected_components(
             "max_iterations for high-diameter graphs"
         )
     return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Undirected edge set as distinct (lo, hi) pairs, self-loops dropped."""
+    return (
+        edges.select(
+            F.least("u", "v").alias("lo"), F.greatest("u", "v").alias("hi")
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(node, cluster_id) via large-star/small-star alternation — the
+    DIAMETER-INDEPENDENT sibling of ``connected_components`` (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14: converges
+    in O(log^2 n) rounds regardless of diameter, vs diameter rounds for
+    min-label propagation).
+
+    Per round (all distributed — one groupBy-min + one join each phase,
+    lineage cut per phase):
+    - large-star: for every node u, hook each LARGER neighbor v > u onto
+      m = min(N(u) + {u}).
+    - small-star: direct edges toward the smaller endpoint, then hook each
+      smaller-or-equal neighbor (and u itself) onto m.
+    Fixpoint: the canonical undirected edge set stops changing; edges then
+    form stars rooted at each component's minimum, read off as labels.
+
+    Use this over ``connected_components`` when the graph may contain long
+    chains (e.g. similarity graphs thresholded loosely enough to create
+    transitive paths); for the near-clique graphs of dedup pipelines the
+    propagation loop needs fewer total jobs. Same failure contract: loud
+    RuntimeError if not converged within ``max_iterations``.
+    """
+    if max_iterations < 2:
+        raise ValueError("max_iterations must be >= 2")
+    nodes = (
+        pairs.select(F.col(a_col).alias("node"))
+        .union(pairs.select(F.col(b_col).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = _canonical(
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    ).localCheckpoint()
+    converged = False
+    for _ in range(max_iterations):
+        n_before = edges.count()
+        # large-star over the symmetrized adjacency
+        sym = edges.select(
+            F.col("lo").alias("u"), F.col("hi").alias("v")
+        ).union(edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")))
+        lmin = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = _canonical(
+            sym.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        ).localCheckpoint()
+        # small-star over edges directed toward the smaller endpoint:
+        # the canonical (lo, hi) form IS that orientation (hi -> lo).
+        smin = large.groupBy(F.col("hi").alias("u")).agg(
+            F.least(F.min("lo"), F.first("hi")).alias("m")
+        )
+        hooked = large.join(smin, large.hi == smin.u).select(
+            F.col("lo").alias("u"), F.col("m").alias("v")
+        )
+        selfed = smin.select(F.col("u"), F.col("m").alias("v"))
+        edges_next = _canonical(hooked.union(selfed)).localCheckpoint()
+        n_after = edges_next.count()
+        # set equality: same size and no edge outside the old set
+        if n_after == n_before and edges_next.exceptAll(edges).count() == 0:
+            edges = edges_next
+            converged = True
+            break
+        edges = edges_next
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iterations} "
+            "rounds; the edge set is still changing"
+        )
+    # Converged edges are stars (non-root hi -> root lo): a node's label is
+    # its star root if it appears as hi, else itself (roots + singletons).
+    roots = edges.groupBy(F.col("hi").alias("node")).agg(
+        F.min("lo").alias("root")
+    )
+    return nodes.join(roots, "node", "left_outer").select(
+        "node", F.coalesce("root", "node").alias("cluster_id")
+    )

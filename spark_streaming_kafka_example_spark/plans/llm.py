@@ -1254,9 +1254,10 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "dedup_clusters",
-    f"""
+# Cluster-assignment oracle (algorithm-independent: reachability fixpoint
+# labels every node with its component minimum) — shared by the propagation
+# and large-star/small-star engine paths.
+_CLUSTERS_SQL = f"""
     WITH RECURSIVE {NEAR_CORPUS_CTE.strip()},
     {SHINGLES_CTE.strip()},
     {_LSH_CAND_CTE.strip()},
@@ -1270,8 +1271,10 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT node AS doc_id, min(label) AS cluster_id
     FROM reach GROUP BY node
-    """,
-)
+    """
+
+
+@register("dedup_clusters", _CLUSTERS_SQL)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive duplicate clusters: every doc in the >=0.4-jaccard pair
     graph labeled with its component's minimum doc_id ("keep the canonical,
@@ -1297,3 +1300,16 @@ def jaccard_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.jaccard_pairs(
         sh, threshold=0.4, candidates=cand, checkpoint=False
     ).select("id_a", "id_b")
+
+
+@register("dedup_clusters_star", _CLUSTERS_SQL)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_clusters computed by the large-star/small-star alternation
+    (operators/components.py connected_components_star) instead of min-label
+    propagation: diameter-independent round count, for graphs where loose
+    similarity thresholds create long transitive chains. Same pair graph,
+    same oracle — the clustering is algorithm-independent."""
+    from ..operators.components import connected_components_star
+
+    cc = connected_components_star(jaccard_pair_graph(spark, sf_dir))
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")

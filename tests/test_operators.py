@@ -81,6 +81,46 @@ def test_levenshtein_pairs_with_candidates(spark, sf_dir):
     assert all(full_map[p] == d for p, d in got.items())
 
 
+def test_star_components_match_propagation_on_dup_graph(spark, sf_dir):
+    """large-star/small-star must produce exactly the propagation loop's
+    clustering on the real jaccard pair graph (both label every node with
+    its component minimum)."""
+    from spark_streaming_kafka_example_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+    from spark_streaming_kafka_example_spark.plans.llm import jaccard_pair_graph
+
+    pairs = jaccard_pair_graph(spark, sf_dir).localCheckpoint()
+    prop = connected_components(pairs).toPandas()
+    star = connected_components_star(pairs).toPandas()
+    assert len(prop) > 0
+    assert (
+        dict(zip(prop.node, prop.cluster_id))
+        == dict(zip(star.node, star.cluster_id))
+    )
+
+
+def test_star_components_converge_on_long_chain(spark):
+    """The point of the star algorithm: a 300-node path has diameter 300,
+    far beyond the round budget min-label propagation gets here — the
+    star alternation must still converge (O(log^2 n) rounds) and label the
+    whole chain with node 0."""
+    from spark_streaming_kafka_example_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "id_a long, id_b long"
+    )
+    out = connected_components_star(chain, max_iterations=15).toPandas()
+    assert len(out) == 301
+    assert (out.cluster_id == 0).all()
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=5)
+
+
 def test_simhash_exact_copies_have_zero_hamming(spark, sf_dir):
     fp = plans.QUERIES["dedup_simhash_fingerprints"](spark, sf_dir).toPandas()
     by_id = dict(zip(fp.doc_id, fp.simhash))
