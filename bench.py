@@ -44,6 +44,7 @@ HEADLINE = [
     "window_topk_per_group",
     "sessionize_gap_30m",
     "dedup_minhash_lsh",
+    "dedup_minhash_estimate",
     "dedup_exact",
     "dedup_embedding_cosine",
     "dedup_clusters",
