@@ -133,9 +133,22 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: hash each band of rows, bucket-join docs sharing any
-    band value. Output distinct candidate pairs (id_a < id_b)."""
+    band value. Output distinct candidate pairs (id_a < id_b).
+
+    ``max_bucket_size`` drops band buckets holding more than that many docs
+    before the self-join. Bucket occupancy is the quadratic term of LSH at
+    scale: a web corpus where millions of near-identical boilerplate pages
+    agree on a whole band would otherwise turn that bucket into 10^12
+    pairs. Docs in an over-full bucket almost always still pair through
+    their other bands, and true mass-duplicate clusters should be collapsed
+    by exact dedup BEFORE near-dup LSH (the pipeline order
+    pipeline_training_data_prep uses). Default None preserves exact oracle
+    parity for the registered queries; set it (e.g. 1000) on real corpora.
+    The same guard applies conceptually to the simhash chunk buckets and
+    hyperplane code buckets."""
     rows_per_band = num_hashes // bands
     band_cols = [
         F.md5(
@@ -156,6 +169,14 @@ def lsh_candidate_pairs(
     # cluster scale this is the "write the signature table" step; locally
     # a lineage-cutting checkpoint is its single-job equivalent.
     melted = melted.localCheckpoint()
+    if max_bucket_size is not None:
+        small_buckets = (
+            melted.groupBy("band_id", "band_val")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("band_id", "band_val")
+        )
+        melted = melted.join(small_buckets, ["band_id", "band_val"], "left_semi")
     a = melted.alias("a")
     b = melted.alias("b")
     return (

@@ -36,6 +36,34 @@ def test_minhash_lsh_recalls_planted_near_dups(spark, sf_dir):
     assert recall >= 0.8, f"LSH recall {recall}"
 
 
+def test_lsh_bucket_cap_drops_hot_buckets_keeps_pairs(spark):
+    """max_bucket_size is the quadratic-term guard: a mass-duplicate
+    cluster sharing every band must stop generating O(n^2) candidate
+    pairs once its buckets exceed the cap, while ordinary near-dup pairs
+    (bucket size 2) keep pairing."""
+    from spark_streaming_kafka_example_spark.operators import dedup as DD
+
+    boiler = "the same boilerplate page text repeated verbatim everywhere"
+    uniq = [
+        f"document number {i} speaks about topic {i * 37} in detail plus "
+        f"unique trailing words alpha{i} beta{i} gamma{i} delta{i}"
+        for i in range(5)
+    ]
+    rows = [(i, boiler) for i in range(50)]
+    rows += [(100 + i, t) for i, t in enumerate(uniq)]
+    rows += [(200 + i, t) for i, t in enumerate(uniq)]  # near-dup partners
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = DD.doc_shingles(docs, distinct=False)
+    sig = DD.minhash_signatures(sh).localCheckpoint()
+    capped = DD.lsh_candidate_pairs(sig, max_bucket_size=10).toPandas()
+    uncapped = DD.lsh_candidate_pairs(sig).toPandas()
+    hot = lambda df: df[(df.id_a < 50) & (df.id_b < 50)]
+    planted = {(100 + i, 200 + i) for i in range(5)}
+    assert len(hot(uncapped)) == 50 * 49 / 2  # the quadratic blowup, live
+    assert len(hot(capped)) == 0  # suppressed by the cap
+    assert planted <= set(zip(capped.id_a, capped.id_b))  # real pairs survive
+
+
 def test_minhash_estimate_tracks_true_jaccard(spark, sf_dir):
     """The signature estimator must land near the exact jaccard on the
     planted ~0.75 truncation pairs: with 15 hashes the estimator's sd is
