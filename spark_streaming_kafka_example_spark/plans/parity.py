@@ -9,6 +9,7 @@ stands in for the word-count socket lines.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve by name
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
@@ -419,6 +420,49 @@ def u3_udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n_nationkey AS sensor_id, doubleStringVec(n_name) AS double_field_id
         FROM sensor_master_vec
         """
+    )
+
+
+# ---------------------------------------------------------------------------
+# U5 GROUPED_AGG pandas UDF (SURVEY §2.10 extension note: "PySpark offers
+# pandas_udf GROUPED_AGG"): a custom aggregate the built-ins don't provide,
+# computed per whole group in one Arrow batch. Grouped-agg UDFs have no
+# partial/merge path — Spark shuffles full groups to them — so at 100 TB
+# they are for moderate group counts / custom math, never a substitute for
+# built-in partial-aggregating sums.
+# Cross-engine determinism: the weighted mean is computed in integer cents
+# (exact int64 arithmetic, summation-order-independent) with one final
+# float division, so Spark and DuckDB agree to the last bit. Exact .5
+# rounding ties cannot occur: cents values (2k+1)/2 would need acctbal
+# doubles exactly equal to (2k+1)/200, which is not binary-representable.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "u5_pandas_grouped_agg",
+    """
+    SELECT c_mktsegment,
+           round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)
+                          * (c_nationkey + 1)) AS DOUBLE)
+                 / (100.0 * sum(c_nationkey + 1)), 4) AS wavg_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def u5_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("double")
+    def wavg_cents(bal: pd.Series, w: pd.Series) -> float:
+        cents = (bal * 100).round().astype("int64")
+        wi = w.astype("int64")
+        return int((cents * wi).sum()) / (100.0 * int(wi.sum()))
+
+    return (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(
+                wavg_cents(F.col("c_acctbal"), F.col("c_nationkey") + F.lit(1)), 4
+            ).alias("wavg_bal")
+        )
     )
 
 
