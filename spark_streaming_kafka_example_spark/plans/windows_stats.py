@@ -238,6 +238,27 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_freq_items")  # CMS-style sketch, no DuckDB twin -> rows-only
+def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters (DataFrameStatFunctions.freqItems,
+    Karp/Shenker/Papadimitriou): single pass, mergeable partials — the 100 TB
+    way to surface hot tokens/domains/users in a corpus without a full
+    groupBy-count-sort. Guarantee: the result is a SUPERSET of every item
+    with frequency > support*n (false positives possible, negatives not) —
+    asserted against exact counts in
+    tests/test_approx_aggs.py::test_freq_items_superset_of_true_heavy_hitters.
+    Sorted for stable output; support 0.05 on ~25 active users keeps both
+    true hitters and sketch noise observable."""
+    freq = (
+        load_table(spark, sf_dir, "events")
+        .stat.freqItems(["user_id", "event_type"], support=0.05)
+    )
+    return freq.select(
+        F.array_sort("user_id_freqItems").alias("hot_users"),
+        F.array_sort("event_type_freqItems").alias("hot_types"),
+    )
+
+
 @register(
     "agg_linear_regression",
     """

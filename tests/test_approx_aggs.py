@@ -37,6 +37,21 @@ def test_approx_distinct_within_hll_error(spark, sf_dir):
         assert rel_err <= 0.10, f"{status}: approx {got} vs exact {row.exact_custs}"
 
 
+def test_freq_items_superset_of_true_heavy_hitters(spark, sf_dir):
+    """freqItems' contract is one-sided: every item with frequency >
+    support*n MUST appear (false positives allowed, false negatives not).
+    Check both tracked columns against exact counts."""
+    out = plans.QUERIES["agg_freq_items"](spark, sf_dir).toPandas()
+    hot_users = set(out.hot_users.iloc[0])
+    hot_types = set(out.hot_types.iloc[0])
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    n = len(ev)
+    for col, got in [("user_id", hot_users), ("event_type", hot_types)]:
+        counts = ev[col].value_counts()
+        true_hitters = set(counts[counts > 0.05 * n].index)
+        assert true_hitters <= got, f"{col}: missing {true_hitters - got}"
+
+
 def test_percentile_approx_within_accuracy_bound(spark, sf_dir):
     """percentile_approx(accuracy=10000) is a GK sketch with rank error at
     most eps*n (eps = 1/accuracy). It returns an ELEMENT of the group (no

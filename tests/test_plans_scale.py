@@ -86,10 +86,12 @@ def test_wordcount_partial_aggregates(plan_of):
     assert "partial_count" in plan  # map-side combine before the shuffle
 
 
-def test_minhash_no_cartesian(plan_of):
+@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_minhash_estimate"])
+def test_minhash_no_cartesian(plan_of, name):
     """LSH candidate generation must join on (band_id, band_val) buckets —
-    an equi-join — never enumerate all pairs."""
-    plan = plan_of("dedup_minhash_lsh")
+    an equi-join — never enumerate all pairs; the signature estimator adds
+    only key-lookup joins on top."""
+    plan = plan_of(name)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
