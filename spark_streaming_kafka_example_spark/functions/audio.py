@@ -1,0 +1,90 @@
+"""Pure-python/numpy WAV (RIFF PCM) codec for the multimodal operators'
+REAL audio decode path — the audio sibling of functions/imaging.py (no
+soundfile/librosa in this environment; stdlib struct + numpy only, so the
+non-fake path works on any executor).
+
+Supported: RIFF/WAVE with an uncompressed PCM ``fmt `` chunk (format tag
+1), 8-bit unsigned or 16-bit signed samples, any channel count and sample
+rate. Decode and encode (16-bit). Compressed formats raise ValueError —
+callers surface that as a per-row decode failure exactly like the image
+path.
+
+Features: ``band_energies`` — total power of the rFFT spectrum split into
+FEATURE_DIM equal frequency bands, L1-normalized. Deterministic (numpy FFT
+on float64), so tests can pin that a pure tone lands its energy in the
+band containing the tone frequency.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["decode_wav", "encode_wav", "band_energies"]
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode RIFF PCM bytes to (samples float64 in [-1, 1] of shape
+    (n_frames, channels), sample_rate).
+
+    Raises ValueError on non-RIFF payloads, compressed formats, or
+    unsupported bit depths.
+    """
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("unrecognized audio payload (expected RIFF/WAVE)")
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        chunk = data[pos + 8 : pos + 8 + length]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", chunk[:16])
+        elif cid == b"data":
+            raw = chunk
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, channels, rate, _byte_rate, _align, bits = fmt
+    if tag != 1:
+        raise ValueError(f"compressed WAV (format tag {tag}) not supported")
+    if bits == 16:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 8:
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported PCM bit depth {bits}")
+    frames = len(samples) // channels
+    return samples[: frames * channels].reshape(frames, channels), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """Encode (n_frames, channels) float samples in [-1, 1] as 16-bit PCM."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    pcm = np.clip(np.round(samples * 32767.0), -32768, 32767).astype("<i2")
+    raw = pcm.tobytes()
+    channels = samples.shape[1]
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16
+    )
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(raw)) + raw
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def band_energies(samples: np.ndarray, bins: int = 8) -> list[float]:
+    """L1-normalized total power per frequency band: channel-mean signal ->
+    rFFT power spectrum -> ``bins`` equal bands over [0, nyquist]. The
+    fixed-size embedding of an audio blob (the analogue of the image path's
+    intensity histogram)."""
+    mono = samples.mean(axis=1) if samples.ndim == 2 else samples
+    if len(mono) == 0:
+        return [0.0] * bins
+    power = np.abs(np.fft.rfft(mono)) ** 2
+    edges = np.linspace(0, len(power), bins + 1).astype(int)
+    bands = np.array(
+        [power[edges[i] : edges[i + 1]].sum() for i in range(bins)]
+    )
+    total = bands.sum()
+    return list(bands / total) if total > 0 else [0.0] * bins

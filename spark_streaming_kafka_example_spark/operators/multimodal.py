@@ -86,17 +86,31 @@ def _real_feature(content: bytes) -> list[float]:
     return intensity_histogram(decode_image(bytes(content)), FEATURE_DIM)
 
 
+def _real_audio_feature(content: bytes) -> list[float]:
+    """Real audio feature: decode (RIFF PCM WAV) then FEATURE_DIM spectral
+    band energies (functions.audio — pure numpy, no soundfile)."""
+    from ..functions.audio import band_energies, decode_wav
+
+    samples, _rate = decode_wav(bytes(content))
+    return band_energies(samples, FEATURE_DIM)
+
+
 def decode_features(
     df: DataFrame,
     id_col: str = "doc_id",
     content_col: str = "content",
     fake: bool = False,
+    media: str = "image",
 ) -> DataFrame:
     """Per-batch media decode -> feature vector via mapInPandas.
 
-    ``fake=False`` really decodes (PNG/PPM via functions.imaging) and emits
-    a luminance-histogram feature; ``fake=True`` keeps the md5 stub with
-    identical Arrow batch shapes and output schema (oracle runs).
+    ``fake=False`` really decodes and featurizes — ``media="image"``:
+    PNG/PPM via functions.imaging -> luminance histogram;
+    ``media="audio"``: RIFF PCM WAV via functions.audio -> spectral band
+    energies. ``fake=True`` keeps the md5 stub with identical Arrow batch
+    shapes and output schema (oracle runs). Same FEATURE_DIM embedding
+    width for every media kind, so downstream similarity/dedup operators
+    consume either uniformly.
     """
     out_schema = T.StructType(
         [
@@ -105,7 +119,10 @@ def decode_features(
             _FEATURES_FIELD,
         ]
     )
-    extract = _fake_feature if fake else _real_feature
+    if media not in ("image", "audio"):
+        raise ValueError(f"unknown media kind {media!r} (image|audio)")
+    real = _real_feature if media == "image" else _real_audio_feature
+    extract = _fake_feature if fake else real
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -340,6 +340,84 @@ def test_imaging_codec_roundtrip_and_filters():
     assert (I.decode_image(png) == arr).all()
 
 
+def test_audio_codec_roundtrip_and_features():
+    """WAV 16-bit round-trip (mono + stereo), 8-bit decode, compressed
+    rejection, and the spectral feature: a pure tone must put its energy in
+    the band containing the tone frequency."""
+    import struct
+
+    import numpy as np
+
+    from spark_streaming_kafka_example_spark.functions import audio as A
+
+    t = np.arange(8000) / 8000.0
+    mono = 0.5 * np.sin(2 * np.pi * 440 * t)
+    back, rate = A.decode_wav(A.encode_wav(mono, 8000))
+    assert rate == 8000 and back.shape == (8000, 1)
+    assert np.abs(back[:, 0] - mono).max() < 1e-4  # 16-bit quantization
+    stereo = np.stack([mono, -mono], axis=1)
+    back2, _ = A.decode_wav(A.encode_wav(stereo, 8000))
+    assert back2.shape == (8000, 2)
+    assert np.abs(back2 - stereo).max() < 1e-4
+    # 8-bit path: header says bits=8, unsigned bytes around 128
+    pcm8 = (np.clip(mono, -1, 1) * 127 + 128).astype(np.uint8).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    wav8 = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm8)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm8)) + pcm8
+    )
+    back8, _ = A.decode_wav(wav8)
+    assert np.abs(back8[:, 0] - mono).max() < 2e-2  # 8-bit quantization
+    with pytest.raises(ValueError, match="compressed"):
+        bad = wav8.replace(struct.pack("<HH", 1, 1), struct.pack("<HH", 85, 1), 1)
+        A.decode_wav(bad)
+    # tone at 440 Hz of 4000 Hz nyquist -> band 0 of 8 holds ~all power
+    feats = A.band_energies(back, bins=8)
+    assert feats[0] > 0.95 and abs(sum(feats) - 1.0) < 1e-9
+    # higher tone lands in a higher band: 3,500 Hz -> band 7
+    hi = 0.5 * np.sin(2 * np.pi * 3500 * t)
+    assert A.band_energies(hi[:, None], bins=8)[7] > 0.95
+
+
+def test_multimodal_audio_decode_end_to_end(spark):
+    """In-test-generated WAV tones through the REAL audio decode path on
+    mapInPandas: per-row features must equal the locally computed band
+    energies, and the tone's band must dominate."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from spark_streaming_kafka_example_spark.functions import audio as A
+    from spark_streaming_kafka_example_spark.operators.multimodal import (
+        FEATURE_DIM,
+        decode_features,
+    )
+
+    t = np.arange(4000) / 8000.0
+    tones = {1: 440.0, 2: 1900.0, 3: 3600.0}
+    wavs = {
+        k: A.encode_wav(0.4 * np.sin(2 * np.pi * hz * t), 8000)
+        for k, hz in tones.items()
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in wavs.items()],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+    out = decode_features(df, media="audio").toPandas().set_index("doc_id")
+    for k, hz in tones.items():
+        local = A.band_energies(A.decode_wav(wavs[k])[0], FEATURE_DIM)
+        got = list(out.loc[k, "features"])
+        assert got == pytest.approx(local, abs=1e-12)
+        expected_band = min(int(hz / (4000.0 / FEATURE_DIM)), FEATURE_DIM - 1)
+        assert got[expected_band] == max(got)
+        assert out.loc[k, "n_bytes"] == len(wavs[k])
+
+
 def test_multimodal_real_decode_end_to_end(spark):
     """In-test-generated PNG/PPM images through the REAL decode path on
     both mapInPandas and mapInArrow: features must equal the locally
