@@ -88,6 +88,42 @@ def test_asof_property_random(spark, seed):
         assert same.all(), f"{col} mismatch at seed {seed}"
 
 
+@pytest.mark.parametrize("seed", [21, 22, 23])
+def test_audio_codec_property_random(seed):
+    """Randomized WAV codec properties: (a) encode->decode round-trips any
+    signal within 16-bit quantization error for random lengths / channel
+    counts / rates; (b) band energies are an L1-normalized distribution;
+    (c) random byte garbage either raises ValueError or decodes — the
+    parser must never escape with IndexError/struct.error (per-row decode
+    failures must be catchable as ValueError by the multimodal operators)."""
+    import numpy as np
+
+    from spark_streaming_kafka_example_spark.functions import audio as A
+
+    rng = random.Random(seed)
+    nprng = np.random.default_rng(seed)
+    for _ in range(10):
+        n = rng.randrange(1, 5000)
+        ch = rng.randrange(1, 4)
+        rate = rng.choice([8000, 16000, 44100])
+        sig = np.clip(nprng.standard_normal((n, ch)) * 0.3, -1, 1)
+        back, got_rate = A.decode_wav(A.encode_wav(sig, rate))
+        assert got_rate == rate and back.shape == (n, ch)
+        # encode scales by 32767, decode by 32768: error <= |x|/32768
+        # (scale mismatch) + 0.5/32768 (rounding) <= 1.5/32768
+        assert np.abs(back - sig).max() <= 1.5 / 32768 + 1e-9
+        feats = A.band_energies(back, 8)
+        assert len(feats) == 8 and all(f >= 0 for f in feats)
+        assert abs(sum(feats) - 1.0) < 1e-9
+    for _ in range(50):
+        blob = bytes(rng.getrandbits(8) for _ in range(rng.randrange(0, 64)))
+        for prefix in (b"", b"RIFF", b"RIFF\x00\x00\x00\x00WAVE"):
+            try:
+                A.decode_wav(prefix + blob)
+            except ValueError:
+                pass  # the contract: malformed payloads raise ValueError
+
+
 @pytest.mark.parametrize("seed", [11, 12])
 def test_sessionize_property_random(spark, seed):
     """Within a session all gaps <= threshold; consecutive sessions are
