@@ -33,6 +33,7 @@ __all__ = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "jaccard_pairs",
+    "containment_pairs",
     "levenshtein_pairs",
     "simhash_fingerprints",
     "simhash_near_pairs",
@@ -260,6 +261,50 @@ def jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def containment_pairs(
+    sh: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Shingle CONTAINMENT (Broder): c(a in b) = |A∩B| / |A| — the
+    asymmetric near-superset measure. A doc wholly embedded in a larger one
+    (boilerplate wrapping, truncation) scores containment ~1.0 while its
+    symmetric jaccard can be arbitrarily low, so this is the dedup check
+    jaccard structurally misses. Output (id_a, id_b, cont_a_in_b,
+    cont_b_in_a) keeping pairs where either direction >= threshold.
+
+    Candidate-driven only (same two key-lookup joins as the candidates=
+    path of jaccard_pairs — at scale the unbounded variant has the same
+    hot-shingle blowup, so no self-join fallback is offered).
+    """
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sha = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    shb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        candidates.select("id_a", "id_b")
+        .join(sha, "id_a")
+        .join(shb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("inter") / F.col("na"), 4).alias("cont_a_in_b"),
+            F.round(F.col("inter") / F.col("nb"), 4).alias("cont_b_in_a"),
+        )
+        .filter(
+            (F.col("cont_a_in_b") >= threshold) | (F.col("cont_b_in_a") >= threshold)
+        )
     )
 
 

@@ -256,6 +256,41 @@ scored AS (
 
 
 @register(
+    "dedup_containment",
+    f"""
+    WITH {NEAR_CORPUS_CTE.strip()},
+    {SHINGLES_CTE.strip()},
+    {_LSH_CAND_CTE.strip()},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(inter / na.n, 4) AS cont_a_in_b,
+           round(inter / nb.n, 4) AS cont_b_in_a
+    FROM inter
+    JOIN sizes na ON inter.id_a = na.doc_id
+    JOIN sizes nb ON inter.id_b = nb.doc_id
+    WHERE round(inter / na.n, 4) >= 0.9 OR round(inter / nb.n, 4) >= 0.9
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-superset dedup: shingle containment over the LSH
+    candidates. The planted tail-truncations are near-perfect containments
+    of the copy in its original (cont_b_in_a ~ 1.0 for id_b = id_a+100000)
+    even where their symmetric jaccard drops with the truncated fraction —
+    the case this operator exists for."""
+    sh = DD.doc_shingles(_near_corpus(spark, sf_dir)).localCheckpoint()
+    sig = DD.minhash_signatures(sh, num_hashes=_NUM_HASHES)
+    cand = DD.lsh_candidate_pairs(sig, num_hashes=_NUM_HASHES, bands=_BANDS)
+    return DD.containment_pairs(sh, cand, threshold=0.9)
+
+
+@register(
     "dedup_ngram_jaccard",
     f"""
     WITH {NEAR_CORPUS_CTE.strip()},

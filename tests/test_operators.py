@@ -64,6 +64,16 @@ def test_lsh_bucket_cap_drops_hot_buckets_keeps_pairs(spark):
     assert planted <= set(zip(capped.id_a, capped.id_b))  # real pairs survive
 
 
+def test_containment_catches_truncation_plants(spark, sf_dir):
+    """Every recalled planted truncation must score as a near-perfect
+    containment of the copy (id+100000, the first 4/5 of the text) in its
+    original, regardless of what its symmetric jaccard is."""
+    out = plans.QUERIES["dedup_containment"](spark, sf_dir).toPandas()
+    planted = out[(out.id_b - out.id_a) == 100000]
+    assert len(planted) >= 80  # bounded by LSH recall ~0.95 of ~100 plants
+    assert (planted.cont_b_in_a >= 0.9).all()
+
+
 def test_minhash_estimate_tracks_true_jaccard(spark, sf_dir):
     """The signature estimator must land near the exact jaccard on the
     planted ~0.75 truncation pairs: with 15 hashes the estimator's sd is
