@@ -100,6 +100,44 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_dedup(_exact_corpus(spark, sf_dir))
 
 
+@register(
+    "dedup_exact_normalized",
+    f"""
+    WITH {EXACT_CORPUS_CTE.strip()},
+    norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS ntext
+        FROM corpus
+    ),
+    fps AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split(ntext, ' '))), ' ')) AS fp
+        FROM norm
+    )
+    SELECT fp, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM fps GROUP BY fp
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after text normalization (lowercase, strip
+    non-alphanumerics, collapse whitespace) — the CC-Net-style first stage
+    that collapses trivially-reformatted copies (case, punctuation, extra
+    spaces) BEFORE the expensive near-dup machinery runs. Still one
+    fingerprint hash-shuffle with map-side combine; the normalization is a
+    pure map over the scan."""
+    corpus = _exact_corpus(spark, sf_dir)
+    ntext = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return DD.exact_dedup(corpus.select("doc_id", ntext.alias("text")))
+
+
 # ---------------------------------------------------------------------------
 # Dedup 2: MinHash + LSH banding candidate pairs.
 # ---------------------------------------------------------------------------

@@ -27,6 +27,32 @@ def test_exact_dedup_finds_planted_copies(spark, sf_dir):
     assert (out.n_copies >= 1).all()
 
 
+def test_normalized_dedup_collapses_reformatted_copies(spark):
+    """Case/punctuation/whitespace variants of the same text must collapse
+    onto one fingerprint; genuinely different texts must not."""
+    docs = spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over the lazy dog"),
+            (2, "the QUICK  brown fox, jumps over the lazy dog!!"),
+            (3, "  The quick... brown? fox; jumps (over) the lazy dog  "),
+            (4, "an entirely different document about something else"),
+        ],
+        "doc_id long, text string",
+    )
+    from spark_streaming_kafka_example_spark.operators.dedup import exact_dedup
+    from pyspark.sql import functions as SF
+
+    ntext = SF.trim(
+        SF.regexp_replace(
+            SF.regexp_replace(SF.lower(SF.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    out = exact_dedup(docs.select("doc_id", ntext.alias("text"))).toPandas()
+    assert len(out) == 2
+    collapsed = out[out.n_copies == 3]
+    assert len(collapsed) == 1 and collapsed.keep_id.iloc[0] == 1
+
+
 def test_minhash_lsh_recalls_planted_near_dups(spark, sf_dir):
     pairs = plans.QUERIES["dedup_minhash_lsh"](spark, sf_dir).toPandas()
     hits = set(zip(pairs.id_a, pairs.id_b))
