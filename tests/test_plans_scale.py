@@ -243,6 +243,59 @@ def test_nested_schema_pruning(spark, sf_dir, tmp_path):
     assert df.count() > 0
 
 
+def test_zorder_layout_skips_on_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-ordering (user_id, ts) must yield files whose min/max envelopes
+    allow skipping for single-column predicates on EITHER dimension, while
+    a plain ts-sort gives skipping only on ts — the reason multi-dimension
+    layouts exist. Checked against the actual parquet footer statistics,
+    which is exactly what a scan's file-level pruning reads."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from spark_streaming_kafka_example_spark.operators.zorder import zorder_layout
+    from spark_streaming_kafka_example_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("long").alias("ts_s"), "value"
+    )
+    zdir, tdir = str(tmp_path / "zord"), str(tmp_path / "tsort")
+    zorder_layout(ev, ["user_id", "ts_s"], n_files=8).write.parquet(zdir)
+    ev.repartitionByRange(8, "ts_s").sortWithinPartitions("ts_s").write.parquet(
+        tdir
+    )
+
+    def envelopes(d, col):
+        out = []
+        for f in sorted(glob.glob(d + "/part-*.parquet")):
+            md = pq.read_metadata(f)
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+            out.append((lo, hi))
+        return out
+
+    bounds = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("ts_s"), F.max("ts_s")
+    ).collect()[0]
+    mid_user = (bounds[0] + bounds[1]) // 2
+    mid_ts = (bounds[2] + bounds[3]) // 2
+
+    def skippable(envs, point):
+        return sum(1 for lo, hi in envs if not (lo <= point <= hi))
+
+    z_user = skippable(envelopes(zdir, "user_id"), mid_user)
+    z_ts = skippable(envelopes(zdir, "ts_s"), mid_ts)
+    t_user = skippable(envelopes(tdir, "user_id"), mid_user)
+    t_ts = skippable(envelopes(tdir, "ts_s"), mid_ts)
+    # plain ts-sort: perfect on ts, blind on user (every file spans all users)
+    assert t_ts >= 6 and t_user == 0
+    # z-order: real skipping on BOTH dimensions
+    assert z_user >= 2, f"z-order skipped {z_user}/8 on user_id"
+    assert z_ts >= 2, f"z-order skipped {z_ts}/8 on ts"
+
+
 def test_range_partitioned_sorted_write(spark, sf_dir, tmp_path):
     """The sorted-layout write pattern (range partition + sort within
     partitions): the plan shows RangePartitioning (sampled boundaries, no
