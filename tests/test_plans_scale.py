@@ -211,6 +211,17 @@ def test_q11_threshold_broadcasts(plan_of):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+@pytest.mark.parametrize(
+    "name", sorted(n for n in plans.QUERIES if n.startswith("q") and n[1].isdigit())
+)
+def test_tpch_plans_never_cartesian(plan_of, name):
+    """Blanket contract over the whole TPC-H block (the r04 driver rotation
+    window): whatever join strategy Catalyst picks, no query may degrade to
+    an unconditioned CartesianProduct — correlated subqueries must stay
+    semi/anti equi-joins and scalar thresholds must broadcast."""
+    assert "CartesianProduct" not in plan_of(name)
+
+
 def test_nested_schema_pruning(spark, sf_dir, tmp_path):
     """Selecting one subfield of a nested struct must prune the scan to that
     subfield (ReadSchema shows the narrowed struct) — at 100 TB reading
