@@ -101,6 +101,7 @@ def decode_features(
     content_col: str = "content",
     fake: bool = False,
     media: str = "image",
+    on_error: str = "fail",
 ) -> DataFrame:
     """Per-batch media decode -> feature vector via mapInPandas.
 
@@ -111,6 +112,14 @@ def decode_features(
     shapes and output schema (oracle runs). Same FEATURE_DIM embedding
     width for every media kind, so downstream similarity/dedup operators
     consume either uniformly.
+
+    ``on_error`` is the media analog of from_json's parse modes — at 100 TB
+    one corrupt blob must not kill a million-task job:
+    - "fail" (default): decode errors propagate (a corrupt blob fails the
+      task — the strict mode for curated inputs);
+    - "null": rows whose blob raises ValueError keep their id/n_bytes with
+      NULL features (PERMISSIVE: count/inspect the failures downstream);
+    - "skip": failing rows are dropped from the output (DROPMALFORMED).
     """
     out_schema = T.StructType(
         [
@@ -121,19 +130,32 @@ def decode_features(
     )
     if media not in ("image", "audio"):
         raise ValueError(f"unknown media kind {media!r} (image|audio)")
+    if on_error not in ("fail", "null", "skip"):
+        raise ValueError(f"unknown on_error {on_error!r} (fail|null|skip)")
     real = _real_feature if media == "image" else _real_audio_feature
     extract = _fake_feature if fake else real
+    if on_error != "fail":
+        strict = extract
+
+        def extract(content: bytes):  # noqa: F811 - permissive wrapper
+            try:
+                return strict(content)
+            except ValueError:
+                return None
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             content = pdf[content_col]
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     id_col: pdf[id_col],
                     "n_bytes": content.map(len),
                     "features": content.map(extract),
                 }
             )
+            if on_error == "skip":
+                out = out[out["features"].notna()]
+            yield out
 
     return df.mapInPandas(batches, out_schema)
 

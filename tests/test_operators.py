@@ -454,6 +454,48 @@ def test_multimodal_audio_decode_end_to_end(spark):
         assert out.loc[k, "n_bytes"] == len(wavs[k])
 
 
+def test_multimodal_permissive_decode_modes(spark):
+    """A corrupt blob among good ones: on_error='fail' fails the job,
+    'null' keeps the row with NULL features, 'skip' drops it — good rows
+    decode identically in every mode (from_json-mode analog for media)."""
+    import numpy as np
+    from pyspark.sql import types as T
+    from pyspark.sql.utils import PythonException
+
+    from spark_streaming_kafka_example_spark.functions import imaging as I
+    from spark_streaming_kafka_example_spark.operators.multimodal import (
+        decode_features,
+    )
+
+    rows = [
+        (1, bytearray(I.encode_png(_gradient_image(6, 6, 3)))),
+        (2, bytearray(b"NOT AN IMAGE AT ALL")),
+        (3, bytearray(I.encode_png(_gradient_image(4, 4, 1)))),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+    with pytest.raises(PythonException, match="unrecognized image payload"):
+        decode_features(df).count()
+    nulled = decode_features(df, on_error="null").toPandas().set_index("doc_id")
+    assert nulled.loc[2, "features"] is None
+    assert len(nulled) == 3 and nulled.loc[1, "features"] is not None
+    skipped = decode_features(df, on_error="skip").toPandas()
+    assert sorted(skipped.doc_id) == [1, 3]
+    good = nulled.drop(2)
+    assert all(
+        list(good.loc[k, "features"])
+        == list(skipped.set_index("doc_id").loc[k, "features"])
+        for k in (1, 3)
+    )
+
+
 def test_multimodal_real_decode_end_to_end(spark):
     """In-test-generated PNG/PPM images through the REAL decode path on
     both mapInPandas and mapInArrow: features must equal the locally
