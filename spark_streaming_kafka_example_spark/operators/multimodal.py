@@ -218,6 +218,7 @@ def resize_media(
     width: int = 32,
     height: int = 4,
     fake: bool = False,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Per-batch media resize via mapInPandas: content -> resized payload
     with the metadata struct rewritten to the target dimensions.
@@ -229,9 +230,15 @@ def resize_media(
     keep the operator contract: binary in/out, metadata follows content,
     Arrow batch shapes unchanged.
 
+    ``on_error``: "fail" propagates decode errors, "null" keeps failing
+    rows with NULL content, "skip" drops them (same contract as
+    decode_features — one corrupt blob must not kill the job).
+
     Scale: resize is the canonical shrink-early op — run it before any
     shuffle so downstream exchanges carry thumbnails, not originals.
     """
+    if on_error not in ("fail", "null", "skip"):
+        raise ValueError(f"unknown on_error {on_error!r} (fail|null|skip)")
     target = width * height
     out_schema = T.StructType(
         [
@@ -254,6 +261,15 @@ def resize_media(
 
         out_mime = "image/png"
 
+    if on_error != "fail":
+        strict_resize = _resize
+
+        def _resize(b: bytes):  # noqa: F811 - permissive wrapper
+            try:
+                return strict_resize(b)
+            except ValueError:
+                return None
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             metas = [
@@ -265,13 +281,16 @@ def resize_media(
                 }
                 for m in pdf[meta_col]
             ]
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     id_col: pdf[id_col],
                     "content": pdf[content_col].map(_resize),
                     "meta": metas,
                 }
             )
+            if on_error == "skip":
+                out = out[out["content"].notna()]
+            yield out
 
     return df.mapInPandas(batches, out_schema)
 

@@ -494,6 +494,26 @@ def test_multimodal_permissive_decode_modes(spark):
         == list(skipped.set_index("doc_id").loc[k, "features"])
         for k in (1, 3)
     )
+    # resize shares the contract
+    from pyspark.sql import functions as SF
+
+    from spark_streaming_kafka_example_spark.operators.multimodal import (
+        MEDIA_META_SCHEMA,
+        resize_media,
+    )
+
+    with_meta = df.withColumn(
+        "meta",
+        SF.from_json(
+            SF.lit('{"mime":"image/png","width":6,"height":6,"duration_ms":0}'),
+            MEDIA_META_SCHEMA,
+        ),
+    )
+    rz = resize_media(with_meta, width=3, height=3, on_error="skip").toPandas()
+    assert sorted(rz.doc_id) == [1, 3]
+    rz_null = resize_media(with_meta, width=3, height=3, on_error="null").toPandas()
+    assert len(rz_null) == 3
+    assert rz_null.set_index("doc_id").loc[2, "content"] is None
 
 
 def test_multimodal_real_decode_end_to_end(spark):

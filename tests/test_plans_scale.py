@@ -123,6 +123,7 @@ def test_jaccard_is_candidate_bounded(spark, sf_dir, plan_of):
 
     for plan in (
         plan_of("dedup_ngram_jaccard"),
+        plan_of("dedup_containment"),
         formatted_plan(jaccard_pair_graph(spark, sf_dir)),
     ):
         assert "Left keys [1]: [shingle" not in plan, "shingle-only self-join"
