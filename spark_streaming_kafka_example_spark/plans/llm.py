@@ -1109,6 +1109,47 @@ def dq_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dq_profile_embeddings",
+    """
+    WITH dims AS (
+        SELECT unnest(generate_series(0, len(embedding) - 1)) AS dim,
+               unnest(embedding) AS x
+        FROM embeddings
+    )
+    SELECT dim,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(CAST(x AS DOUBLE)), 4) + 0 AS mean_x,
+           round(stddev_samp(CAST(x AS DOUBLE)), 4) AS sd_x,
+           round(min(CAST(x AS DOUBLE)), 4) AS min_x,
+           round(max(CAST(x AS DOUBLE)), 4) AS max_x
+    FROM dims GROUP BY dim
+    """,
+)
+def dq_profile_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION embedding QA: count, mean, spread, range for each of
+    the vector's dims — the vector-column analog of dq_profile_events.
+    Catches the classic embedding-pipeline failures (a dead dimension:
+    sd ~ 0; a scale blowout: |mean| or range off; ragged vectors: n varies
+    by dim). One posexplode + one hash aggregation on the (tiny) dim key —
+    at 100 TB the explode is the map side and the agg state is
+    dims x 5 doubles, so this runs at scan speed. The `+ 0` in the oracle
+    normalizes DuckDB's IEEE -0.0 from rounding tiny negative means."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("x").cast("double")
+    return (
+        emb.select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(x), 4).alias("mean_x"),
+            F.round(F.stddev_samp(x), 4).alias("sd_x"),
+            F.round(F.min(x), 4).alias("min_x"),
+            F.round(F.max(x), 4).alias("max_x"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic content-hash sampling: reproducible ~10% corpus sample via
 # md5(doc_id) mod — unlike rand()-based sampling this is stable across
