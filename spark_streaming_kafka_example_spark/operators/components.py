@@ -167,7 +167,11 @@ def connected_components_star(
         selfed = smin.select(F.col("u"), F.col("m").alias("v"))
         edges_next = _canonical(hooked.union(selfed)).localCheckpoint()
         n_after = edges_next.count()
-        # set equality: same size and no edge outside the old set
+        # Set equality: same size and no edge outside the old set. The
+        # anti-join is exact; at petabyte edge counts swap it for a set
+        # fingerprint (count + sum of xxhash64(lo, hi) — one aggregate, no
+        # shuffle, collision odds ~2^-64 per round) if the per-round
+        # exceptAll shuffle ever shows up in profiles.
         if n_after == n_before and edges_next.exceptAll(edges).count() == 0:
             edges = edges_next
             converged = True

@@ -88,6 +88,30 @@ def test_asof_property_random(spark, seed):
         assert same.all(), f"{col} mismatch at seed {seed}"
 
 
+@pytest.mark.parametrize("seed", [31, 32])
+def test_components_algorithms_agree_on_random_graphs(spark, seed):
+    """min-label propagation and large-star/small-star must produce the
+    identical (node -> component-min) labeling on random graphs — sparse
+    (chains + small components) and denser (one giant component)."""
+    from spark_streaming_kafka_example_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(seed)
+    for m in (60, 200):
+        edges = [
+            (rng.randrange(0, 120), rng.randrange(0, 120)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        prop = connected_components(pairs, max_iterations=60).toPandas()
+        star = connected_components_star(pairs, max_iterations=25).toPandas()
+        assert dict(zip(prop.node, prop.cluster_id)) == dict(
+            zip(star.node, star.cluster_id)
+        ), f"seed {seed}, m {m}"
+
+
 @pytest.mark.parametrize("seed", [21, 22, 23])
 def test_audio_codec_property_random(seed):
     """Randomized WAV codec properties: (a) encode->decode round-trips any
