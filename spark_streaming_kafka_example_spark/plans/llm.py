@@ -1109,6 +1109,53 @@ def dq_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hashing-trick bucket count: token -> md5 -> first-2-hex-nibble value mod
+# N_BUCKETS. Same arithmetic both engines (the md5 nibble idiom used across
+# the dedup oracles).
+_HASH_BUCKETS = 16
+_TOK_BUCKET_SQL = (
+    "((strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 16 + "
+    "(strpos('0123456789abcdef', substring(md5(tok), 2, 1)) - 1)) % "
+    f"{_HASH_BUCKETS}"
+)
+
+
+@register(
+    "text_hashing_features",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT doc_id, {_TOK_BUCKET_SQL} AS bucket FROM toks
+    )
+    SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS tf
+    FROM bucketed GROUP BY doc_id, bucket
+    """,
+)
+def text_hashing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words: each token hashes into one of
+    _HASH_BUCKETS fixed buckets; per-doc bucket counts are the sparse
+    feature vector (doc_id, bucket, tf). The standard vocabulary-free text
+    featurizer: no dictionary to build/broadcast/version, memory bounded by
+    the bucket count, and the map side is explode + hash — at 100 TB the
+    groupBy(doc_id, bucket) shuffle carries at most |docs| x buckets rows.
+    md5 nibbles keep the bucket assignment reproducible in the oracle; at
+    cluster scale swap xxhash64 per the minhash hash_fn note."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    )
+    nib1 = F.instr(F.lit("0123456789abcdef"), F.substring(F.md5("tok"), 1, 1)) - 1
+    nib2 = F.instr(F.lit("0123456789abcdef"), F.substring(F.md5("tok"), 2, 1)) - 1
+    return (
+        toks.select("doc_id", ((nib1 * 16 + nib2) % _HASH_BUCKETS).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
 @register(
     "dq_profile_embeddings",
     """
