@@ -29,50 +29,42 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # 49). CORE pins the window to every SURVEY §2 row's canonical query plus one
 # representative per LLM-pipeline / streaming family, so each round's
 # CORRECTNESS file always covers the full operator matrix.
+# r05: trimmed to 19 per the r04 VERDICT task 1 (its 10 named candidates,
+# all >=2 green rounds, plus a3/q3/sim_topk_bruteforce/dedup_ngram_jaccard,
+# whose families keep a pinned survivor: flagship IS a sliding-window agg,
+# q1 stays for TPC-H, sim_ivf_kmeans for similarity, and dedup_clusters
+# exercises the candidate-driven jaccard verify internally) so that ALL 27
+# driver-unchecked queries plus this round's new registrations fit in the
+# 50-slot window in ONE round, closing lifetime coverage. q11 re-enters
+# CORE so its previously-vacuous (0-row) driver row re-runs against the new
+# scale-free threshold. Every §2 family retains >=1 pinned representative.
 CORE_WINDOW = [
     "flagship_sliding_alert",
-    # §2.4 projections / §2.10 UDF / §2.6 join / §2.5 filter
+    # §2.4 projections / §2.10 UDF / §2.6 join (f1's post-agg threshold
+    # filter shape is inside flagship; p5/p8-p10/f1 lifetime-proven 3-4x)
     "p1_cast_projection",
     "p2_from_json_flatten",
-    "p5_to_json_struct",
-    # p7_rename_key trimmed r04 (trivial rename, driver-proven r01-r03) to
-    # give the rotation window the 17th slot the r03 VERDICT asks for.
-    "p8_p9_timestamp_roundtrip",
-    "p10_month_partition_key",
     "p12_a1_word_count",
     "u1_u3_udf_sql",
     "j1_enrich_left_outer",
-    "f1_threshold_filter",
-    # §2.7 windowed aggregation
+    # §2.7 windowed aggregation (sliding twin = flagship)
     "a2_tumbling_window_agg",
-    "a3_sliding_window_agg",
-    # §2.8 sort/limit/set ops (set_union_distinct represents the set-op
-    # family; intersect/except/q5/u3_pandas were trimmed from the pinned set
-    # in r03 — all lifetime driver-proven — to widen the rotation window)
-    "sort_limit_topk",
-    "set_union_distinct",
-    # TPC-H canon
+    # TPC-H canon + the re-armed q11 (non-vacuous threshold this round)
     "q1_pricing_summary",
-    "q3_shipping_priority",
+    "q11_important_stock",
     # LLM-pipeline families: dedup, similarity, text, multimodal, pipeline
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
     "dedup_embedding_cosine",
     "dedup_clusters",
-    "sim_topk_bruteforce",
-    "sim_ivf_topk",
     "sim_ivf_kmeans_topk",
     "text_analysis_profile",
-    "text_quality_score",
     "multimodal_features",
     "pipeline_training_data_prep",
-    # Streaming families: windowed agg, arbitrary state, session, dedup
-    "stream_tumbling_complete",
+    # Streaming: arbitrary state + session pinned; windowed/dedup stream
+    # twins (3-4 green rounds) trimmed per the r04 VERDICT candidate list.
     "stream_stateful_running_count",
     "stream_sessionizer_closed",
-    "stream_dedup_fingerprint",
 ]
 
 
@@ -100,28 +92,42 @@ def _driver_checked_names() -> set[str]:
     return seen
 
 
-# Unchecked queries enter the window in this order first (r03 VERDICT: drain
-# the TPC-H q2-q22 block first, then the four driver-unchecked streaming
-# queries — exactly the 17 rotation slots left by the 33-entry CORE window),
-# then registration order.
+# Unchecked queries enter the window in this order first, then registration
+# order. r05 reset (r04 VERDICT task 1): the r04-new dedup block first, then
+# the capped-LSH production twin, then the remaining 21 — all 28 plus the 19
+# CORE rows fit inside the 50-slot window, so every registered query earns a
+# driver row this round. Names registered later in r05 but absent here sort
+# after these (still inside the window while total <= 50; the cut falls on
+# the newest registrations first).
 ROTATION_PRIORITY = [
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_parts_supplier",
-    "q17_small_quantity",
-    "q18_large_volume_customer",
-    "q19_discounted_revenue",
-    "q20_excess_shippers",
-    "q21_waiting_supplier",
-    "q22_global_sales_opportunity",
-    "stream_flagship_alert",
-    "stream_session_window",
-    "stream_pii_scrub",
-    "stream_topk_incremental",
+    "dedup_exact_normalized",
+    "dedup_minhash_estimate",
+    "dedup_containment",
+    "dedup_simhash_fingerprints",
+    "dedup_clusters_star",
+    "dedup_minhash_lsh_capped",
+    "u5_pandas_grouped_agg",
+    "window_rank_tour",
+    "window_frame_navigation",
+    "window_rolling_1h_range",
+    "agg_stats_tour",
+    "agg_percentile_approx",
+    "agg_freq_items",
+    "agg_linear_regression",
+    "functions_math_tour",
+    "agg_bitwise_tour",
+    "rollup_time_multires",
+    "text_tfidf_top3",
+    "text_top_ngrams",
+    "text_bigram_logfreq",
+    "text_hashing_features",
+    "text_levenshtein_pairs",
+    "vector_normalize",
+    "dq_profile_events",
+    "dq_profile_embeddings",
+    "sample_stratified_hash",
+    "sample_deterministic_10pct",
+    "multimodal_resize",
 ]
 
 

@@ -53,6 +53,13 @@ HEADLINE = [
     "text_quality_score",
     "text_levenshtein_lsh",
     "stream_vector_bucketize",
+    # r05 additions (r04 VERDICT task 5): round-over-round history for the
+    # r04-new operators, plus the capped-LSH production twin.
+    "dedup_containment",
+    "dedup_clusters_star",
+    "dedup_minhash_lsh_capped",
+    "text_hashing_features",
+    "dq_profile_embeddings",
 ]
 
 

@@ -39,6 +39,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         chunk = data[pos + 8 : pos + 8 + length]
         if cid == b"fmt ":
+            if len(chunk) < 16:
+                raise ValueError("truncated WAV fmt chunk")
             fmt = struct.unpack("<HHIIHH", chunk[:16])
         elif cid == b"data":
             raw = chunk
@@ -48,6 +50,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     tag, channels, rate, _byte_rate, _align, bits = fmt
     if tag != 1:
         raise ValueError(f"compressed WAV (format tag {tag}) not supported")
+    if channels < 1:
+        raise ValueError("WAV fmt declares zero channels")
     if bits == 16:
         samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
     elif bits == 8:

@@ -141,9 +141,22 @@ def connected_components_star(
     edges = _canonical(
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     ).localCheckpoint()
+
+    def _fingerprint(e: DataFrame) -> tuple:
+        # Order-insensitive set fingerprint: (count, sum of xxhash64(lo,hi)).
+        # One aggregate, no join/shuffle beyond the final reduce; equal
+        # fingerprints mean equal edge sets up to ~2^-64 collision odds per
+        # round. The decimal cast keeps the sum exact (Spark 4 ANSI mode
+        # would raise on long-sum overflow of 64-bit hash values).
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("lo", "hi").cast("decimal(20,0)")).alias("s"),
+        ).first()
+        return (row["n"], row["s"])
+
+    fp_before = _fingerprint(edges)
     converged = False
     for _ in range(max_iterations):
-        n_before = edges.count()
         # large-star over the symmetrized adjacency
         sym = edges.select(
             F.col("lo").alias("u"), F.col("hi").alias("v")
@@ -166,17 +179,12 @@ def connected_components_star(
         )
         selfed = smin.select(F.col("u"), F.col("m").alias("v"))
         edges_next = _canonical(hooked.union(selfed)).localCheckpoint()
-        n_after = edges_next.count()
-        # Set equality: same size and no edge outside the old set. The
-        # anti-join is exact; at petabyte edge counts swap it for a set
-        # fingerprint (count + sum of xxhash64(lo, hi) — one aggregate, no
-        # shuffle, collision odds ~2^-64 per round) if the per-round
-        # exceptAll shuffle ever shows up in profiles.
-        if n_after == n_before and edges_next.exceptAll(edges).count() == 0:
-            edges = edges_next
+        fp_after = _fingerprint(edges_next)
+        edges = edges_next
+        if fp_after == fp_before:
             converged = True
             break
-        edges = edges_next
+        fp_before = fp_after
     if not converged:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iterations} "

@@ -29,6 +29,12 @@ def z_value(cols: list[Column | str], bits: int = 12) -> Column:
     normalized to [0, 2^bits)) integer column. Column i contributes bit b
     to output position b*len(cols)+i, so all dimensions alternate from the
     least-significant end."""
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"z_value needs bits*len(cols) <= 63 (got {bits}*{len(cols)}="
+            f"{bits * len(cols)}); JVM shiftleft wraps shifts mod 64, which "
+            "would silently corrupt the Morton ordering — lower bits"
+        )
     cols = [F.col(c) if isinstance(c, str) else c for c in cols]
     acc = F.lit(0).cast("long")
     for b in range(bits):
@@ -57,12 +63,22 @@ def zorder_layout(
     top = (1 << bits) - 1
     for c in cols:
         lo, hi = stats[f"_min_{c}"], stats[f"_max_{c}"]
+        if lo is None or hi is None:
+            # Empty input or all-NULL interleave column: no meaningful
+            # bounds, so no meaningful layout — return unchanged rather
+            # than crash on float(None).
+            return df
         span = max(float(hi) - float(lo), 1.0)
+        # NULL keys are bucketed deliberately at the low end of the curve
+        # (coalesce to 0) instead of propagating to a NULL z-value.
         scaled.append(
-            F.least(
-                F.lit(top),
-                ((F.col(c).cast("double") - F.lit(float(lo)))
-                 / F.lit(span) * F.lit(top)).cast("long"),
+            F.coalesce(
+                F.least(
+                    F.lit(top),
+                    ((F.col(c).cast("double") - F.lit(float(lo)))
+                     / F.lit(span) * F.lit(top)).cast("long"),
+                ),
+                F.lit(0).cast("long"),
             )
         )
     with_z = df.withColumn("_z", z_value(scaled, bits))

@@ -796,15 +796,23 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_partkey, round(val, 2) AS part_value
     FROM pv
-    WHERE val > (SELECT sum(val) * 0.001 FROM pv)
+    WHERE val > (SELECT sum(val) * 1.5 / count(*) FROM pv)
     """,
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11's HAVING-vs-global-scalar shape. The canonical fraction
+    (0.0001/SF) is data-scale-dependent; here the cut is 1.5x the MEAN
+    per-part value, which is scale-free — non-empty and selective at every
+    SF (49 of 2000 parts at sf0.01), so the driver row actually exercises
+    the scalar-subquery arithmetic instead of matching empty relations
+    (r04 VERDICT item)."""
     li = load_table(spark, sf_dir, "lineitem")
     pv = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("val")
     )
-    threshold = pv.agg((F.sum("val") * 0.001).alias("threshold"))
+    threshold = pv.agg(
+        (F.sum("val") * 1.5 / F.count(F.lit(1))).alias("threshold")
+    )
     return (
         pv.crossJoin(F.broadcast(threshold))
         .filter(F.col("val") > F.col("threshold"))

@@ -869,3 +869,31 @@ def test_pii_regex_equivalence_spark_vs_duckdb(spark):
             f"divergence on {text!r}: spark={(row.ne, row.ns, row.ni, row.clean)} "
             f"duckdb={exp}"
         )
+
+
+def test_zorder_guards(spark):
+    """z_value must refuse bit widths that would wrap JVM shiftleft mod 64
+    (silent Morton corruption), and zorder_layout must short-circuit on
+    empty / all-NULL inputs instead of crashing on float(None)."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_kafka_example_spark.operators.zorder import (
+        z_value,
+        zorder_layout,
+    )
+
+    with pytest.raises(ValueError, match="<= 63"):
+        z_value(["a", "b", "c", "d", "e", "f"], bits=12)  # 72 bits > 63
+
+    df = spark.createDataFrame([], "a long, b long")
+    assert zorder_layout(df, ["a", "b"]).count() == 0  # empty: unchanged
+
+    nulls = spark.createDataFrame([(1, None), (2, None)], "a long, b long")
+    assert zorder_layout(nulls, ["a", "b"]).count() == 2  # all-NULL col
+
+    # NULL keys in a non-empty column bucket at the curve's low end
+    # (deterministic layout) rather than producing NULL z-values.
+    mixed = spark.createDataFrame(
+        [(i, i if i % 3 else None) for i in range(1, 31)], "a long, b long"
+    )
+    assert zorder_layout(mixed, ["a", "b"], n_files=2).count() == 30

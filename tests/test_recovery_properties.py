@@ -146,6 +146,27 @@ def test_audio_codec_property_random(seed):
                 A.decode_wav(prefix + blob)
             except ValueError:
                 pass  # the contract: malformed payloads raise ValueError
+    # Adversarial well-formed-prefix corruptions random garbage rarely hits
+    # (ADVICE r04): a truncated fmt chunk and a fmt declaring 0 channels
+    # must also surface as ValueError, or the permissive on_error modes
+    # would die on exactly the blobs they exist for.
+    import struct
+
+    short_fmt = struct.pack("<HHI", 1, 1, 8000)  # only 8 of 16 fmt bytes
+    trunc = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(short_fmt)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(short_fmt)) + short_fmt
+    )
+    with pytest.raises(ValueError, match="truncated"):
+        A.decode_wav(trunc)
+    fmt0 = struct.pack("<HHIIHH", 1, 0, 8000, 16000, 2, 16)
+    zero_ch = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt0) + 8 + 4) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt0)) + fmt0
+        + b"data" + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    )
+    with pytest.raises(ValueError, match="zero channels"):
+        A.decode_wav(zero_ch)
 
 
 @pytest.mark.parametrize("seed", [11, 12])
