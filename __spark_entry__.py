@@ -128,6 +128,15 @@ ROTATION_PRIORITY = [
     "sample_stratified_hash",
     "sample_deterministic_10pct",
     "multimodal_resize",
+    # r05-new textprep queries: only as many fit as the window has spare
+    # slots (3 with the 19-row CORE); the novel stateful operator and the
+    # decontamination/BM25 families go first, the rest drain in r06.
+    "pack_sequences_greedy",
+    "text_decontaminate",
+    "sim_bm25_topk",
+    "text_repetition_profile",
+    "pack_sequences_chunked",
+    "text_pmi_bigrams",
 ]
 
 

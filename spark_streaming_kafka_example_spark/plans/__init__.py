@@ -44,4 +44,4 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 def load_all() -> None:
     """Import every plan module so its @register calls run."""
-    from . import parity, tpch, tpch_more, windows_stats, llm, stream  # noqa: F401
+    from . import parity, tpch, tpch_more, windows_stats, llm, textprep, stream  # noqa: F401

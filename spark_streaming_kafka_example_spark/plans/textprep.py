@@ -1,0 +1,453 @@
+"""Training-data text-prep queries (r05): decontamination, repetition
+profiling, BM25 retrieval, sequence packing, PMI collocations.
+
+These extend the LLM-pipeline surface of plans/llm.py with the remaining
+stages a large-scale pretraining pipeline runs between dedup and
+tokenization: strip eval-set contamination, drop degenerate repetitious
+docs, retrieve/inspect by lexical relevance, pack documents into
+fixed-length training sequences, and mine collocations for tokenizer /
+quality diagnostics. All arithmetic is reproduced exactly in the DuckDB
+oracles (same conventions as plans/llm.py: md5-free integer/double math,
+identical aliases, round(4) on float aggs, BIGINT casts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.text import shingles_from_words
+from ..operators.packing import pack_greedy
+from ..sources import load_table
+from . import register
+
+# ---------------------------------------------------------------------------
+# Decontamination: flag corpus docs sharing any word 5-gram with a
+# benchmark/eval set. The eval set here is derived deterministically from
+# the corpus itself (the leading 40% of every 11th doc — simulating eval
+# questions quoted from source documents) so the operator's positive path
+# is observable without external fixtures.
+#
+# Scale: the benchmark n-gram set is tiny relative to the corpus (eval
+# suites are MBs, corpora are TBs) — broadcast it and the whole check is a
+# map-side semi-join over the corpus n-gram explode: no shuffle of corpus
+# data at all. The groupBy(doc_id) that counts hits shuffles only the HIT
+# rows, which is ~|contaminated docs|, not |corpus|.
+# ---------------------------------------------------------------------------
+
+_DECON_N = 5  # eval snippets are >= 40% of a >=10-word doc; 5-grams exist
+              # for snippets of >= 5 words (docs >= 13 words)
+
+_BENCH_GRAMS_CTE = f"""
+bench AS (
+    SELECT doc_id AS bench_id,
+           substring(text, 1, CAST(floor(2*length(text)/5.0) AS INT)) AS snippet
+    FROM documents WHERE doc_id % 11 = 0
+),
+bw AS (SELECT bench_id, string_split(snippet, ' ') AS w FROM bench),
+bench_grams AS (
+    SELECT DISTINCT bench_id,
+           unnest(list_transform(generate_series(1, greatest(len(w) - {_DECON_N - 1}, 0)),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))
+               AS gram
+    FROM bw
+)"""
+
+
+@register(
+    "text_decontaminate",
+    f"""
+    WITH {_BENCH_GRAMS_CTE.strip()},
+    cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    corpus_grams AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(w) - {_DECON_N - 1}, 0)),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))
+                   AS gram
+        FROM cw
+    )
+    SELECT c.doc_id,
+           CAST(count(DISTINCT c.gram) AS BIGINT) AS n_hit_ngrams,
+           CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+    FROM corpus_grams c JOIN bench_grams b ON c.gram = b.gram
+    GROUP BY c.doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-overlap decontamination: per corpus doc, how many distinct
+    word 5-grams collide with the (broadcast) eval-snippet n-gram set, and
+    how many distinct eval items are implicated. Docs with no overlap are
+    absent (the clean majority never leaves the map side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    snippet = F.expr(
+        "substring(text, 1, CAST(floor(2*length(text)/5.0) AS INT))"
+    )
+    bench_grams = (
+        docs.filter(F.col("doc_id") % 11 == 0)
+        .select(F.col("doc_id").alias("bench_id"), F.split(snippet, " ").alias("_w"))
+        .select(
+            "bench_id",
+            F.explode(shingles_from_words("_w", _DECON_N)).alias("gram"),
+        )
+        .distinct()
+    )
+    corpus_grams = (
+        docs.select("doc_id", F.split("text", " ").alias("_w"))
+        .select("doc_id", F.explode(shingles_from_words("_w", _DECON_N)).alias("gram"))
+        .distinct()
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_hit_ngrams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition profile (Gopher-style intra-document repetition rules,
+# Rae et al. 2021 §A1.1): the fraction of 2-gram occurrences taken by the
+# single most frequent 2-gram, and the fraction of duplicate 2-/3-gram
+# occurrences. Degenerate generated/boilerplate text scores high; the
+# composite flag is the filter bit.
+#
+# Scale: explode + two hash aggregations keyed on (doc_id[, gram]) — the
+# per-doc state is a handful of counters, the gram agg is map-side
+# combinable, nothing is quadratic.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition_profile",
+    """
+    WITH wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g2 AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                      i -> w[i] || ' ' || w[i+1])) AS g
+        FROM wl
+    ),
+    g3 AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        FROM wl
+    ),
+    c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+    p2 AS (
+        SELECT doc_id,
+               round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_2gram_frac,
+               round(1 - count(*) / CAST(sum(c) AS DOUBLE), 4) AS dup_2gram_frac
+        FROM c2 GROUP BY doc_id
+    ),
+    c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
+    p3 AS (
+        SELECT doc_id,
+               round(1 - count(*) / CAST(sum(c) AS DOUBLE), 4) AS dup_3gram_frac
+        FROM c3 GROUP BY doc_id
+    )
+    SELECT p2.doc_id, top_2gram_frac, dup_2gram_frac, dup_3gram_frac,
+           (top_2gram_frac >= 0.08 OR dup_2gram_frac >= 0.06) AS repetitious
+    FROM p2 JOIN p3 ON p2.doc_id = p3.doc_id
+    """,
+)
+def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition metrics + flag. Thresholds (0.08 / 0.06) sit at
+    ~2x the corpus mean so the flag splits the fixture non-trivially."""
+    docs = load_table(spark, sf_dir, "documents")
+    wl = docs.select("doc_id", F.split("text", " ").alias("_w"))
+    g2 = wl.select("doc_id", F.explode(shingles_from_words("_w", 2)).alias("g"))
+    g3 = wl.select("doc_id", F.explode(shingles_from_words("_w", 3)).alias("g"))
+    c2 = g2.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    p2 = c2.groupBy("doc_id").agg(
+        F.round(F.max("c") / F.sum("c").cast("double"), 4).alias("top_2gram_frac"),
+        F.round(
+            1 - F.count(F.lit(1)) / F.sum("c").cast("double"), 4
+        ).alias("dup_2gram_frac"),
+    )
+    c3 = g3.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    p3 = c3.groupBy("doc_id").agg(
+        F.round(
+            1 - F.count(F.lit(1)) / F.sum("c").cast("double"), 4
+        ).alias("dup_3gram_frac"),
+    )
+    return p2.join(p3, "doc_id").select(
+        "doc_id",
+        "top_2gram_frac",
+        "dup_2gram_frac",
+        "dup_3gram_frac",
+        (
+            (F.col("top_2gram_frac") >= 0.08) | (F.col("dup_2gram_frac") >= 0.06)
+        ).alias("repetitious"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval: score every doc against a fixed term set with the Lucene
+# BM25 formula (k1=1.2, b=0.75, idf = ln(1 + (N-df+0.5)/(df+0.5))) and
+# return the top 10.
+#
+# Scale: tf comes from the token explode filtered to the query terms — the
+# filter happens BEFORE any shuffle, so only matching tokens move; df and
+# the N/avgdl scalars are tiny broadcast relations; the final top-k is
+# TakeOrderedAndProject (no global sort). This is the ad-hoc-query shape;
+# a serving index would materialize tf as a bucketed posting table.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "customer", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@register(
+    "sim_bm25_topk",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+               avg(CAST(dl AS DOUBLE)) AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, tok, count(*) AS tf FROM toks
+        WHERE tok IN ({_TERMS_SQL}) GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok)
+    SELECT t.doc_id,
+           round(sum(
+               ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+               * t.tf * ({_BM25_K1} + 1)
+               / (t.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * d.dl / s.avgdl))
+           ), 4) AS bm25
+    FROM tf t
+    JOIN df f ON t.tok = f.tok
+    JOIN dl d ON t.doc_id = d.doc_id
+    CROSS JOIN stats s
+    GROUP BY t.doc_id
+    ORDER BY bm25 DESC, t.doc_id
+    LIMIT 10
+    """,
+)
+def sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    dl = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    term_score = (
+        idf
+        * F.col("tf")
+        * (_BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing. Shard = `source`, order = doc_id, capacity in
+# whitespace tokens. See operators/packing.py for the strategy notes.
+# ---------------------------------------------------------------------------
+
+_PACK_CAP = 256
+
+
+@register(
+    "pack_sequences_chunked",
+    f"""
+    WITH wl AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, source, n_tok,
+               coalesce(sum(n_tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM wl
+    )
+    SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(floor(cum_before / {_PACK_CAP}.0) AS BIGINT) AS first_seq,
+           CAST(floor((cum_before + n_tok - 1) / {_PACK_CAP}.0) AS BIGINT)
+               AS last_seq
+    FROM cum
+    """,
+)
+def pack_sequences_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing: each doc's token span inside its shard's
+    concatenation maps to [first_seq, last_seq] of the cap-{_PACK_CAP}
+    sequence grid. Pure running-sum window arithmetic — stays in codegen,
+    one shuffle on the shard key."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    wl = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return wl.select(
+        "doc_id",
+        "source",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.floor(cum_before / float(_PACK_CAP)).alias("first_seq"),
+        F.floor((cum_before + F.col("n_tok") - 1) / float(_PACK_CAP)).alias(
+            "last_seq"
+        ),
+    )
+
+
+@register(
+    "pack_sequences_greedy",
+    f"""
+    WITH RECURSIVE wl AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    ord AS (
+        SELECT doc_id, source, n_tok,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM wl
+    ),
+    packed AS (
+        SELECT doc_id, source, n_tok, rn,
+               0 AS seq_id, n_tok AS fill
+        FROM ord WHERE rn = 1
+        UNION ALL
+        SELECT o.doc_id, o.source, o.n_tok, o.rn,
+               CASE WHEN p.fill + o.n_tok > {_PACK_CAP}
+                    THEN p.seq_id + 1 ELSE p.seq_id END,
+               CASE WHEN p.fill + o.n_tok > {_PACK_CAP}
+                    THEN o.n_tok ELSE p.fill + o.n_tok END
+        FROM packed p JOIN ord o ON o.source = p.source AND o.rn = p.rn + 1
+    )
+    SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(seq_id AS BIGINT) AS seq_id
+    FROM packed
+    """,
+)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-straddle greedy packing via the applyInPandas operator. The
+    oracle replays the same sequential fold as a recursive CTE (one row
+    per step), proving the distributed stateful operator against a
+    reference implementation of the recurrence."""
+    docs = load_table(spark, sf_dir, "documents")
+    wl = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    return pack_greedy(wl, cap=_PACK_CAP).select(
+        "source", "doc_id", "n_tok", "seq_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations: pointwise mutual information of adjacent word pairs,
+# ln( p(ab) / (p(a) p(b)) ) — the classic collocation/tokenizer-merge
+# diagnostic. Unigram and bigram tables are both corpus aggregates; the
+# totals are 1-row broadcasts; the scoring join keys on the (small) word
+# vocabulary. min-count floor keeps the estimate stable.
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 20
+
+
+@register(
+    "text_pmi_bigrams",
+    f"""
+    WITH wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    uni AS (
+        SELECT unnest(w) AS tok FROM wl
+    ),
+    uc AS (SELECT tok, count(*) AS c1 FROM uni GROUP BY tok),
+    ut AS (SELECT CAST(sum(c1) AS DOUBLE) AS t1 FROM uc),
+    bg AS (
+        SELECT unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                      i -> w[i] || ' ' || w[i+1])) AS g
+        FROM wl
+    ),
+    bc AS (SELECT g, count(*) AS c2 FROM bg GROUP BY g),
+    bt AS (SELECT CAST(sum(c2) AS DOUBLE) AS t2 FROM bc)
+    SELECT string_split(g, ' ')[1] AS w1,
+           string_split(g, ' ')[2] AS w2,
+           CAST(c2 AS BIGINT) AS n,
+           round(ln((c2 / t2) / ((a.c1 / t1) * (b.c1 / t1))), 4) + 0 AS pmi
+    FROM bc
+    JOIN uc a ON a.tok = string_split(g, ' ')[1]
+    JOIN uc b ON b.tok = string_split(g, ' ')[2]
+    CROSS JOIN ut CROSS JOIN bt
+    WHERE c2 >= {_PMI_MIN_COUNT}
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-pair collocations by PMI (count floor
+    {_PMI_MIN_COUNT}). `+ 0` in the oracle: PMI of independent pairs
+    rounds to tiny negatives, where DuckDB keeps IEEE -0.0."""
+    docs = load_table(spark, sf_dir, "documents")
+    wl = docs.select("doc_id", F.split("text", " ").alias("_w"))
+    uc = (
+        wl.select(F.explode("_w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    ut = uc.agg(F.sum("c1").cast("double").alias("t1"))
+    bc = (
+        wl.select(F.explode(shingles_from_words("_w", 2)).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    bt = bc.agg(F.sum("c2").cast("double").alias("t2"))
+    w1 = F.split("g", " ").getItem(0)
+    w2 = F.split("g", " ").getItem(1)
+    a = uc.select(F.col("tok").alias("_w1tok"), F.col("c1").alias("_c1a"))
+    b = uc.select(F.col("tok").alias("_w2tok"), F.col("c1").alias("_c1b"))
+    pmi = F.log(
+        (F.col("c2") / F.col("t2"))
+        / ((F.col("_c1a") / F.col("t1")) * (F.col("_c1b") / F.col("t1")))
+    )
+    return (
+        bc.filter(F.col("c2") >= _PMI_MIN_COUNT)
+        .withColumn("w1", w1)
+        .withColumn("w2", w2)
+        .join(F.broadcast(a), F.col("w1") == F.col("_w1tok"))
+        .join(F.broadcast(b), F.col("w2") == F.col("_w2tok"))
+        .crossJoin(F.broadcast(ut))
+        .crossJoin(F.broadcast(bt))
+        .select(
+            "w1",
+            "w2",
+            F.col("c2").alias("n"),
+            F.round(pmi, 4).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )

@@ -897,3 +897,46 @@ def test_zorder_guards(spark):
         [(i, i if i % 3 else None) for i in range(1, 31)], "a long, b long"
     )
     assert zorder_layout(mixed, ["a", "b"], n_files=2).count() == 30
+
+
+def test_pack_greedy_invariants(spark):
+    """Greedy packing invariants on random shard/size data: per-sequence
+    fill never exceeds cap (except a single oversized doc alone in its
+    sequence), seq_ids are consecutive from 0 per shard, docs in a
+    sequence are contiguous in order, and packing is greedy (a doc never
+    starts a new sequence when it would have fit in the previous one)."""
+    import random
+
+    from spark_streaming_kafka_example_spark.operators.packing import pack_greedy
+
+    rng = random.Random(7)
+    cap = 100
+    rows = []
+    for shard in ["s0", "s1", "s2"]:
+        for i in range(rng.randrange(30, 60)):
+            rows.append((shard, i, rng.choice([3, 17, 40, 75, 99, 150])))
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tok long")
+    got = pack_greedy(df, cap=cap).collect()
+    assert len(got) == len(rows)
+    by_shard: dict = {}
+    for r in got:
+        by_shard.setdefault(r.source, []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.doc_id)
+        fills: dict = {}
+        for r in rs:
+            fills[r.seq_id] = fills.get(r.seq_id, 0) + r.n_tok
+        for seq, fill in fills.items():
+            n_docs = sum(1 for r in rs if r.seq_id == seq)
+            assert fill <= cap or n_docs == 1, (shard, seq, fill)
+        seqs = [r.seq_id for r in rs]
+        assert seqs == sorted(seqs), "docs in a sequence must be contiguous"
+        assert sorted(set(seqs)) == list(range(max(seqs) + 1))
+        # greedy: each new sequence starts only because of overflow
+        for a, b in zip(rs, rs[1:]):
+            if b.seq_id == a.seq_id + 1:
+                prev_fill = fills[a.seq_id]
+                assert prev_fill + b.n_tok > cap, (shard, b.doc_id)
+
+    with pytest.raises(ValueError, match="cap"):
+        pack_greedy(df, cap=0)

@@ -331,3 +331,33 @@ def test_range_partitioned_sorted_write(spark, sf_dir, tmp_path):
     for f in glob.glob(out + "/part-*.parquet"):
         part = spark.read.parquet(f).select("user_id").toPandas().user_id
         assert list(part) == sorted(part), f"{f} not sorted"
+
+
+def test_decontaminate_broadcasts_benchmark(plan_of):
+    """The eval-set n-gram relation is tiny at any corpus scale: it must be
+    the broadcast side, so the corpus n-gram explode never shuffles."""
+    plan = plan_of("text_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_topk_and_broadcast_stats(plan_of):
+    """BM25: top-k via TakeOrderedAndProject (no global sort); df/stats are
+    broadcast; the term filter runs before any exchange (only matching
+    tokens move)."""
+    plan = plan_of("sim_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_chunked_single_shard_shuffle(plan_of):
+    """Chunked packing is one window over the shard key: exactly one
+    exchange (hash by source), no sort beyond the per-partition window
+    sort, no UDF (whole-stage codegen end-to-end)."""
+    plan = plan_of("pack_sequences_chunked")
+    # each physical Exchange appears twice in formatted output (tree + detail)
+    assert plan.count("Exchange") == 2
+    assert "Window" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
