@@ -137,6 +137,10 @@ ROTATION_PRIORITY = [
     "text_repetition_profile",
     "pack_sequences_chunked",
     "text_pmi_bigrams",
+    "dedup_semdedup",
+    "sample_domain_mixture",
+    "stream_pack_greedy",
+    "text_chunk_windows",
 ]
 
 

@@ -60,6 +60,11 @@ HEADLINE = [
     "dedup_minhash_lsh_capped",
     "text_hashing_features",
     "dq_profile_embeddings",
+    # r05-new operator families
+    "dedup_semdedup",
+    "text_decontaminate",
+    "sim_bm25_topk",
+    "pack_sequences_greedy",
 ]
 
 

@@ -38,6 +38,7 @@ __all__ = [
     "simhash_fingerprints",
     "simhash_near_pairs",
     "embedding_near_pairs",
+    "semdedup_pairs",
 ]
 
 
@@ -523,5 +524,50 @@ def embedding_near_pairs(
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select("id_a", "id_b", F.round(cosine_pandas("va", "vb"), 4).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def semdedup_pairs(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    assign every vector to its nearest centroid, then compare pairs ONLY
+    within a cluster — the pairwise term drops from |corpus|^2 to
+    sum(|cluster|^2), and clusters are the unit of parallelism. Output
+    (bucket, id_a, id_b, cos) with cos >= threshold, id_a < id_b.
+
+    Contrast with ``embedding_near_pairs`` (hyperplane LSH): LSH buckets
+    are recall-tunable and need no training pass, k-means clusters give
+    the semantic grouping SemDeDup prunes within. Same scale rules apply:
+    centroids are broadcast, assignment is one argmax hash-agg pass, the
+    intra-cluster self-join is bucket-keyed (never all-pairs), and a
+    degenerate giant cluster should be split by raising k — the analogue
+    of lsh_candidate_pairs' max_bucket_size guard.
+    """
+    from ..functions.vectors import cosine_pandas
+    from .similarity import assign_buckets
+
+    assigned = assign_buckets(emb, centroids, id_col, vec_col).localCheckpoint()
+    a = assigned.select(
+        F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = assigned.select(
+        F.col("bucket").alias("_bb"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    return (
+        a.join(b, (F.col("bucket") == F.col("_bb")) & (F.col("id_a") < F.col("id_b")))
+        .select(
+            "bucket",
+            "id_a",
+            "id_b",
+            F.round(cosine_pandas("va", "vb"), 4).alias("cos"),
+        )
         .filter(F.col("cos") >= threshold)
     )

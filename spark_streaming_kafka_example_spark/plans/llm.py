@@ -759,6 +759,54 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): k-means the embedding space, then prune
+# near-identical pairs WITHIN each cluster — the cluster-scoped sibling of
+# dedup_embedding_cosine's hyperplane-LSH blocking. The oracle replays the
+# deterministic Lloyd training (same CTEs as sim_ivf_kmeans_topk), the
+# argmax assignment, and the bucket-keyed self-join exactly.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_semdedup",
+    f"""
+    WITH {_EMB_CORPUS_CTE.strip()},
+    e AS (SELECT vec_id, v FROM ecorpus),
+    c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {_KMEANS_K}),
+    {_kmeans_iter_sql(1, 'c0')},
+    {_kmeans_iter_sql(2, 'c1')},
+    assigned AS (
+        SELECT vec_id, v, bucket FROM (
+            SELECT e.vec_id, e.v, c2.cent_id AS bucket,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({_DOT.format(a='e.v', b='c2.cv')}
+                             / ({_NORM.format(a='e.v')} * {_NORM.format(a='c2.cv')}), 4)
+                             DESC, c2.cent_id) AS crnk
+            FROM e, c2)
+        WHERE crnk = 1
+    )
+    SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_DOT.format(a='a.v', b='b.v')}
+                 / ({_NORM.format(a='a.v')} * {_NORM.format(a='b.v')}), 4) AS cos
+    FROM assigned a JOIN assigned b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round({_DOT.format(a='a.v', b='b.v')}
+                / ({_NORM.format(a='a.v')} * {_NORM.format(a='b.v')}), 4) >= 0.99
+    """,
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import semdedup_pairs
+    from ..operators.similarity import kmeans_centroids
+
+    corpus = _emb_corpus(spark, sf_dir)
+    cent = kmeans_centroids(corpus, k=_KMEANS_K, iterations=2).select(
+        F.col("cent_id").alias("vec_id"), F.col("cv").alias("embedding")
+    )
+    return semdedup_pairs(corpus, cent, threshold=0.99)
+
+
+# ---------------------------------------------------------------------------
 # Text analysis: token counts, quality, language-ID, fingerprints.
 # ---------------------------------------------------------------------------
 

@@ -603,3 +603,55 @@ def stream_sessionizer_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "session_start", "session_end", "n_events",
         F.round("session_value", 2).alias("session_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming greedy sequence packing (r05): the pack_sequences_greedy fold
+# as arbitrary keyed state — one open (seq, fill) pair per shard carried
+# across micro-batches, each doc's assignment emitted exactly once
+# (append). The bounded single-batch drain equals the batch operator, so
+# the oracle is the same recursive CTE.
+# ---------------------------------------------------------------------------
+
+from .textprep import _PACK_CAP  # noqa: E402
+
+
+@register(
+    "stream_pack_greedy",
+    f"""
+    WITH RECURSIVE wl AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    ord AS (
+        SELECT doc_id, source, n_tok,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM wl
+    ),
+    packed AS (
+        SELECT doc_id, source, n_tok, rn,
+               0 AS seq_id, n_tok AS fill
+        FROM ord WHERE rn = 1
+        UNION ALL
+        SELECT o.doc_id, o.source, o.n_tok, o.rn,
+               CASE WHEN p.fill + o.n_tok > {_PACK_CAP}
+                    THEN p.seq_id + 1 ELSE p.seq_id END,
+               CASE WHEN p.fill + o.n_tok > {_PACK_CAP}
+                    THEN o.n_tok ELSE p.fill + o.n_tok END
+        FROM packed p JOIN ord o ON o.source = p.source AND o.rn = p.rn + 1
+    )
+    SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(seq_id AS BIGINT) AS seq_id
+    FROM packed
+    """,
+)
+def stream_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import stateful_greedy_packer
+
+    docs = documents_stream(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    out = stateful_greedy_packer(docs, cap=_PACK_CAP)
+    return run_to_table(spark, out, "append")

@@ -451,3 +451,132 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture sampling: resample the corpus toward an explicit target
+# mixture over `source` shards under a total budget — the static
+# data-mixing step (DoReMi/Pile-style weights) that runs after filtering
+# and before packing. Per-shard rate = min(1, budget * p_s / n_s): over-
+# weighted shards saturate (keep everything), the rest downsample by a
+# deterministic doc_id-hash gate, so the sample is reproducible and
+# join-stable across runs.
+#
+# Scale: shard counts are one tiny aggregate (broadcast back); the gate is
+# a map-side filter on a hash of the key — no shuffle of kept rows, no
+# rand() (nondeterministic re-execution poisons retries at scale).
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET_FRAC = 0.5  # sample half the corpus...
+_MIX_W_SRC0, _MIX_W_SRC1 = 0.30, 0.20  # ...weighted toward curated shards
+
+_MIX_P_SQL = (
+    f"CASE source WHEN 'src0' THEN CAST({_MIX_W_SRC0} AS DOUBLE) "
+    f"WHEN 'src1' THEN CAST({_MIX_W_SRC1} AS DOUBLE) "
+    f"ELSE CAST({1 - _MIX_W_SRC0 - _MIX_W_SRC1} AS DOUBLE) / 18 END"
+)
+_HASH256_SQL = (
+    "((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + "
+    "(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1))"
+)
+
+
+@register(
+    "sample_domain_mixture",
+    f"""
+    WITH ns AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM ns),
+    rates AS (
+        SELECT source,
+               least(CAST(1 AS DOUBLE),
+                     CAST({_MIX_BUDGET_FRAC} AS DOUBLE) * nn * ({_MIX_P_SQL}) / n)
+                   AS rate
+        FROM ns CROSS JOIN tot
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE {_HASH256_SQL} < floor(r.rate * 256)
+    """,
+)
+def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ns = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = ns.agg(F.sum("n").cast("double").alias("nn"))
+    p = (
+        F.when(F.col("source") == "src0", F.lit(_MIX_W_SRC0))
+        .when(F.col("source") == "src1", F.lit(_MIX_W_SRC1))
+        .otherwise(F.lit((1 - _MIX_W_SRC0 - _MIX_W_SRC1) / 18))
+    )
+    rates = (
+        ns.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.least(
+                F.lit(1.0), F.lit(_MIX_BUDGET_FRAC) * F.col("nn") * p / F.col("n")
+            ).alias("rate"),
+        )
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    nib1 = F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
+    nib2 = F.instr(F.lit("0123456789abcdef"), F.substring(h, 2, 1)) - 1
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter((nib1 * 16 + nib2) < F.floor(F.col("rate") * 256))
+        .select("doc_id", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping chunk windows (RAG / context-window prep): split each doc
+# into fixed-size token windows with overlap — the retrieval-granularity
+# sibling of sequence packing. Pure explode over a precomputed start
+# sequence: no UDF, no shuffle at all (chunk rows inherit the scan's
+# partitioning; a downstream embed/index stage supplies its own).
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 32, 24  # 8-token overlap
+
+
+@register(
+    "text_chunk_windows",
+    f"""
+    WITH wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    starts AS (
+        SELECT doc_id, w,
+               unnest(generate_series(1, greatest(len(w), 1), {_CHUNK_STRIDE}))
+                   AS start
+        FROM wl
+    )
+    SELECT doc_id,
+           CAST((start - 1) / {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           array_to_string(w[start:start + {_CHUNK_SIZE} - 1], ' ') AS chunk,
+           CAST(least({_CHUNK_SIZE}, len(w) - start + 1) AS BIGINT)
+               AS n_chunk_tok
+    FROM starts
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token windows of {_CHUNK_SIZE} with stride {_CHUNK_STRIDE}. The
+    final window of a doc may be short (>=1 token); chunk_id numbers
+    windows from 0 in order."""
+    docs = load_table(spark, sf_dir, "documents")
+    wl = docs.select("doc_id", F.split("text", " ").alias("w"))
+    starts = wl.select(
+        "doc_id",
+        "w",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("w"), F.lit(1)), F.lit(_CHUNK_STRIDE)
+            )
+        ).alias("start"),
+    )
+    return starts.select(
+        "doc_id",
+        ((F.col("start") - 1) / _CHUNK_STRIDE).cast("long").alias("chunk_id"),
+        F.concat_ws(" ", F.slice("w", F.col("start"), F.lit(_CHUNK_SIZE))).alias(
+            "chunk"
+        ),
+        F.least(
+            F.lit(_CHUNK_SIZE), F.size("w") - F.col("start") + 1
+        ).cast("long").alias("n_chunk_tok"),
+    )

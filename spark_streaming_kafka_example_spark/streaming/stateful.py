@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
-__all__ = ["stateful_running_count", "stateful_sessionizer"]
+__all__ = ["stateful_running_count", "stateful_sessionizer", "stateful_greedy_packer"]
 
 _OUTPUT_SCHEMA = T.StructType(
     [
@@ -172,6 +172,69 @@ def stateful_sessionizer(
         update,
         outputStructType=_SESSION_OUTPUT_SCHEMA,
         stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_PACK_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_tok", T.LongType()),
+        T.StructField("seq_id", T.LongType()),
+    ]
+)
+# state: (current open sequence id, tokens already in it)
+_PACK_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType()),
+        T.StructField("fill", T.LongType()),
+    ]
+)
+
+
+def stateful_greedy_packer(
+    docs: DataFrame,
+    cap: int,
+    shard_col: str = "source",
+    order_col: str = "doc_id",
+    size_col: str = "n_tok",
+) -> DataFrame:
+    """Streaming twin of ``operators.packing.pack_greedy``: greedy
+    no-straddle sequence packing as arrival-order keyed state (one open
+    (seq, fill) pair per shard, carried across micro-batches). Each doc's
+    assignment is emitted exactly once -> append mode.
+
+    Order caveat, stated honestly: greedy packing is order-sensitive, and a
+    stream packs in ARRIVAL order — within a micro-batch rows are folded in
+    ``order_col`` order, but across batches whatever the source delivered
+    first is packed first. The bounded single-batch oracle run therefore
+    equals the batch operator; a production multi-batch run is a valid
+    greedy packing of arrival order (what an ingestion pipeline actually
+    wants), not of global ``order_col`` order.
+    """
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(order_col)
+        seq, fill = state.get if state.exists else (0, 0)
+        out = []
+        for doc, n in zip(rows[order_col], rows[size_col]):
+            if fill > 0 and fill + n > cap:
+                seq, fill = seq + 1, 0
+            out.append((key[0], int(doc), int(n), seq))
+            fill += n
+        state.update((seq, fill))
+        yield pd.DataFrame(out, columns=["source", "doc_id", "n_tok", "seq_id"])
+
+    return docs.groupBy(shard_col).applyInPandasWithState(
+        update,
+        outputStructType=_PACK_OUTPUT_SCHEMA,
+        stateStructType=_PACK_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

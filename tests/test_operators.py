@@ -940,3 +940,25 @@ def test_pack_greedy_invariants(spark):
 
     with pytest.raises(ValueError, match="cap"):
         pack_greedy(df, cap=0)
+
+
+def test_semdedup_recovers_planted_copies(spark, sf_dir):
+    """Every planted exact copy (vec_id + 100000) must be pruned by
+    SemDeDup: identical vectors always share a cluster (deterministic
+    argmax tie-break), so each plant forms a cos=1.0 intra-cluster pair
+    with its original."""
+    from spark_streaming_kafka_example_spark.plans import llm
+
+    pairs = llm.dedup_semdedup(spark, sf_dir).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    emb_ids = {
+        r.vec_id
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id").collect()
+    }
+    planted = {(v, v + 100000) for v in emb_ids if v % 10 == 0}
+    missing = planted - got
+    assert not missing, f"plants not pruned: {sorted(missing)[:5]}"
+    for r in pairs:
+        if (r.id_a, r.id_b) in planted:
+            assert r.cos == 1.0

@@ -361,3 +361,35 @@ def test_pack_chunked_single_shard_shuffle(plan_of):
     assert plan.count("Exchange") == 2
     assert "Window" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_semdedup_broadcasts_centroids_no_cartesian(spark, sf_dir, plan_of):
+    """SemDeDup: the assignment pass broadcasts the centroid table (checked
+    on assign_buckets directly — the registered query checkpoints the
+    assigned relation, hiding that stage); the intra-cluster pair join is
+    bucket-keyed (shuffle equi-join is fine, cartesian is not)."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_kafka_example_spark.operators.similarity import (
+        assign_buckets,
+    )
+    from spark_streaming_kafka_example_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 8)
+    assign_plan = formatted_plan(assign_buckets(emb, cent))
+    assert "BroadcastNestedLoopJoin" in assign_plan  # centroid cross, tiny side
+    assert "CartesianProduct" not in assign_plan
+
+    plan = plan_of("dedup_semdedup")
+    assert "CartesianProduct" not in plan
+    assert "bucket" in plan  # pair join keyed on the cluster id
+
+
+def test_domain_mixture_is_map_side_gate(plan_of):
+    """The mixture sampler's rate table is broadcast back to the scan and
+    the hash gate is a filter — no shuffle of the kept documents."""
+    plan = plan_of("sample_domain_mixture")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

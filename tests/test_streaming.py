@@ -498,3 +498,46 @@ def test_stateful_sessionizer_closed_sessions_match_batch(spark, sf_dir):
     )
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_stateful_greedy_packer_state_across_batches(spark, tmp_path):
+    """The streaming packer's (seq, fill) state must carry across
+    micro-batches: a shard whose docs arrive over three batches packs
+    exactly like one batch of the same arrival order — no seq reset, no
+    phantom sequence boundary at batch edges, cap respected throughout."""
+    from spark_streaming_kafka_example_spark.streaming.stateful import (
+        stateful_greedy_packer,
+    )
+
+    src = str(tmp_path / "pack_src")
+    schema = "source string, doc_id long, n_tok long"
+    # shard A: 60+30 fills seq 0 (cap 100), 40 overflows -> seq 1, 90 -> 2
+    batches = [
+        [("A", 0, 60), ("B", 10, 95)],
+        [("A", 1, 30), ("A", 2, 40)],
+        [("A", 3, 90), ("B", 11, 10)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        stateful_greedy_packer(stream, cap=100)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("t_pack_mb")
+        .option("checkpointLocation", str(tmp_path / "pack_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.source, r.doc_id): r.seq_id for r in spark.table("t_pack_mb").collect()}
+    # batch order == arrival order here, so the fold is deterministic
+    assert got == {
+        ("A", 0): 0, ("A", 1): 0, ("A", 2): 1, ("A", 3): 2,
+        ("B", 10): 0, ("B", 11): 1,
+    }, got
