@@ -141,6 +141,7 @@ ROTATION_PRIORITY = [
     "sample_domain_mixture",
     "stream_pack_greedy",
     "text_chunk_windows",
+    "dedup_incremental_exact",
 ]
 
 

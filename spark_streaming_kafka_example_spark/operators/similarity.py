@@ -122,7 +122,11 @@ def kmeans_centroids(
                 lambda s: s["val"],
             ).alias("cv")
         ).select(F.col("bucket").alias("cent_id"), "cv")
-    return cent
+    # Materialize the k-row result: consumers reference the centroid table
+    # from several operators (IVF assigns with it AND probes with it), and
+    # without the cut each broadcast would re-run the whole Lloyd chain.
+    # At cluster scale this is "write the centroid table" — k rows.
+    return cent.localCheckpoint()
 
 
 def assign_buckets(

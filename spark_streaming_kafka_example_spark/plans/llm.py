@@ -139,6 +139,68 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup 1c: INCREMENTAL exact dedup — the production ingestion shape: a new
+# batch is checked against the fingerprint STORE of everything already
+# ingested, not against itself. Store = even doc_ids; new batch = odd
+# doc_ids plus planted copies of every 6th even doc (the positive path:
+# re-crawled content arriving under a new id). At 100 TB the store is a
+# persisted fingerprint table and this is one fp-keyed equi-join of the
+# (small) new batch against it — prefilter with a bloom/exists sketch to
+# skip the bulk of store partitions; the batch side never self-joins.
+# ---------------------------------------------------------------------------
+
+_FP_SQL = (
+    "md5(array_to_string(list_sort(list_distinct(string_split({t}, ' '))), ' '))"
+)
+
+
+@register(
+    "dedup_incremental_exact",
+    f"""
+    WITH store AS (
+        SELECT {_FP_SQL.format(t='text')} AS fp
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    newbatch AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id + 300000 AS doc_id, text
+        FROM documents WHERE doc_id % 6 = 0
+    ),
+    nf AS (SELECT doc_id, {_FP_SQL.format(t='text')} AS fp FROM newbatch)
+    SELECT nf.doc_id,
+           CASE WHEN s.fp IS NULL THEN 'novel' ELSE 'duplicate' END AS status
+    FROM nf LEFT JOIN (SELECT DISTINCT fp FROM store) s ON nf.fp = s.fp
+    """,
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch docs tagged novel/duplicate against the ingested-content
+    fingerprint store. The planted +300000 copies (and any odd doc whose
+    content collides with an even one) come back 'duplicate'."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(TXT.fingerprint("text").alias("fp"))
+        .distinct()
+    )
+    plants = docs.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    newbatch = docs.filter(F.col("doc_id") % 2 == 1).unionByName(plants)
+    nf = newbatch.select("doc_id", TXT.fingerprint("text").alias("fp"))
+    return nf.join(
+        store.withColumnRenamed("fp", "s_fp"),
+        nf.fp == F.col("s_fp"),
+        "left_outer",
+    ).select(
+        "doc_id",
+        F.when(F.col("s_fp").isNull(), "novel").otherwise("duplicate").alias(
+            "status"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Dedup 2: MinHash + LSH banding candidate pairs.
 # ---------------------------------------------------------------------------
 

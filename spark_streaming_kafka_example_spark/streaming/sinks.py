@@ -25,6 +25,8 @@ __all__ = [
     "kafka_sink",
     "foreach_batch_sink",
     "foreach_row_sink",
+    "idempotent_parquet_handler",
+    "rollup_upsert_handler",
 ]
 
 
@@ -125,6 +127,32 @@ def idempotent_parquet_handler(base_dir: str) -> Callable[[DataFrame, int], None
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
+            .parquet(base_dir)
+        )
+
+    return handler
+
+
+def rollup_upsert_handler(
+    base_dir: str, partition_cols: str | list[str]
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch handler that MAINTAINS a keyed aggregate table — the
+    materialized-view upkeep pattern: run the streaming agg in UPDATE mode
+    (each micro-batch emits only the groups whose state changed), partition
+    the target by the group key, and dynamic-partition-overwrite exactly
+    those partitions with the new cumulative values. Untouched partitions
+    are never rewritten; a replayed batch rewrites the same partitions with
+    the same state (idempotent). This is the parquet-only equivalent of a
+    Delta/Iceberg MERGE at a fraction of the write amplification — the
+    partition key must therefore be the (coarse) group key, e.g. the day.
+    """
+    cols = partition_cols if isinstance(partition_cols, list) else [partition_cols]
+
+    def handler(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*cols)
             .parquet(base_dir)
         )
 

@@ -541,3 +541,51 @@ def test_stateful_greedy_packer_state_across_batches(spark, tmp_path):
         ("A", 0): 0, ("A", 1): 0, ("A", 2): 1, ("A", 3): 2,
         ("B", 10): 0, ("B", 11): 1,
     }, got
+
+
+def test_rollup_upsert_maintains_aggregate_table(spark, tmp_path):
+    """Materialized-view maintenance: an update-mode daily count streamed
+    through rollup_upsert_handler must leave the parquet table equal to
+    the batch aggregate after multiple micro-batches — only changed day
+    partitions rewritten, replay-idempotent."""
+    import glob
+    import os
+
+    from spark_streaming_kafka_example_spark.streaming.sinks import (
+        foreach_batch_sink,
+        rollup_upsert_handler,
+    )
+
+    src = str(tmp_path / "roll_src")
+    schema = "day string, user_id long"
+    batches = [
+        [("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 3)],
+        [("2024-01-02", 4), ("2024-01-03", 5)],  # day1 untouched in batch 2
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+    target = str(tmp_path / "rollup_table")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    counts = stream.groupBy("day").count()
+    q = foreach_batch_sink(
+        counts,
+        rollup_upsert_handler(target, "day"),
+        checkpoint=str(tmp_path / "roll_ckpt"),
+        mode="update",
+    )
+    q.awaitTermination()
+    got = {
+        str(r.day): r["count"]  # partition values read back type-inferred
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == {"2024-01-01": 2, "2024-01-02": 2, "2024-01-03": 1}, got
+    # day1's partition was written once (batch 0) and never rewritten:
+    # exactly one part-file, no overwrite leftovers
+    day1_files = glob.glob(os.path.join(target, "day=2024-01-01", "part-*"))
+    assert len(day1_files) == 1, day1_files
