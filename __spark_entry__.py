@@ -142,6 +142,8 @@ ROTATION_PRIORITY = [
     "stream_pack_greedy",
     "text_chunk_windows",
     "dedup_incremental_exact",
+    "stream_decontaminate",
+    "text_quality_logit",
 ]
 
 

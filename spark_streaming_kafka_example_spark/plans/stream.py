@@ -655,3 +655,82 @@ def stream_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = stateful_greedy_packer(docs, cap=_PACK_CAP)
     return run_to_table(spark, out, "append")
+
+
+# ---------------------------------------------------------------------------
+# Decontamination AT INGEST (r05): the batch text_decontaminate check as a
+# stream-static join — arriving docs explode to n-grams and semi-join the
+# broadcast benchmark set, so contaminated docs are flagged the moment
+# they enter the pipeline (map-side per micro-batch, no streaming state at
+# all: the gram explode + broadcast lookup needs no watermark and the
+# per-doc count is confined to each arriving doc's own rows via a batch
+# groupBy inside the doc — here the aggregation keys on doc_id, which is
+# unique per arrival, so append mode works through foreachBatch semantics).
+# Implementation note: a streaming groupBy(doc_id) would be stateful; we
+# instead count gram hits per doc WITHIN the row via array_intersect on
+# the collected benchmark gram array — zero state, pure projection.
+# ---------------------------------------------------------------------------
+
+from .textprep import _BENCH_GRAMS_CTE, _DECON_N  # noqa: E402
+
+
+@register(
+    "stream_decontaminate",
+    f"""
+    WITH {_BENCH_GRAMS_CTE.strip()},
+    bg AS (SELECT DISTINCT gram FROM bench_grams),
+    cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    cg AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - {_DECON_N - 1}, 0)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))
+                   AS grams
+        FROM cw
+    ),
+    bga AS (SELECT list(gram) AS bg FROM bg)
+    SELECT doc_id,
+           CAST(len(list_intersect(grams, bg)) AS BIGINT) AS n_hit_ngrams
+    FROM cg CROSS JOIN bga
+    WHERE len(list_intersect(grams, bg)) > 0
+    """,
+)
+def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contaminated docs flagged at ingest: per arriving doc, the count of
+    its distinct {_DECON_N}-grams that appear in the benchmark set. The
+    benchmark gram ARRAY is collected once from the static relation and
+    broadcast inside the plan (a scalar subquery at 100 TB memory cost =
+    |eval-set grams|, exactly what decontamination broadcasts anyway);
+    array_intersect keeps the whole check a stateless projection."""
+    from ..functions.text import shingles_from_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    snippet = F.expr(
+        "substring(text, 1, CAST(floor(2*length(text)/5.0) AS INT))"
+    )
+    bench_gram_array = (
+        docs.filter(F.col("doc_id") % 11 == 0)
+        .select(F.split(snippet, " ").alias("_w"))
+        .select(F.explode(shingles_from_words("_w", _DECON_N)).alias("gram"))
+        .distinct()
+        .agg(F.collect_list("gram").alias("bg"))
+    )
+    stream = (
+        documents_stream(spark, sf_dir)
+        .select("doc_id", F.split("text", " ").alias("_w"))
+        .select(
+            "doc_id",
+            F.array_distinct(shingles_from_words("_w", _DECON_N)).alias("grams"),
+        )
+    )
+    flagged = (
+        stream.crossJoin(F.broadcast(bench_gram_array))
+        .select(
+            "doc_id",
+            F.size(F.array_intersect("grams", "bg")).cast("long").alias(
+                "n_hit_ngrams"
+            ),
+        )
+        .filter(F.col("n_hit_ngrams") > 0)
+    )
+    return run_to_table(spark, flagged, "append")

@@ -580,3 +580,66 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_CHUNK_SIZE), F.size("w") - F.col("start") + 1
         ).cast("long").alias("n_chunk_tok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filter: a fixed-weight logistic scorer over the cheap
+# columnar features (the fastText/CCNet-style "quality classifier applied
+# at scan speed" shape — weights would come from a trained model; the
+# inference plan is identical: pure projection, no UDF, no shuffle).
+# Features are rounded to 4 decimals BEFORE the sigmoid on both engines so
+# the exp() argument is bit-identical; the score is rounded after.
+# ---------------------------------------------------------------------------
+
+from ..functions.text import EN_STOPWORDS as _QL_STOPS  # noqa: E402
+
+_QL_W0, _QL_W_STOP, _QL_W_PUNCT, _QL_W_LEN = -1.0, 6.0, -8.0, 2.0
+_QL_STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in _QL_STOPS) + "]"
+_QL_Z = (
+    f"({_QL_W0} + {_QL_W_STOP} * f_stop + {_QL_W_PUNCT} * f_punct"
+    f" + {_QL_W_LEN} * f_len)"
+)
+
+
+@register(
+    "text_quality_logit",
+    f"""
+    WITH feats AS (
+        SELECT doc_id,
+               round(len(list_filter(string_split(text, ' '),
+                                     w -> list_contains({_QL_STOPS_SQL}, w)))
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
+                   AS f_stop,
+               round((length(text)
+                      - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+                     / CAST(length(text) AS DOUBLE), 4) AS f_punct,
+               round(least(1.0, len(string_split(text, ' ')) / 100.0), 4)
+                   AS f_len
+        FROM documents
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-{_QL_Z})), 4) AS quality_p,
+           (1.0 / (1.0 + exp(-{_QL_Z})) >= 0.5) AS keep
+    FROM feats
+    """,
+)
+def text_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import punct_ratio, stopword_ratio, token_count_ws
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        F.round(stopword_ratio(), 4).alias("f_stop"),
+        F.round(punct_ratio(), 4).alias("f_punct"),
+        F.round(F.least(F.lit(1.0), token_count_ws() / 100.0), 4).alias("f_len"),
+    )
+    z = (
+        F.lit(_QL_W0)
+        + _QL_W_STOP * F.col("f_stop")
+        + _QL_W_PUNCT * F.col("f_punct")
+        + _QL_W_LEN * F.col("f_len")
+    )
+    p = 1.0 / (1.0 + F.exp(-z))
+    return feats.select(
+        "doc_id", F.round(p, 4).alias("quality_p"), (p >= 0.5).alias("keep")
+    )

@@ -214,3 +214,24 @@ def test_stateful_count_on_rocksdb_state_store(spark, sf_dir, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_orc_and_json_roundtrip(spark, sf_dir, tmp_path):
+    """Engine format breadth beyond the reference's parquet/CSV: documents
+    written to ORC and JSON-lines read back value-identical (JSON via the
+    declared schema — no inference drift on the long columns)."""
+    from spark_streaming_kafka_example_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    expect = {tuple(r) for r in docs.collect()}
+
+    orc_dir = str(tmp_path / "docs_orc")
+    docs.write.orc(orc_dir)
+    assert {tuple(r) for r in spark.read.orc(orc_dir).collect()} == expect
+
+    json_dir = str(tmp_path / "docs_json")
+    docs.write.json(json_dir)
+    back = spark.read.schema(docs.schema).json(json_dir)
+    assert {tuple(r) for r in back.collect()} == expect

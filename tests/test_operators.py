@@ -962,3 +962,71 @@ def test_semdedup_recovers_planted_copies(spark, sf_dir):
     for r in pairs:
         if (r.id_a, r.id_b) in planted:
             assert r.cos == 1.0
+
+
+def test_chunk_windows_cover_all_tokens(spark, sf_dir):
+    """Chunk-window invariants on the fixture corpus: chunk_ids are
+    0..n_chunks-1 per doc, every chunk except possibly the last has
+    exactly CHUNK_SIZE tokens, consecutive chunks overlap by
+    SIZE - STRIDE tokens, and the union of chunks covers the doc."""
+    from spark_streaming_kafka_example_spark.plans.textprep import (
+        _CHUNK_SIZE,
+        _CHUNK_STRIDE,
+        text_chunk_windows,
+    )
+
+    rows = text_chunk_windows(spark, sf_dir).collect()
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        w = docs[doc_id]
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            start = c.chunk_id * _CHUNK_STRIDE
+            expect = w[start : start + _CHUNK_SIZE]
+            assert c.chunk.split(" ") == expect
+            assert c.n_chunk_tok == len(expect)
+        # coverage: last chunk reaches the end of the doc
+        last = chunks[-1]
+        assert last.chunk_id * _CHUNK_STRIDE + last.n_chunk_tok == len(w)
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_pack_greedy_matches_python_reference(spark, seed):
+    """Distributed greedy packing == the sequential reference fold, for
+    random sizes/caps/shards (beyond the invariants test: exact seq_id
+    equality against an independent implementation)."""
+    import random
+
+    from spark_streaming_kafka_example_spark.operators.packing import pack_greedy
+
+    rng = random.Random(seed)
+    cap = rng.choice([50, 128, 300])
+    rows = []
+    for shard in range(4):
+        for i in range(rng.randrange(10, 50)):
+            rows.append((f"s{shard}", i, rng.randrange(1, cap + 40)))
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tok long")
+    got = {
+        (r.source, r.doc_id): r.seq_id
+        for r in pack_greedy(df, cap=cap).collect()
+    }
+    expect = {}
+    by_shard: dict = {}
+    for s, d, n in rows:
+        by_shard.setdefault(s, []).append((d, n))
+    for s, docs in by_shard.items():
+        seq, fill = 0, 0
+        for d, n in sorted(docs):
+            if fill > 0 and fill + n > cap:
+                seq, fill = seq + 1, 0
+            expect[(s, d)] = seq
+            fill += n
+    assert got == expect
