@@ -144,6 +144,8 @@ ROTATION_PRIORITY = [
     "dedup_incremental_exact",
     "stream_decontaminate",
     "text_quality_logit",
+    "pipeline_pretrain_v2",
+    "text_sentiment_lexicon",
 ]
 
 

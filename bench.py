@@ -65,6 +65,7 @@ HEADLINE = [
     "text_decontaminate",
     "sim_bm25_topk",
     "pack_sequences_greedy",
+    "pipeline_pretrain_v2",
 ]
 
 

@@ -643,3 +643,272 @@ def text_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id", F.round(p, 4).alias("quality_p"), (p >= 0.5).alias("keep")
     )
+
+
+# ---------------------------------------------------------------------------
+# The end-to-end pretraining prep pipeline (r05 capstone): every stage a
+# real 100 TB corpus run chains, in the order that keeps each stage cheap —
+# exact dedup first (mass duplicates die in one fingerprint shuffle),
+# then benchmark decontamination (broadcast gram set, map-side),
+# then the pure-projection filters (repetition, logistic quality),
+# then domain-mixture sampling (deterministic hash gate),
+# and finally chunked sequence packing over the survivors.
+# One oracle replays the whole chain, so the driver checks the stage
+# COMPOSITION, not just each stage in isolation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_pretrain_v2",
+    f"""
+    WITH {_BENCH_GRAMS_CTE.strip()},
+    feats AS (
+        SELECT doc_id, source,
+               string_split(text, ' ') AS w,
+               len(string_split(text, ' ')) AS n_tok,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' ')) AS fp,
+               round(len(list_filter(string_split(text, ' '),
+                                     x -> list_contains({_QL_STOPS_SQL}, x)))
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
+                   AS f_stop,
+               round((length(text)
+                      - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+                     / CAST(length(text) AS DOUBLE), 4) AS f_punct,
+               round(least(1.0, len(string_split(text, ' ')) / 100.0), 4)
+                   AS f_len
+        FROM documents
+    ),
+    deduped AS (
+        SELECT f.* FROM feats f
+        JOIN (SELECT fp, min(doc_id) AS keep_id FROM feats GROUP BY fp) k
+          ON f.fp = k.fp AND f.doc_id = k.keep_id
+    ),
+    contaminated AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT d.doc_id,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(w) - {_DECON_N - 1}, 0)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                            w[i+3] || ' ' || w[i+4])) AS gram
+            FROM deduped d
+        ) cg
+        WHERE gram IN (SELECT gram FROM bench_grams)
+    ),
+    clean AS (
+        SELECT * FROM deduped
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    rep AS (
+        SELECT doc_id,
+               max(c) / CAST(sum(c) AS DOUBLE) AS top2,
+               1 - count(*) / CAST(sum(c) AS DOUBLE) AS dup2
+        FROM (
+            SELECT doc_id, g, count(*) AS c FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(w) - 1, 0)),
+                           i -> w[i] || ' ' || w[i+1])) AS g
+                FROM clean
+            ) GROUP BY doc_id, g
+        ) GROUP BY doc_id
+    ),
+    filtered AS (
+        SELECT c.* FROM clean c JOIN rep r ON c.doc_id = r.doc_id
+        WHERE NOT (round(r.top2, 4) >= 0.08 OR round(r.dup2, 4) >= 0.06)
+          AND 1.0 / (1.0 + exp(-({_QL_W0} + {_QL_W_STOP} * c.f_stop
+                + {_QL_W_PUNCT} * c.f_punct + {_QL_W_LEN} * c.f_len))) >= 0.5
+    ),
+    ns AS (SELECT source, count(*) AS n FROM filtered GROUP BY source),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM ns),
+    rates AS (
+        SELECT source,
+               least(CAST(1 AS DOUBLE),
+                     CAST({_MIX_BUDGET_FRAC} AS DOUBLE) * nn * ({_MIX_P_SQL})
+                     / n) AS rate
+        FROM ns CROSS JOIN tot
+    ),
+    sampled AS (
+        SELECT f.doc_id, f.source, f.n_tok
+        FROM filtered f JOIN rates r ON f.source = r.source
+        WHERE {_HASH256_SQL.replace('doc_id', 'f.doc_id')} < floor(r.rate * 256)
+    ),
+    packed AS (
+        SELECT doc_id, source, n_tok,
+               coalesce(sum(n_tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM sampled
+    )
+    SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(floor(cum_before / {_PACK_CAP}.0) AS BIGINT) AS first_seq,
+           CAST(floor((cum_before + n_tok - 1) / {_PACK_CAP}.0) AS BIGINT)
+               AS last_seq
+    FROM packed
+    """,
+)
+def pipeline_pretrain_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor docs with their packed-sequence spans after the full
+    chain. Stage order is the cost argument (see banner); every stage is
+    a shape proven individually by its own registered query."""
+    from pyspark.sql import Window
+
+    from ..functions.text import (
+        fingerprint,
+        punct_ratio,
+        stopword_ratio,
+        token_count_ws,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        "source",
+        F.split("text", " ").alias("w"),
+        token_count_ws().alias("n_tok"),
+        fingerprint().alias("fp"),
+        F.round(stopword_ratio(), 4).alias("f_stop"),
+        F.round(punct_ratio(), 4).alias("f_punct"),
+        F.round(F.least(F.lit(1.0), token_count_ws() / 100.0), 4).alias("f_len"),
+    )
+    keepers = feats.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    deduped = feats.join(keepers, ["fp", "doc_id"], "left_semi")
+
+    snippet = F.expr(
+        "substring(text, 1, CAST(floor(2*length(text)/5.0) AS INT))"
+    )
+    bench_grams = (
+        docs.filter(F.col("doc_id") % 11 == 0)
+        .select(F.split(snippet, " ").alias("_w"))
+        .select(F.explode(shingles_from_words("_w", _DECON_N)).alias("gram"))
+        .distinct()
+    )
+    doc_grams = deduped.select(
+        "doc_id", F.explode(shingles_from_words("w", _DECON_N)).alias("gram")
+    )
+    contaminated = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = deduped.join(contaminated, "doc_id", "left_anti")
+
+    g2 = clean.select("doc_id", F.explode(shingles_from_words("w", 2)).alias("g"))
+    rep = (
+        g2.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("c") / F.sum("c").cast("double")).alias("top2"),
+            (1 - F.count(F.lit(1)) / F.sum("c").cast("double")).alias("dup2"),
+        )
+    )
+    z = (
+        F.lit(_QL_W0)
+        + _QL_W_STOP * F.col("f_stop")
+        + _QL_W_PUNCT * F.col("f_punct")
+        + _QL_W_LEN * F.col("f_len")
+    )
+    filtered = (
+        clean.join(rep, "doc_id")
+        .filter(
+            ~((F.round("top2", 4) >= 0.08) | (F.round("dup2", 4) >= 0.06))
+            & (1.0 / (1.0 + F.exp(-z)) >= 0.5)
+        )
+    )
+
+    ns = filtered.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = ns.agg(F.sum("n").cast("double").alias("nn"))
+    p = (
+        F.when(F.col("source") == "src0", F.lit(_MIX_W_SRC0))
+        .when(F.col("source") == "src1", F.lit(_MIX_W_SRC1))
+        .otherwise(F.lit((1 - _MIX_W_SRC0 - _MIX_W_SRC1) / 18))
+    )
+    rates = ns.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0), F.lit(_MIX_BUDGET_FRAC) * F.col("nn") * p / F.col("n")
+        ).alias("rate"),
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    nib1 = F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
+    nib2 = F.instr(F.lit("0123456789abcdef"), F.substring(h, 2, 1)) - 1
+    sampled = (
+        filtered.join(F.broadcast(rates), "source")
+        .filter((nib1 * 16 + nib2) < F.floor(F.col("rate") * 256))
+        .select("doc_id", "source", "n_tok")
+    )
+
+    win = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tok").over(win), F.lit(0))
+    return sampled.select(
+        "doc_id",
+        "source",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.floor(cum_before / float(_PACK_CAP)).alias("first_seq"),
+        F.floor((cum_before + F.col("n_tok") - 1) / float(_PACK_CAP)).alias(
+            "last_seq"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lexicon-based sentiment scoring (EDBT'16 "Large Scale Sentiment Analysis
+# on Twitter with Spark" flavor): per-doc polarity from a broadcast word
+# lexicon — count hits per polarity inside the row via array_intersect-free
+# token filtering (duplicates count), score = (pos - neg) / n_tokens.
+# Pure projection + one tiny lexicon literal: the lexicon-join shape where
+# the lexicon is small enough to inline (at 100 TB a larger lexicon rides
+# a broadcast join against the exploded tokens — same plan as
+# text_decontaminate's benchmark set).
+# ---------------------------------------------------------------------------
+
+_SENT_POS = ("fast", "merge", "join", "agg")
+_SENT_NEG = ("slow", "error", "filter", "scan")
+_POS_SQL = "[" + ", ".join(f"'{w}'" for w in _SENT_POS) + "]"
+_NEG_SQL = "[" + ", ".join(f"'{w}'" for w in _SENT_NEG) + "]"
+
+
+@register(
+    "text_sentiment_lexicon",
+    f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               len(list_filter(w, x -> list_contains({_POS_SQL}, x))) AS n_pos,
+               len(list_filter(w, x -> list_contains({_NEG_SQL}, x))) AS n_neg,
+               len(w) AS n_tok
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           round((n_pos - n_neg) / CAST(n_tok AS DOUBLE), 4) + 0 AS polarity,
+           CASE WHEN n_pos > n_neg THEN 'positive'
+                WHEN n_neg > n_pos THEN 'negative'
+                ELSE 'neutral' END AS label
+    FROM scored
+    """,
+)
+def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n_pos = F.size(F.filter(w, lambda x: x.isin(*_SENT_POS)))
+    n_neg = F.size(F.filter(w, lambda x: x.isin(*_SENT_NEG)))
+    return docs.select(
+        "doc_id",
+        n_pos.cast("long").alias("n_pos"),
+        n_neg.cast("long").alias("n_neg"),
+        F.round((n_pos - n_neg) / F.size(w).cast("double"), 4).alias("polarity"),
+        F.when(n_pos > n_neg, "positive")
+        .when(n_neg > n_pos, "negative")
+        .otherwise("neutral")
+        .alias("label"),
+    )

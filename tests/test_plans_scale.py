@@ -393,3 +393,42 @@ def test_domain_mixture_is_map_side_gate(plan_of):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_projection_only_queries_have_no_exchange(plan_of):
+    """Pure map-stage operators must compile to scan + projection with NO
+    exchange at all — the guarantee that they run at scan speed on any
+    cluster size: quality-logit inference and chunk windowing."""
+    for name in (
+        "text_quality_logit",
+        "text_chunk_windows",
+        "text_sentiment_lexicon",
+    ):
+        plan = plan_of(name)
+        assert "Exchange" not in plan, f"{name} shuffles"
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_incremental_dedup_fp_equi_join(plan_of):
+    """New-batch-vs-store must be a fingerprint equi-join (hash-partitioned
+    or broadcast) — never a nested loop over the store."""
+    plan = plan_of("dedup_incremental_exact")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_textprep_aggs_are_partial(plan_of):
+    """Repetition/PMI gram counts must map-side combine before shuffling."""
+    for name in ("text_repetition_profile", "text_pmi_bigrams"):
+        plan = plan_of(name)
+        assert "partial_count" in plan or "partial_" in plan, name
+        assert "CartesianProduct" not in plan
+
+
+def test_pipeline_pretrain_v2_shape(plan_of):
+    """The capstone chain: benchmark grams + mixture rates broadcast, no
+    cartesian/nested-loop anywhere, gram aggs partial."""
+    plan = plan_of("pipeline_pretrain_v2")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_" in plan
