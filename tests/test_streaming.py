@@ -589,3 +589,62 @@ def test_rollup_upsert_maintains_aggregate_table(spark, tmp_path):
     # exactly one part-file, no overwrite leftovers
     day1_files = glob.glob(os.path.join(target, "day=2024-01-01", "part-*"))
     assert len(day1_files) == 1, day1_files
+
+
+def test_stream_stream_join_buffers_across_batches(spark, tmp_path):
+    """Stream-stream join state: a purchase arriving in batch 1 must still
+    match an error arriving in batch 2 (within the event-time bound) — the
+    buffered side lives in the state store across micro-batches. Also: an
+    error outside the 1h bound never matches, even in-batch."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    p_src = str(tmp_path / "pp")
+    e_src = str(tmp_path / "ee")
+    schema = "event_id long, user_id long, ts timestamp"
+    # batch files: purchases first, errors arrive in a later file
+    spark.createDataFrame(
+        [(1, 7, base), (2, 8, base)], schema
+    ).coalesce(1).write.parquet(f"{p_src}/b0")
+    spark.createDataFrame(
+        [
+            (10, 7, base + dt.timedelta(minutes=30)),   # matches purchase 1
+            (11, 8, base + dt.timedelta(hours=2)),      # outside bound
+        ],
+        schema,
+    ).coalesce(1).write.parquet(f"{e_src}/b0")
+
+    purchases = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(p_src + "/*")
+        .select(F.col("event_id").alias("purchase_id"), "user_id",
+                F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    errors = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(e_src + "/*")
+        .select(F.col("event_id").alias("error_id"),
+                F.col("user_id").alias("e_user_id"),
+                F.col("ts").alias("error_ts"))
+        .withWatermark("error_ts", "1 hour")
+    )
+    joined = purchases.join(
+        errors,
+        (F.col("user_id") == F.col("e_user_id"))
+        & (F.col("error_ts") >= F.col("p_ts"))
+        & (F.col("error_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("purchase_id", "error_id")
+    q = (
+        joined.writeStream.outputMode("append").format("memory")
+        .queryName("t_ssj_mb")
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.purchase_id, r.error_id) for r in spark.table("t_ssj_mb").collect()}
+    assert got == {(1, 10)}, got
