@@ -552,7 +552,12 @@ def semdedup_pairs(
     from ..functions.vectors import cosine_pandas
     from .similarity import assign_buckets
 
-    assigned = assign_buckets(emb, centroids, id_col, vec_col).localCheckpoint()
+    # eager=False: cut the assignment's lineage without running jobs at
+    # plan-construction time (explain/registry enumeration stay job-free);
+    # the self-join's first action materializes it once and reuses.
+    assigned = assign_buckets(emb, centroids, id_col, vec_col).localCheckpoint(
+        eager=False
+    )
     a = assigned.select(
         F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )

@@ -122,11 +122,14 @@ def kmeans_centroids(
                 lambda s: s["val"],
             ).alias("cv")
         ).select(F.col("bucket").alias("cent_id"), "cv")
-    # Materialize the k-row result: consumers reference the centroid table
-    # from several operators (IVF assigns with it AND probes with it), and
-    # without the cut each broadcast would re-run the whole Lloyd chain.
-    # At cluster scale this is "write the centroid table" — k rows.
-    return cent.localCheckpoint()
+    # Cut the k-row result's lineage LAZILY: consumers reference the
+    # centroid table from several operators (IVF assigns with it AND
+    # probes with it), and without the cut each broadcast would re-run
+    # the whole Lloyd chain; eager=False keeps plan construction /
+    # explain() free of Spark jobs (r05 review) while the first action
+    # still materializes once and reuses. At cluster scale this is
+    # "write the centroid table" — k rows.
+    return cent.localCheckpoint(eager=False)
 
 
 def assign_buckets(

@@ -59,15 +59,17 @@ def zorder_layout(
     for c in cols:
         aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
     stats = df.agg(*aggs).collect()[0]  # one scalar row: bounds only
+    # An all-NULL interleave column has no bounds: drop it from the
+    # interleave set and keep clustering the rest — otherwise a single
+    # fully-NULL column (e.g. one day's dead dimension) would silently
+    # abandon the whole layout while a 99%-NULL column lays out fine.
+    cols = [c for c in cols if stats[f"_min_{c}"] is not None]
+    if not cols:
+        return df  # empty input or every column all-NULL: nothing to order
     scaled = []
     top = (1 << bits) - 1
     for c in cols:
         lo, hi = stats[f"_min_{c}"], stats[f"_max_{c}"]
-        if lo is None or hi is None:
-            # Empty input or all-NULL interleave column: no meaningful
-            # bounds, so no meaningful layout — return unchanged rather
-            # than crash on float(None).
-            return df
         span = max(float(hi) - float(lo), 1.0)
         # NULL keys are bucketed deliberately at the low end of the curve
         # (coalesce to 0) instead of propagating to a NULL z-value.

@@ -130,7 +130,12 @@ def embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def run_to_table(spark: SparkSession, df: DataFrame, mode: str) -> DataFrame:
+def run_to_table(
+    spark: SparkSession,
+    df: DataFrame,
+    mode: str,
+    require_single_batch: bool = False,
+) -> DataFrame:
     """Start df -> memory sink with availableNow, drain, return the table.
 
     ORACLE HARNESS ONLY: a memory sink (append mode especially) materializes
@@ -145,10 +150,26 @@ def run_to_table(spark: SparkSession, df: DataFrame, mode: str) -> DataFrame:
     would hold both versions. availableNow over a single parquet file
     satisfies that today; this guard turns a silent parity break (e.g. a
     multi-file testdata drop or a maxFilesPerTrigger option) into a loud one.
+
+    ``require_single_batch`` applies the same loud guard to append-mode
+    queries whose RESULT depends on intra-shard arrival order (e.g. the
+    greedy packing fold): their bounded drain equals the batch oracle only
+    when everything lands in one micro-batch.
     """
     name = f"mem_{uuid.uuid4().hex[:10]}"
     query = memory_sink(df, name, mode=mode)
     query.awaitTermination()
+    if require_single_batch and mode != "update":
+        data_batches = sum(
+            1 for p in query.recentProgress if p["numInputRows"] > 0
+        )
+        if data_batches > 1:
+            raise AssertionError(
+                f"order-sensitive oracle run processed {data_batches} "
+                "micro-batches; the fold would run in arrival order, not "
+                "the global order the oracle replays. Re-bound the source "
+                "to a single batch before comparing."
+            )
     if mode == "update":
         data_batches = sum(
             1 for p in query.recentProgress if p["numInputRows"] > 0
@@ -613,38 +634,10 @@ def stream_sessionizer_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the oracle is the same recursive CTE.
 # ---------------------------------------------------------------------------
 
-from .textprep import _PACK_CAP  # noqa: E402
+from .textprep import PACK_GREEDY_ORACLE, _PACK_CAP  # noqa: E402
 
 
-@register(
-    "stream_pack_greedy",
-    f"""
-    WITH RECURSIVE wl AS (
-        SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
-        FROM documents
-    ),
-    ord AS (
-        SELECT doc_id, source, n_tok,
-               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
-        FROM wl
-    ),
-    packed AS (
-        SELECT doc_id, source, n_tok, rn,
-               0 AS seq_id, n_tok AS fill
-        FROM ord WHERE rn = 1
-        UNION ALL
-        SELECT o.doc_id, o.source, o.n_tok, o.rn,
-               CASE WHEN p.fill + o.n_tok > {_PACK_CAP}
-                    THEN p.seq_id + 1 ELSE p.seq_id END,
-               CASE WHEN p.fill + o.n_tok > {_PACK_CAP}
-                    THEN o.n_tok ELSE p.fill + o.n_tok END
-        FROM packed p JOIN ord o ON o.source = p.source AND o.rn = p.rn + 1
-    )
-    SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
-           CAST(seq_id AS BIGINT) AS seq_id
-    FROM packed
-    """,
-)
+@register("stream_pack_greedy", PACK_GREEDY_ORACLE)
 def stream_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import stateful_greedy_packer
 
@@ -654,7 +647,7 @@ def stream_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).cast("long").alias("n_tok"),
     )
     out = stateful_greedy_packer(docs, cap=_PACK_CAP)
-    return run_to_table(spark, out, "append")
+    return run_to_table(spark, out, "append", require_single_batch=True)
 
 
 # ---------------------------------------------------------------------------
@@ -704,14 +697,12 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_intersect keeps the whole check a stateless projection."""
     from ..functions.text import shingles_from_words
 
+    from .textprep import _bench_grams_df
+
     docs = load_table(spark, sf_dir, "documents")
-    snippet = F.expr(
-        "substring(text, 1, CAST(floor(2*length(text)/5.0) AS INT))"
-    )
     bench_gram_array = (
-        docs.filter(F.col("doc_id") % 11 == 0)
-        .select(F.split(snippet, " ").alias("_w"))
-        .select(F.explode(shingles_from_words("_w", _DECON_N)).alias("gram"))
+        _bench_grams_df(docs)
+        .select("gram")
         .distinct()
         .agg(F.collect_list("gram").alias("bg"))
     )

@@ -53,6 +53,35 @@ bench_grams AS (
 )"""
 
 
+def _bench_grams_df(docs):
+    """Distinct (bench_id, gram) eval-snippet n-grams — the SINGLE Spark
+    definition of the benchmark set shared by text_decontaminate,
+    stream_decontaminate, and pipeline_pretrain_v2 (the SQL twin is
+    _BENCH_GRAMS_CTE). Changing the snippet fraction, the %11 eval-doc
+    selector, or _DECON_N here changes every consumer in lockstep."""
+    snippet = F.expr(
+        "substring(text, 1, CAST(floor(2*length(text)/5.0) AS INT))"
+    )
+    return (
+        docs.filter(F.col("doc_id") % 11 == 0)
+        .select(F.col("doc_id").alias("bench_id"), F.split(snippet, " ").alias("_w"))
+        .select(
+            "bench_id",
+            F.explode(shingles_from_words("_w", _DECON_N)).alias("gram"),
+        )
+        .distinct()
+    )
+
+
+def _hash256(col):
+    """Deterministic 8-bit gate value from md5 of a (castable) id column —
+    the single Spark twin of _HASH256_SQL."""
+    h = F.md5(F.col(col).cast("string"))
+    nib1 = F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
+    nib2 = F.instr(F.lit("0123456789abcdef"), F.substring(h, 2, 1)) - 1
+    return nib1 * 16 + nib2
+
+
 @register(
     "text_decontaminate",
     f"""
@@ -78,18 +107,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     how many distinct eval items are implicated. Docs with no overlap are
     absent (the clean majority never leaves the map side)."""
     docs = load_table(spark, sf_dir, "documents")
-    snippet = F.expr(
-        "substring(text, 1, CAST(floor(2*length(text)/5.0) AS INT))"
-    )
-    bench_grams = (
-        docs.filter(F.col("doc_id") % 11 == 0)
-        .select(F.col("doc_id").alias("bench_id"), F.split(snippet, " ").alias("_w"))
-        .select(
-            "bench_id",
-            F.explode(shingles_from_words("_w", _DECON_N)).alias("gram"),
-        )
-        .distinct()
-    )
+    bench_grams = _bench_grams_df(docs)
     corpus_grams = (
         docs.select("doc_id", F.split("text", " ").alias("_w"))
         .select("doc_id", F.explode(shingles_from_words("_w", _DECON_N)).alias("gram"))
@@ -325,9 +343,9 @@ def pack_sequences_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "pack_sequences_greedy",
-    f"""
+# Shared by pack_sequences_greedy AND stream_pack_greedy (plans/stream.py):
+# one definition of the packing recurrence's reference implementation.
+PACK_GREEDY_ORACLE = f"""
     WITH RECURSIVE wl AS (
         SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
         FROM documents
@@ -352,8 +370,10 @@ def pack_sequences_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
            CAST(seq_id AS BIGINT) AS seq_id
     FROM packed
-    """,
-)
+    """
+
+
+@register("pack_sequences_greedy", PACK_GREEDY_ORACLE)
 def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """No-straddle greedy packing via the applyInPandas operator. The
     oracle replays the same sequential fold as a recursive CTE (one row
@@ -516,12 +536,9 @@ def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rate"),
         )
     )
-    h = F.md5(F.col("doc_id").cast("string"))
-    nib1 = F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
-    nib2 = F.instr(F.lit("0123456789abcdef"), F.substring(h, 2, 1)) - 1
     return (
         docs.join(F.broadcast(rates), "source")
-        .filter((nib1 * 16 + nib2) < F.floor(F.col("rate") * 256))
+        .filter(_hash256("doc_id") < F.floor(F.col("rate") * 256))
         .select("doc_id", "source")
     )
 
@@ -775,15 +792,7 @@ def pipeline_pretrain_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     keepers = feats.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     deduped = feats.join(keepers, ["fp", "doc_id"], "left_semi")
 
-    snippet = F.expr(
-        "substring(text, 1, CAST(floor(2*length(text)/5.0) AS INT))"
-    )
-    bench_grams = (
-        docs.filter(F.col("doc_id") % 11 == 0)
-        .select(F.split(snippet, " ").alias("_w"))
-        .select(F.explode(shingles_from_words("_w", _DECON_N)).alias("gram"))
-        .distinct()
-    )
+    bench_grams = _bench_grams_df(docs).select("gram").distinct()
     doc_grams = deduped.select(
         "doc_id", F.explode(shingles_from_words("w", _DECON_N)).alias("gram")
     )
@@ -831,12 +840,9 @@ def pipeline_pretrain_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0), F.lit(_MIX_BUDGET_FRAC) * F.col("nn") * p / F.col("n")
         ).alias("rate"),
     )
-    h = F.md5(F.col("doc_id").cast("string"))
-    nib1 = F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
-    nib2 = F.instr(F.lit("0123456789abcdef"), F.substring(h, 2, 1)) - 1
     sampled = (
         filtered.join(F.broadcast(rates), "source")
-        .filter((nib1 * 16 + nib2) < F.floor(F.col("rate") * 256))
+        .filter(_hash256("doc_id") < F.floor(F.col("rate") * 256))
         .select("doc_id", "source", "n_tok")
     )
 

@@ -604,17 +604,24 @@ def test_stream_stream_join_buffers_across_batches(spark, tmp_path):
     p_src = str(tmp_path / "pp")
     e_src = str(tmp_path / "ee")
     schema = "event_id long, user_id long, ts timestamp"
-    # batch files: purchases first, errors arrive in a later file
+    # Two files per source + maxFilesPerTrigger=1 => two micro-batches.
+    # The MATCHING error is only in the second error file, so the join can
+    # succeed only if purchase 1 (read in batch 0) is still buffered in the
+    # state store when batch 1 arrives.
     spark.createDataFrame(
         [(1, 7, base), (2, 8, base)], schema
     ).coalesce(1).write.parquet(f"{p_src}/b0")
     spark.createDataFrame(
-        [
-            (10, 7, base + dt.timedelta(minutes=30)),   # matches purchase 1
-            (11, 8, base + dt.timedelta(hours=2)),      # outside bound
-        ],
+        [(3, 9, base)], schema
+    ).coalesce(1).write.parquet(f"{p_src}/b1")
+    spark.createDataFrame(
+        [(11, 8, base + dt.timedelta(hours=2))],        # outside bound
         schema,
     ).coalesce(1).write.parquet(f"{e_src}/b0")
+    spark.createDataFrame(
+        [(10, 7, base + dt.timedelta(minutes=30))],     # matches purchase 1
+        schema,
+    ).coalesce(1).write.parquet(f"{e_src}/b1")
 
     purchases = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
