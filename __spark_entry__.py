@@ -146,6 +146,7 @@ ROTATION_PRIORITY = [
     "text_quality_logit",
     "pipeline_pretrain_v2",
     "text_sentiment_lexicon",
+    "sim_contrastive_pairs",
 ]
 
 

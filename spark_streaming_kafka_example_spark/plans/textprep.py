@@ -918,3 +918,79 @@ def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("neutral")
         .alias("label"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive training-pair generation: for each anchor, the hardest
+# POSITIVE is its nearest neighbor (exact cosine top-1 — swap in the IVF
+# path at scale), and NEGATIVES are deterministic hash-picked corpus ids
+# (uniform random negatives, the standard contrastive baseline; hash
+# arithmetic instead of rand() so retries/speculation can't disagree).
+# Output: (anchor_id, pos_id, neg_id, neg_j) — one row per negative.
+# ---------------------------------------------------------------------------
+
+_CTR_NEG_K = 3
+_CTR_A, _CTR_B = 2654435761, 7919  # Knuth multiplicative + a prime stride
+_DOT_SQL = "list_sum(list_transform(list_zip(q.v, c.v), x -> x[1] * x[2]))"
+_NORM_Q = "sqrt(list_sum(list_transform(q.v, x -> x * x)))"
+_NORM_C = "sqrt(list_sum(list_transform(c.v, x -> x * x)))"
+
+
+@register(
+    "sim_contrastive_pairs",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT count(*) AS n_vecs FROM e),
+    pos AS (
+        SELECT q_id AS anchor_id, n_id AS pos_id FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_DOT_SQL} / ({_NORM_Q} * {_NORM_C}), 4)
+                             DESC, c.vec_id) AS rnk
+            FROM e q, e c
+            WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id)
+        WHERE rnk = 1
+    )
+    SELECT anchor_id, pos_id,
+           CAST(({_CTR_A} * anchor_id + j * {_CTR_B}) % n_vecs AS BIGINT)
+               AS neg_id,
+           CAST(j AS BIGINT) AS neg_j
+    FROM pos
+    CROSS JOIN n
+    CROSS JOIN (SELECT unnest(generate_series(1, {_CTR_NEG_K})) AS j)
+    WHERE ({_CTR_A} * anchor_id + j * {_CTR_B}) % n_vecs <> anchor_id
+      AND ({_CTR_A} * anchor_id + j * {_CTR_B}) % n_vecs <> pos_id
+    """,
+)
+def sim_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, negative) triples for the corpus' first 8
+    anchors. Negatives colliding with the anchor or its positive are
+    dropped (k is a soft target; resample upstream if exact-k matters)."""
+    from ..operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 8)
+    pos = (
+        brute_force_topk(emb, anchors, k=1)
+        .select(F.col("q_id").alias("anchor_id"), F.col("n_id").alias("pos_id"))
+    )
+    n = emb.agg(F.count(F.lit(1)).alias("n_vecs"))
+    neg = (F.lit(_CTR_A) * F.col("anchor_id") + F.col("j") * _CTR_B) % F.col(
+        "n_vecs"
+    )
+    return (
+        pos.crossJoin(F.broadcast(n))
+        .crossJoin(
+            F.broadcast(
+                spark.range(1, _CTR_NEG_K + 1).select(F.col("id").alias("j"))
+            )
+        )
+        .filter((neg != F.col("anchor_id")) & (neg != F.col("pos_id")))
+        .select(
+            "anchor_id",
+            "pos_id",
+            neg.cast("long").alias("neg_id"),
+            F.col("j").cast("long").alias("neg_j"),
+        )
+    )
