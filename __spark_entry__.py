@@ -147,6 +147,7 @@ ROTATION_PRIORITY = [
     "pipeline_pretrain_v2",
     "text_sentiment_lexicon",
     "sim_contrastive_pairs",
+    "dedup_cluster_representatives",
 ]
 
 

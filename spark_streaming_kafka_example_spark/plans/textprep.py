@@ -994,3 +994,102 @@ def sim_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("j").cast("long").alias("neg_j"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster representative selection — the step that closes the dedup loop:
+# given transitive duplicate clusters (candidate-bounded jaccard graph ->
+# connected components), KEEP the highest-quality member of each cluster
+# (not the arbitrary min-id): rep = argmax(quality_p), doc_id tie-break.
+# One max_by hash-agg over the (cluster_id, quality) relation — map-side
+# combinable, no sort, no window over the corpus.
+# ---------------------------------------------------------------------------
+
+
+from .llm import (  # noqa: E402  (llm loads before textprep in load_all)
+    NEAR_CORPUS_CTE as _NC_CTE,
+    SHINGLES_CTE as _SH_CTE,
+    _JACCARD_SCORED_CTE as _JS_CTE,
+    _LSH_CAND_CTE as _LC_CTE,
+    jaccard_pair_graph as _jaccard_pair_graph,
+    _near_corpus,
+)
+
+# quality_p over an arbitrary (doc_id, text) relation — the text_quality_logit
+# arithmetic, shared verbatim by the representative selector's oracle.
+_QL_ON_CORPUS_SQL = f"""
+    quality AS (
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(-({_QL_W0}
+                   + {_QL_W_STOP} * round(len(list_filter(string_split(text, ' '),
+                         x -> list_contains({_QL_STOPS_SQL}, x)))
+                         / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
+                   + {_QL_W_PUNCT} * round((length(text)
+                         - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+                         / CAST(length(text) AS DOUBLE), 4)
+                   + {_QL_W_LEN} * round(least(1.0,
+                         len(string_split(text, ' ')) / 100.0), 4)))), 4)
+                   AS quality_p
+        FROM corpus
+    )"""
+
+
+@register(
+    "dedup_cluster_representatives",
+    f"""
+    WITH RECURSIVE {_NC_CTE.strip()},
+    {_SH_CTE.strip()},
+    {_LC_CTE.strip()},
+    {_JS_CTE.strip()},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM scored
+              UNION SELECT id_b, id_a FROM scored),
+    reach(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT r.node, e.dst FROM reach r JOIN edges e ON r.label = e.src
+    ),
+    clusters AS (
+        SELECT node AS doc_id, min(label) AS cluster_id
+        FROM reach GROUP BY node
+    ),
+    {_QL_ON_CORPUS_SQL.strip()},
+    ranked AS (
+        SELECT c.cluster_id, c.doc_id, q.quality_p,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY q.quality_p DESC, c.doc_id) AS rn
+        FROM clusters c JOIN quality q ON c.doc_id = q.doc_id
+    )
+    SELECT cluster_id,
+           max(CASE WHEN rn = 1 THEN doc_id END) AS rep_doc_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           max(CASE WHEN rn = 1 THEN quality_p END) + 0 AS rep_quality
+    FROM ranked GROUP BY cluster_id
+    """,
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cluster_id, rep_doc_id, n_members, rep_quality): per duplicate
+    cluster, keep the member with the highest logistic quality score
+    (doc_id tie-break) — representative selection as one max_by hash agg."""
+    from ..functions.text import punct_ratio, stopword_ratio, token_count_ws
+    from ..operators.components import connected_components
+
+    cc = connected_components(_jaccard_pair_graph(spark, sf_dir))
+    corpus = _near_corpus(spark, sf_dir)
+    z = (
+        F.lit(_QL_W0)
+        + _QL_W_STOP * F.round(stopword_ratio(), 4)
+        + _QL_W_PUNCT * F.round(punct_ratio(), 4)
+        + _QL_W_LEN * F.round(F.least(F.lit(1.0), token_count_ws() / 100.0), 4)
+    )
+    quality = corpus.select(
+        "doc_id", F.round(1.0 / (1.0 + F.exp(-z)), 4).alias("quality_p")
+    )
+    joined = cc.select(F.col("node").alias("doc_id"), "cluster_id").join(
+        quality, "doc_id"
+    )
+    key = F.struct(F.col("quality_p"), (-F.col("doc_id")).alias("neg_id"))
+    return joined.groupBy("cluster_id").agg(
+        F.max_by("doc_id", key).alias("rep_doc_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("quality_p").alias("rep_quality"),
+    )

@@ -655,3 +655,24 @@ def test_stream_stream_join_buffers_across_batches(spark, tmp_path):
     q.awaitTermination()
     got = {(r.purchase_id, r.error_id) for r in spark.table("t_ssj_mb").collect()}
     assert got == {(1, 10)}, got
+
+
+def test_rollup_upsert_replay_is_idempotent(spark, tmp_path):
+    """An at-least-once replay (same batch re-delivered after a failure
+    between sink write and checkpoint commit) must leave the rollup table
+    byte-identical: dynamic overwrite rewrites the same partitions with
+    the same state instead of duplicating rows."""
+    from spark_streaming_kafka_example_spark.streaming.sinks import (
+        rollup_upsert_handler,
+    )
+
+    target = str(tmp_path / "replay_rollup")
+    handler = rollup_upsert_handler(target, "day")
+    batch = spark.createDataFrame(
+        [("2024-02-01", 5), ("2024-02-02", 7)], "day string, count long"
+    )
+    handler(batch, 0)
+    first = {(str(r.day), r["count"]) for r in spark.read.parquet(target).collect()}
+    handler(batch, 0)  # replay of the identical micro-batch
+    second = {(str(r.day), r["count"]) for r in spark.read.parquet(target).collect()}
+    assert first == second == {("2024-02-01", 5), ("2024-02-02", 7)}
