@@ -1583,20 +1583,30 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Cluster-assignment oracle (algorithm-independent: reachability fixpoint
 # labels every node with its component minimum) — shared by the propagation
 # and large-star/small-star engine paths.
-_CLUSTERS_SQL = f"""
-    WITH RECURSIVE {NEAR_CORPUS_CTE.strip()},
-    {SHINGLES_CTE.strip()},
-    {_LSH_CAND_CTE.strip()},
-    {_JACCARD_SCORED_CTE.strip()},
+# The reachability fixpoint + min-label CTE chain over the `scored` pair
+# relation — ONE definition shared by _CLUSTERS_SQL and the
+# dedup_cluster_representatives oracle (plans/textprep.py), so the cluster
+# semantics cannot drift between them.
+_EDGES_REACH_CLUSTERS_CTE = """
     edges AS (SELECT id_a AS src, id_b AS dst FROM scored
               UNION SELECT id_b, id_a FROM scored),
     reach(node, label) AS (
         SELECT src, src FROM edges
         UNION
         SELECT r.node, e.dst FROM reach r JOIN edges e ON r.label = e.src
-    )
-    SELECT node AS doc_id, min(label) AS cluster_id
-    FROM reach GROUP BY node
+    ),
+    clusters AS (
+        SELECT node AS doc_id, min(label) AS cluster_id
+        FROM reach GROUP BY node
+    )"""
+
+_CLUSTERS_SQL = f"""
+    WITH RECURSIVE {NEAR_CORPUS_CTE.strip()},
+    {SHINGLES_CTE.strip()},
+    {_LSH_CAND_CTE.strip()},
+    {_JACCARD_SCORED_CTE.strip()},
+    {_EDGES_REACH_CLUSTERS_CTE.strip()}
+    SELECT doc_id, cluster_id FROM clusters
     """
 
 

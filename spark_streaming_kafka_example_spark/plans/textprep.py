@@ -612,53 +612,63 @@ from ..functions.text import EN_STOPWORDS as _QL_STOPS  # noqa: E402
 
 _QL_W0, _QL_W_STOP, _QL_W_PUNCT, _QL_W_LEN = -1.0, 6.0, -8.0, 2.0
 _QL_STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in _QL_STOPS) + "]"
-_QL_Z = (
-    f"({_QL_W0} + {_QL_W_STOP} * f_stop + {_QL_W_PUNCT} * f_punct"
-    f" + {_QL_W_LEN} * f_len)"
-)
+
+
+def _quality_cte_sql(relation: str) -> str:
+    """The ONE SQL definition of the logistic quality score: a `quality`
+    CTE (doc_id, quality_p rounded to 4) over any (doc_id, text) relation.
+    Features are rounded to 4 decimals BEFORE the sigmoid so the exp()
+    argument is bit-identical across engines. Shared by
+    text_quality_logit, pipeline_pretrain_v2, and
+    dedup_cluster_representatives — weight/rounding changes edit exactly
+    one place (the Spark twin is quality_p_col)."""
+    return f"""quality AS (
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(-({_QL_W0}
+                   + {_QL_W_STOP} * round(len(list_filter(string_split(text, ' '),
+                         x -> list_contains({_QL_STOPS_SQL}, x)))
+                         / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
+                   + {_QL_W_PUNCT} * round((length(text)
+                         - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+                         / CAST(length(text) AS DOUBLE), 4)
+                   + {_QL_W_LEN} * round(least(1.0,
+                         len(string_split(text, ' ')) / 100.0), 4)))), 4)
+                   AS quality_p
+        FROM {relation}
+    )"""
+
+
+def quality_p_col():
+    """Spark twin of _quality_cte_sql's quality_p expression (over a
+    `text` column): rounded-feature logistic score, rounded to 4."""
+    from ..functions.text import punct_ratio, stopword_ratio, token_count_ws
+
+    z = (
+        F.lit(_QL_W0)
+        + _QL_W_STOP * F.round(stopword_ratio(), 4)
+        + _QL_W_PUNCT * F.round(punct_ratio(), 4)
+        + _QL_W_LEN * F.round(F.least(F.lit(1.0), token_count_ws() / 100.0), 4)
+    )
+    return F.round(1.0 / (1.0 + F.exp(-z)), 4)
 
 
 @register(
     "text_quality_logit",
     f"""
-    WITH feats AS (
-        SELECT doc_id,
-               round(len(list_filter(string_split(text, ' '),
-                                     w -> list_contains({_QL_STOPS_SQL}, w)))
-                     / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
-                   AS f_stop,
-               round((length(text)
-                      - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
-                     / CAST(length(text) AS DOUBLE), 4) AS f_punct,
-               round(least(1.0, len(string_split(text, ' ')) / 100.0), 4)
-                   AS f_len
-        FROM documents
-    )
-    SELECT doc_id,
-           round(1.0 / (1.0 + exp(-{_QL_Z})), 4) AS quality_p,
-           (1.0 / (1.0 + exp(-{_QL_Z})) >= 0.5) AS keep
-    FROM feats
+    WITH {_quality_cte_sql('documents').strip()}
+    SELECT doc_id, quality_p, (quality_p >= 0.5) AS keep
+    FROM quality
     """,
 )
 def text_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import punct_ratio, stopword_ratio, token_count_ws
-
+    """Model-based quality filter: fixed-weight logistic scorer applied at
+    scan speed (pure projection, no UDF, no shuffle). `keep` thresholds
+    the ROUNDED score so the flag derives from the published column."""
     docs = load_table(spark, sf_dir, "documents")
-    feats = docs.select(
+    return docs.select(
         "doc_id",
-        F.round(stopword_ratio(), 4).alias("f_stop"),
-        F.round(punct_ratio(), 4).alias("f_punct"),
-        F.round(F.least(F.lit(1.0), token_count_ws() / 100.0), 4).alias("f_len"),
-    )
-    z = (
-        F.lit(_QL_W0)
-        + _QL_W_STOP * F.col("f_stop")
-        + _QL_W_PUNCT * F.col("f_punct")
-        + _QL_W_LEN * F.col("f_len")
-    )
-    p = 1.0 / (1.0 + F.exp(-z))
-    return feats.select(
-        "doc_id", F.round(p, 4).alias("quality_p"), (p >= 0.5).alias("keep")
+        quality_p_col().alias("quality_p"),
+        (quality_p_col() >= 0.5).alias("keep"),
     )
 
 
@@ -679,21 +689,13 @@ def text_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_pretrain_v2",
     f"""
     WITH {_BENCH_GRAMS_CTE.strip()},
+    {_quality_cte_sql('documents').strip()},
     feats AS (
         SELECT doc_id, source,
                string_split(text, ' ') AS w,
                len(string_split(text, ' ')) AS n_tok,
                md5(array_to_string(list_sort(list_distinct(
-                   string_split(text, ' '))), ' ')) AS fp,
-               round(len(list_filter(string_split(text, ' '),
-                                     x -> list_contains({_QL_STOPS_SQL}, x)))
-                     / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
-                   AS f_stop,
-               round((length(text)
-                      - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
-                     / CAST(length(text) AS DOUBLE), 4) AS f_punct,
-               round(least(1.0, len(string_split(text, ' ')) / 100.0), 4)
-                   AS f_len
+                   string_split(text, ' '))), ' ')) AS fp
         FROM documents
     ),
     deduped AS (
@@ -731,10 +733,11 @@ def text_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) GROUP BY doc_id
     ),
     filtered AS (
-        SELECT c.* FROM clean c JOIN rep r ON c.doc_id = r.doc_id
+        SELECT c.* FROM clean c
+        JOIN rep r ON c.doc_id = r.doc_id
+        JOIN quality q ON c.doc_id = q.doc_id
         WHERE NOT (round(r.top2, 4) >= 0.08 OR round(r.dup2, 4) >= 0.06)
-          AND 1.0 / (1.0 + exp(-({_QL_W0} + {_QL_W_STOP} * c.f_stop
-                + {_QL_W_PUNCT} * c.f_punct + {_QL_W_LEN} * c.f_len))) >= 0.5
+          AND q.quality_p >= 0.5
     ),
     ns AS (SELECT source, count(*) AS n FROM filtered GROUP BY source),
     tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM ns),
@@ -771,23 +774,16 @@ def pipeline_pretrain_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     a shape proven individually by its own registered query."""
     from pyspark.sql import Window
 
-    from ..functions.text import (
-        fingerprint,
-        punct_ratio,
-        stopword_ratio,
-        token_count_ws,
-    )
+    from ..functions.text import fingerprint, token_count_ws
 
     docs = load_table(spark, sf_dir, "documents")
+    quality = docs.select("doc_id", quality_p_col().alias("quality_p"))
     feats = docs.select(
         "doc_id",
         "source",
         F.split("text", " ").alias("w"),
         token_count_ws().alias("n_tok"),
         fingerprint().alias("fp"),
-        F.round(stopword_ratio(), 4).alias("f_stop"),
-        F.round(punct_ratio(), 4).alias("f_punct"),
-        F.round(F.least(F.lit(1.0), token_count_ws() / 100.0), 4).alias("f_len"),
     )
     keepers = feats.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     deduped = feats.join(keepers, ["fp", "doc_id"], "left_semi")
@@ -813,17 +809,12 @@ def pipeline_pretrain_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             (1 - F.count(F.lit(1)) / F.sum("c").cast("double")).alias("dup2"),
         )
     )
-    z = (
-        F.lit(_QL_W0)
-        + _QL_W_STOP * F.col("f_stop")
-        + _QL_W_PUNCT * F.col("f_punct")
-        + _QL_W_LEN * F.col("f_len")
-    )
     filtered = (
         clean.join(rep, "doc_id")
+        .join(quality, "doc_id")
         .filter(
             ~((F.round("top2", 4) >= 0.08) | (F.round("dup2", 4) >= 0.06))
-            & (1.0 / (1.0 + F.exp(-z)) >= 0.5)
+            & (F.col("quality_p") >= 0.5)
         )
     )
 
@@ -931,9 +922,15 @@ def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CTR_NEG_K = 3
 _CTR_A, _CTR_B = 2654435761, 7919  # Knuth multiplicative + a prime stride
-_DOT_SQL = "list_sum(list_transform(list_zip(q.v, c.v), x -> x[1] * x[2]))"
-_NORM_Q = "sqrt(list_sum(list_transform(q.v, x -> x * x)))"
-_NORM_C = "sqrt(list_sum(list_transform(c.v, x -> x * x)))"
+# j enters the MULTIPLICAND (A*(anchor+j)), not just an additive stride, so
+# negatives for different j can only coincide when n_vecs divides
+# (A+B)*(j2-j1) — a measure-zero corpus size rather than every multiple of
+# B. Duplicate negatives remain possible for adversarial n_vecs; dedupe
+# downstream if exactly-k distinct negatives matter.
+# Cosine SQL comes from llm's shared _COS_QC template (q/c aliases); its
+# `+ 0` guard keeps DuckDB's total order from ranking a rounded -0.0000
+# below +0.0000 where Spark (whose round never emits -0.0) ties them.
+from .llm import _COS_QC as _CTR_COS  # noqa: E402
 
 
 @register(
@@ -946,27 +943,29 @@ _NORM_C = "sqrt(list_sum(list_transform(c.v, x -> x * x)))"
             SELECT q.vec_id AS q_id, c.vec_id AS n_id,
                    row_number() OVER (
                        PARTITION BY q.vec_id
-                       ORDER BY round({_DOT_SQL} / ({_NORM_Q} * {_NORM_C}), 4)
+                       ORDER BY {_CTR_COS} + 0
                              DESC, c.vec_id) AS rnk
             FROM e q, e c
             WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id)
         WHERE rnk = 1
     )
     SELECT anchor_id, pos_id,
-           CAST(({_CTR_A} * anchor_id + j * {_CTR_B}) % n_vecs AS BIGINT)
+           CAST(({_CTR_A} * (anchor_id + j) + j * {_CTR_B}) % n_vecs AS BIGINT)
                AS neg_id,
            CAST(j AS BIGINT) AS neg_j
     FROM pos
     CROSS JOIN n
     CROSS JOIN (SELECT unnest(generate_series(1, {_CTR_NEG_K})) AS j)
-    WHERE ({_CTR_A} * anchor_id + j * {_CTR_B}) % n_vecs <> anchor_id
-      AND ({_CTR_A} * anchor_id + j * {_CTR_B}) % n_vecs <> pos_id
+    WHERE ({_CTR_A} * (anchor_id + j) + j * {_CTR_B}) % n_vecs <> anchor_id
+      AND ({_CTR_A} * (anchor_id + j) + j * {_CTR_B}) % n_vecs <> pos_id
     """,
 )
 def sim_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(anchor, positive, negative) triples for the corpus' first 8
     anchors. Negatives colliding with the anchor or its positive are
-    dropped (k is a soft target; resample upstream if exact-k matters)."""
+    dropped, and duplicate negatives across j are possible for adversarial
+    corpus sizes (see the hash-mixing note above) — k is a soft target;
+    resample or dedupe upstream if exactly-k distinct negatives matter."""
     from ..operators.similarity import brute_force_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -976,9 +975,10 @@ def sim_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("q_id").alias("anchor_id"), F.col("n_id").alias("pos_id"))
     )
     n = emb.agg(F.count(F.lit(1)).alias("n_vecs"))
-    neg = (F.lit(_CTR_A) * F.col("anchor_id") + F.col("j") * _CTR_B) % F.col(
-        "n_vecs"
-    )
+    neg = (
+        F.lit(_CTR_A) * (F.col("anchor_id") + F.col("j"))
+        + F.col("j") * _CTR_B
+    ) % F.col("n_vecs")
     return (
         pos.crossJoin(F.broadcast(n))
         .crossJoin(
@@ -1009,29 +1009,12 @@ def sim_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .llm import (  # noqa: E402  (llm loads before textprep in load_all)
     NEAR_CORPUS_CTE as _NC_CTE,
     SHINGLES_CTE as _SH_CTE,
+    _EDGES_REACH_CLUSTERS_CTE as _ERC_CTE,
     _JACCARD_SCORED_CTE as _JS_CTE,
     _LSH_CAND_CTE as _LC_CTE,
     jaccard_pair_graph as _jaccard_pair_graph,
     _near_corpus,
 )
-
-# quality_p over an arbitrary (doc_id, text) relation — the text_quality_logit
-# arithmetic, shared verbatim by the representative selector's oracle.
-_QL_ON_CORPUS_SQL = f"""
-    quality AS (
-        SELECT doc_id,
-               round(1.0 / (1.0 + exp(-({_QL_W0}
-                   + {_QL_W_STOP} * round(len(list_filter(string_split(text, ' '),
-                         x -> list_contains({_QL_STOPS_SQL}, x)))
-                         / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
-                   + {_QL_W_PUNCT} * round((length(text)
-                         - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
-                         / CAST(length(text) AS DOUBLE), 4)
-                   + {_QL_W_LEN} * round(least(1.0,
-                         len(string_split(text, ' ')) / 100.0), 4)))), 4)
-                   AS quality_p
-        FROM corpus
-    )"""
 
 
 @register(
@@ -1041,18 +1024,8 @@ _QL_ON_CORPUS_SQL = f"""
     {_SH_CTE.strip()},
     {_LC_CTE.strip()},
     {_JS_CTE.strip()},
-    edges AS (SELECT id_a AS src, id_b AS dst FROM scored
-              UNION SELECT id_b, id_a FROM scored),
-    reach(node, label) AS (
-        SELECT src, src FROM edges
-        UNION
-        SELECT r.node, e.dst FROM reach r JOIN edges e ON r.label = e.src
-    ),
-    clusters AS (
-        SELECT node AS doc_id, min(label) AS cluster_id
-        FROM reach GROUP BY node
-    ),
-    {_QL_ON_CORPUS_SQL.strip()},
+    {_ERC_CTE.strip()},
+    {_quality_cte_sql('corpus').strip()},
     ranked AS (
         SELECT c.cluster_id, c.doc_id, q.quality_p,
                row_number() OVER (PARTITION BY c.cluster_id
@@ -1062,7 +1035,7 @@ _QL_ON_CORPUS_SQL = f"""
     SELECT cluster_id,
            max(CASE WHEN rn = 1 THEN doc_id END) AS rep_doc_id,
            CAST(count(*) AS BIGINT) AS n_members,
-           max(CASE WHEN rn = 1 THEN quality_p END) + 0 AS rep_quality
+           max(CASE WHEN rn = 1 THEN quality_p END) AS rep_quality
     FROM ranked GROUP BY cluster_id
     """,
 )
@@ -1070,20 +1043,11 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     """(cluster_id, rep_doc_id, n_members, rep_quality): per duplicate
     cluster, keep the member with the highest logistic quality score
     (doc_id tie-break) — representative selection as one max_by hash agg."""
-    from ..functions.text import punct_ratio, stopword_ratio, token_count_ws
     from ..operators.components import connected_components
 
     cc = connected_components(_jaccard_pair_graph(spark, sf_dir))
     corpus = _near_corpus(spark, sf_dir)
-    z = (
-        F.lit(_QL_W0)
-        + _QL_W_STOP * F.round(stopword_ratio(), 4)
-        + _QL_W_PUNCT * F.round(punct_ratio(), 4)
-        + _QL_W_LEN * F.round(F.least(F.lit(1.0), token_count_ws() / 100.0), 4)
-    )
-    quality = corpus.select(
-        "doc_id", F.round(1.0 / (1.0 + F.exp(-z)), 4).alias("quality_p")
-    )
+    quality = corpus.select("doc_id", quality_p_col().alias("quality_p"))
     joined = cc.select(F.col("node").alias("doc_id"), "cluster_id").join(
         quality, "doc_id"
     )

@@ -660,19 +660,31 @@ def test_stream_stream_join_buffers_across_batches(spark, tmp_path):
 def test_rollup_upsert_replay_is_idempotent(spark, tmp_path):
     """An at-least-once replay (same batch re-delivered after a failure
     between sink write and checkpoint commit) must leave the rollup table
-    byte-identical: dynamic overwrite rewrites the same partitions with
-    the same state instead of duplicating rows."""
+    identical — AND partitions the replayed batch does not touch must
+    survive. The second point is what distinguishes dynamic partition
+    overwrite from a static full-table overwrite: batch 1 only carries
+    day 2, so a static overwrite would delete day 1's partition and this
+    test would catch it."""
     from spark_streaming_kafka_example_spark.streaming.sinks import (
         rollup_upsert_handler,
     )
 
+    def table(path):
+        return {
+            (str(r.day), r["count"])
+            for r in spark.read.parquet(path).collect()
+        }
+
     target = str(tmp_path / "replay_rollup")
     handler = rollup_upsert_handler(target, "day")
-    batch = spark.createDataFrame(
-        [("2024-02-01", 5), ("2024-02-02", 7)], "day string, count long"
+    handler(
+        spark.createDataFrame([("2024-02-01", 5)], "day string, count long"), 0
     )
-    handler(batch, 0)
-    first = {(str(r.day), r["count"]) for r in spark.read.parquet(target).collect()}
-    handler(batch, 0)  # replay of the identical micro-batch
-    second = {(str(r.day), r["count"]) for r in spark.read.parquet(target).collect()}
-    assert first == second == {("2024-02-01", 5), ("2024-02-02", 7)}
+    batch1 = spark.createDataFrame(
+        [("2024-02-02", 7)], "day string, count long"
+    )
+    handler(batch1, 1)
+    expect = {("2024-02-01", 5), ("2024-02-02", 7)}
+    assert table(target) == expect
+    handler(batch1, 1)  # replay touches ONLY day 2; day 1 must survive
+    assert table(target) == expect
