@@ -432,3 +432,21 @@ def test_pipeline_pretrain_v2_shape(plan_of):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan or "partial_" in plan
+
+
+def test_contrastive_pairs_broadcasts_small_relations(plan_of):
+    """Contrastive pair generation: anchors/stats/j-range are the broadcast
+    sides; the corpus streams once through the positive scorer; no
+    cartesian over the corpus."""
+    plan = plan_of("sim_contrastive_pairs")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cluster_representatives_is_hash_agg(plan_of):
+    """Representative selection must be a max_by hash aggregation over the
+    (cluster_id, quality) relation — no per-cluster sort or window, no
+    cartesian."""
+    plan = plan_of("dedup_cluster_representatives")
+    assert "max_by" in plan
+    assert "CartesianProduct" not in plan
