@@ -38,25 +38,31 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # 50-slot window in ONE round, closing lifetime coverage. q11 re-enters
 # CORE so its previously-vacuous (0-row) driver row re-runs against the new
 # scale-free threshold. Every §2 family retains >=1 pinned representative.
+# r06: re-pinned a3/q3/sim_topk_bruteforce/p5 per the r05 VERDICT task 3
+# (only 15 queries remain unchecked, so the slack fits them back in) —
+# every §2 family again has a directly-re-checked representative.
 CORE_WINDOW = [
     "flagship_sliding_alert",
-    # §2.4 projections / §2.10 UDF / §2.6 join (f1's post-agg threshold
-    # filter shape is inside flagship; p5/p8-p10/f1 lifetime-proven 3-4x)
+    # §2.4 projections / §2.10 UDF / §2.6 join (p8-p10/f1 lifetime-proven)
     "p1_cast_projection",
     "p2_from_json_flatten",
+    "p5_to_json_struct",
     "p12_a1_word_count",
     "u1_u3_udf_sql",
     "j1_enrich_left_outer",
-    # §2.7 windowed aggregation (sliding twin = flagship)
+    # §2.7 windowed aggregation (tumbling + sliding; flagship is the alert twin)
     "a2_tumbling_window_agg",
-    # TPC-H canon + the re-armed q11 (non-vacuous threshold this round)
+    "a3_sliding_window_agg",
+    # TPC-H canon + the re-armed q11 (non-vacuous threshold since r05)
     "q1_pricing_summary",
+    "q3_shipping_priority",
     "q11_important_stock",
     # LLM-pipeline families: dedup, similarity, text, multimodal, pipeline
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "dedup_clusters",
+    "sim_topk_bruteforce",
     "sim_ivf_kmeans_topk",
     "text_analysis_profile",
     "multimodal_features",
@@ -148,6 +154,13 @@ ROTATION_PRIORITY = [
     "text_sentiment_lexicon",
     "sim_contrastive_pairs",
     "dedup_cluster_representatives",
+    # r06-new: materialized IVF index, recall@k quality gate, packed
+    # payload, split assignment, training-order shuffle
+    "sim_ivf_indexed_topk",
+    "sim_ivf_recall",
+    "pack_sequences_payload",
+    "split_train_valid_test",
+    "shuffle_training_order",
 ]
 
 

@@ -66,6 +66,11 @@ HEADLINE = [
     "sim_bm25_topk",
     "pack_sequences_greedy",
     "pipeline_pretrain_v2",
+    # r06-new: materialized IVF (build + partition-pruned probe), recall
+    # gate, packed-payload materialization
+    "sim_ivf_indexed_topk",
+    "sim_ivf_recall",
+    "pack_sequences_payload",
 ]
 
 

@@ -108,6 +108,7 @@ def connected_components_star(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iterations: int = 25,
+    exact_convergence: bool = True,
 ) -> DataFrame:
     """(node, cluster_id) via large-star/small-star alternation — the
     DIAMETER-INDEPENDENT sibling of ``connected_components`` (Kiveris et
@@ -129,6 +130,14 @@ def connected_components_star(
     transitive paths); for the near-clique graphs of dedup pipelines the
     propagation loop needs fewer total jobs. Same failure contract: loud
     RuntimeError if not converged within ``max_iterations``.
+
+    Convergence detection (r05 ADVICE): ``exact_convergence=True`` (default)
+    compares edge sets exactly — count equality + an empty ``exceptAll`` —
+    so correctness never rests on a hash. Opting into
+    ``exact_convergence=False`` swaps in a (count, sum-of-xxhash64)
+    fingerprint: one aggregate instead of an extra exceptAll shuffle per
+    round, at ~2^-64 per-round collision odds — the scale path for graphs
+    where the per-round exceptAll is material.
     """
     if max_iterations < 2:
         raise ValueError("max_iterations must be >= 2")
@@ -154,7 +163,14 @@ def connected_components_star(
         ).first()
         return (row["n"], row["s"])
 
-    fp_before = _fingerprint(edges)
+    def _same_edge_set(prev: DataFrame, nxt: DataFrame, n_prev: int, n_next: int) -> bool:
+        # Exact set equality on distinct canonical relations: equal counts
+        # + empty difference. Both inputs are checkpointed, so this is one
+        # exceptAll job, not a lineage replay.
+        return n_prev == n_next and nxt.exceptAll(prev).isEmpty()
+
+    fp_before = _fingerprint(edges) if not exact_convergence else None
+    n_before = edges.count() if exact_convergence else None
     converged = False
     for _ in range(max_iterations):
         # large-star over the symmetrized adjacency
@@ -179,12 +195,17 @@ def connected_components_star(
         )
         selfed = smin.select(F.col("u"), F.col("m").alias("v"))
         edges_next = _canonical(hooked.union(selfed)).localCheckpoint()
-        fp_after = _fingerprint(edges_next)
-        edges = edges_next
-        if fp_after == fp_before:
+        if exact_convergence:
+            n_after = edges_next.count()
+            same = _same_edge_set(edges, edges_next, n_before, n_after)
+            edges, n_before = edges_next, n_after
+        else:
+            fp_after = _fingerprint(edges_next)
+            same = fp_after == fp_before
+            edges, fp_before = edges_next, fp_after
+        if same:
             converged = True
             break
-        fp_before = fp_after
     if not converged:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iterations} "

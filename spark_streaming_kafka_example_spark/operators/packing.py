@@ -59,5 +59,10 @@ def pack_greedy(
         return pdf
 
     slim = df.select(shard_col, order_col, size_col)
-    schema = f"{shard_col} string, {order_col} long, {size_col} long, seq_id long"
+    # Output schema = input fields verbatim + seq_id, so non-default shard/
+    # order/size column types (int shard keys, int32 sizes) round-trip
+    # instead of silently assuming string/long (r05 ADVICE).
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(list(slim.schema.fields) + [StructField("seq_id", LongType())])
     return slim.groupBy(shard_col).applyInPandas(pack, schema)

@@ -343,9 +343,10 @@ def pack_sequences_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared by pack_sequences_greedy AND stream_pack_greedy (plans/stream.py):
-# one definition of the packing recurrence's reference implementation.
-PACK_GREEDY_ORACLE = f"""
+# Shared by pack_sequences_greedy AND stream_pack_greedy (plans/stream.py)
+# AND pack_sequences_payload: one definition of the packing recurrence's
+# reference implementation (CTE chain + per-consumer final SELECT).
+PACK_GREEDY_CTES = f"""
     WITH RECURSIVE wl AS (
         SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
         FROM documents
@@ -366,7 +367,10 @@ PACK_GREEDY_ORACLE = f"""
                CASE WHEN p.fill + o.n_tok > {_PACK_CAP}
                     THEN o.n_tok ELSE p.fill + o.n_tok END
         FROM packed p JOIN ord o ON o.source = p.source AND o.rn = p.rn + 1
-    )
+    )"""
+
+PACK_GREEDY_ORACLE = f"""
+    {PACK_GREEDY_CTES}
     SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
            CAST(seq_id AS BIGINT) AS seq_id
     FROM packed
@@ -385,6 +389,49 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pack_greedy(wl, cap=_PACK_CAP).select(
         "source", "doc_id", "n_tok", "seq_id"
+    )
+
+
+@register(
+    "pack_sequences_payload",
+    f"""
+    {PACK_GREEDY_CTES}
+    SELECT p.source, CAST(p.seq_id AS BIGINT) AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(p.n_tok) AS BIGINT) AS tok_total,
+           string_agg(d.text, ' ' ORDER BY p.doc_id) AS payload
+    FROM packed p JOIN documents d ON p.doc_id = d.doc_id
+    GROUP BY p.source, p.seq_id
+    """,
+)
+def pack_sequences_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packer's actual training artifact: per (shard, seq_id), the
+    concatenated text payload in doc order plus doc/token counts. One join
+    of the (tiny) assignment relation back to the texts + one hash agg;
+    collect_list/array_sort keeps the concat order deterministic without a
+    sort-exchange of the corpus (struct sort key = unique doc_id). The
+    no-overflow invariant (tok_total <= cap unless a single oversized doc
+    owns the sequence) is asserted in
+    tests/test_operators.py::test_pack_payload_never_exceeds_cap."""
+    docs = load_table(spark, sf_dir, "documents")
+    wl = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    packed = pack_greedy(wl, cap=_PACK_CAP)
+    return (
+        packed.join(docs.select("doc_id", "text"), "doc_id")
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("tok_total"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("payload"),
+        )
     )
 
 
@@ -489,11 +536,19 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MIX_BUDGET_FRAC = 0.5  # sample half the corpus...
 _MIX_W_SRC0, _MIX_W_SRC1 = 0.30, 0.20  # ...weighted toward curated shards
+# The residual (1 - named weights) is split evenly over the OTHER shards.
+# The documents fixture has exactly 20 distinct `source` values (src0..19;
+# asserted by tests/test_oracle_parity.py::test_mixture_source_cardinality),
+# so 18 = 20 - the 2 named shards. A real pipeline would compute this per
+# remaining shard from the ns aggregate; the literal keeps the oracle SQL
+# and the Spark plan trivially identical (r05 ADVICE: name the assumption).
+_MIX_N_SOURCES = 20
+_MIX_RESIDUAL_SHARDS = _MIX_N_SOURCES - 2
 
 _MIX_P_SQL = (
     f"CASE source WHEN 'src0' THEN CAST({_MIX_W_SRC0} AS DOUBLE) "
     f"WHEN 'src1' THEN CAST({_MIX_W_SRC1} AS DOUBLE) "
-    f"ELSE CAST({1 - _MIX_W_SRC0 - _MIX_W_SRC1} AS DOUBLE) / 18 END"
+    f"ELSE CAST({1 - _MIX_W_SRC0 - _MIX_W_SRC1} AS DOUBLE) / {_MIX_RESIDUAL_SHARDS} END"
 )
 _HASH256_SQL = (
     "((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + "
@@ -525,7 +580,7 @@ def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (
         F.when(F.col("source") == "src0", F.lit(_MIX_W_SRC0))
         .when(F.col("source") == "src1", F.lit(_MIX_W_SRC1))
-        .otherwise(F.lit((1 - _MIX_W_SRC0 - _MIX_W_SRC1) / 18))
+        .otherwise(F.lit((1 - _MIX_W_SRC0 - _MIX_W_SRC1) / _MIX_RESIDUAL_SHARDS))
     )
     rates = (
         ns.crossJoin(F.broadcast(tot))
@@ -540,6 +595,102 @@ def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(F.broadcast(rates), "source")
         .filter(_hash256("doc_id") < F.floor(F.col("rate") * 256))
         .select("doc_id", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train/valid/test split: the held-out-set assignment every training run
+# needs, as a deterministic hash gate on a SALTED id (salt decorrelates the
+# split from every other hash gate in the pipeline — the 10pct sample and
+# the mixture sampler use unsalted doc_id nibbles). Pure map-side
+# projection: no shuffle, no rand(), stable across runs/retries, and a doc
+# keeps its split forever even as the corpus grows — the property that
+# prevents eval-set leakage when reprocessing. ~1.2% each valid/test
+# (3/256), remainder train.
+# ---------------------------------------------------------------------------
+
+_SPLIT_SALT = "split:"
+_SPLIT_VALID_LT, _SPLIT_TEST_LT = 3, 6  # h<3 valid, 3<=h<6 test, else train
+
+_SPLIT_HASH_SQL = (
+    f"((strpos('0123456789abcdef', substring(md5('{_SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + "
+    f"(strpos('0123456789abcdef', substring(md5('{_SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1))"
+)
+
+
+@register(
+    "split_train_valid_test",
+    f"""
+    SELECT doc_id, source,
+           CASE WHEN {_SPLIT_HASH_SQL} < {_SPLIT_VALID_LT} THEN 'valid'
+                WHEN {_SPLIT_HASH_SQL} < {_SPLIT_TEST_LT} THEN 'test'
+                ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit(_SPLIT_SALT), F.col("doc_id").cast("string")))
+    nib1 = F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
+    nib2 = F.instr(F.lit("0123456789abcdef"), F.substring(h, 2, 1)) - 1
+    gate = nib1 * 16 + nib2
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(gate < _SPLIT_VALID_LT, F.lit("valid"))
+        .when(gate < _SPLIT_TEST_LT, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-order shuffle: a deterministic global pseudo-shuffle WITHOUT a
+# global sort. Each doc hashes to one of N shards (first hash byte) and to
+# a within-shard sort key (the remaining md5 hex) — reading shards 0..N-1
+# each in rank order yields a reproducible, seed-controlled permutation.
+# Scale: one shuffle on the shard key + a per-shard sort (the window is
+# partitioned, never global); shards are written/consumed independently,
+# so 100 TB shuffles as N parallel sorted spills, not one total order.
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_SALT = "shuffle:"
+_SHUFFLE_SHARDS = 8
+
+_SHUFFLE_MD5_SQL = f"md5('{_SHUFFLE_SALT}' || CAST(doc_id AS VARCHAR))"
+_SHUFFLE_SHARD_SQL = (
+    f"((strpos('0123456789abcdef', substring({_SHUFFLE_MD5_SQL}, 1, 1)) - 1) * 16 + "
+    f"(strpos('0123456789abcdef', substring({_SHUFFLE_MD5_SQL}, 2, 1)) - 1)) % {_SHUFFLE_SHARDS}"
+)
+
+
+@register(
+    "shuffle_training_order",
+    f"""
+    SELECT doc_id,
+           CAST({_SHUFFLE_SHARD_SQL} AS BIGINT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY {_SHUFFLE_SHARD_SQL}
+               ORDER BY substring({_SHUFFLE_MD5_SQL}, 3), doc_id
+           ) AS BIGINT) AS rank
+    FROM documents
+    """,
+)
+def shuffle_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit(_SHUFFLE_SALT), F.col("doc_id").cast("string")))
+    nib1 = F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
+    nib2 = F.instr(F.lit("0123456789abcdef"), F.substring(h, 2, 1)) - 1
+    keyed = docs.select(
+        "doc_id",
+        ((nib1 * 16 + nib2) % _SHUFFLE_SHARDS).cast("long").alias("shard"),
+        F.substring(h, 3, 30).alias("okey"),
+    )
+    w = Window.partitionBy("shard").orderBy("okey", "doc_id")
+    return keyed.select(
+        "doc_id", "shard", F.row_number().over(w).cast("long").alias("rank")
     )
 
 
@@ -823,7 +974,7 @@ def pipeline_pretrain_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (
         F.when(F.col("source") == "src0", F.lit(_MIX_W_SRC0))
         .when(F.col("source") == "src1", F.lit(_MIX_W_SRC1))
-        .otherwise(F.lit((1 - _MIX_W_SRC0 - _MIX_W_SRC1) / 18))
+        .otherwise(F.lit((1 - _MIX_W_SRC0 - _MIX_W_SRC1) / _MIX_RESIDUAL_SHARDS))
     )
     rates = ns.crossJoin(F.broadcast(tot)).select(
         "source",

@@ -248,14 +248,18 @@ def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted against exact counts in
     tests/test_approx_aggs.py::test_freq_items_superset_of_true_heavy_hitters.
     Sorted for stable output; support 0.05 on ~25 active users keeps both
-    true hitters and sketch noise observable."""
+    true hitters and sketch noise observable. The sorted arrays are
+    serialized to comma-joined strings: the result is a 1-row summary, and
+    plain string cells keep every downstream consumer (including the
+    driver's rows-only canonicalizer, which cannot sort array cells)
+    order-insensitive without losing information."""
     freq = (
         load_table(spark, sf_dir, "events")
         .stat.freqItems(["user_id", "event_type"], support=0.05)
     )
     return freq.select(
-        F.array_sort("user_id_freqItems").alias("hot_users"),
-        F.array_sort("event_type_freqItems").alias("hot_types"),
+        F.array_join(F.array_sort("user_id_freqItems").cast("array<string>"), ",").alias("hot_users"),
+        F.array_join(F.array_sort("event_type_freqItems"), ",").alias("hot_types"),
     )
 
 

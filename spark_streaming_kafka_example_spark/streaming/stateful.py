@@ -177,14 +177,6 @@ def stateful_sessionizer(
     )
 
 
-_PACK_OUTPUT_SCHEMA = T.StructType(
-    [
-        T.StructField("source", T.StringType()),
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("n_tok", T.LongType()),
-        T.StructField("seq_id", T.LongType()),
-    ]
-)
 # state: (current open sequence id, tokens already in it)
 _PACK_STATE_SCHEMA = T.StructType(
     [
@@ -217,6 +209,16 @@ def stateful_greedy_packer(
     if cap < 1:
         raise ValueError("cap must be >= 1")
 
+    # Output schema/columns derive from the passed column NAMES and the
+    # input's own field types (r05 ADVICE: the previous hard-coded
+    # source/doc_id/n_tok schema silently mislabeled non-default callers).
+    in_fields = {f.name: f for f in docs.schema.fields}
+    out_schema = T.StructType(
+        [in_fields[shard_col], in_fields[order_col], in_fields[size_col],
+         T.StructField("seq_id", T.LongType())]
+    )
+    out_cols = [shard_col, order_col, size_col, "seq_id"]
+
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -226,14 +228,14 @@ def stateful_greedy_packer(
         for doc, n in zip(rows[order_col], rows[size_col]):
             if fill > 0 and fill + n > cap:
                 seq, fill = seq + 1, 0
-            out.append((key[0], int(doc), int(n), seq))
+            out.append((key[0], doc, n, seq))
             fill += n
-        state.update((seq, fill))
-        yield pd.DataFrame(out, columns=["source", "doc_id", "n_tok", "seq_id"])
+        state.update((seq, int(fill)))
+        yield pd.DataFrame(out, columns=out_cols)
 
     return docs.groupBy(shard_col).applyInPandasWithState(
         update,
-        outputStructType=_PACK_OUTPUT_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=_PACK_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

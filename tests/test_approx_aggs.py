@@ -40,10 +40,12 @@ def test_approx_distinct_within_hll_error(spark, sf_dir):
 def test_freq_items_superset_of_true_heavy_hitters(spark, sf_dir):
     """freqItems' contract is one-sided: every item with frequency >
     support*n MUST appear (false positives allowed, false negatives not).
-    Check both tracked columns against exact counts."""
+    Check both tracked columns against exact counts. The query serializes
+    each sorted array to a comma-joined string (driver canonicalizer can't
+    sort array cells), so split it back here."""
     out = plans.QUERIES["agg_freq_items"](spark, sf_dir).toPandas()
-    hot_users = set(out.hot_users.iloc[0])
-    hot_types = set(out.hot_types.iloc[0])
+    hot_users = {int(u) for u in out.hot_users.iloc[0].split(",")}
+    hot_types = set(out.hot_types.iloc[0].split(","))
     ev = load_table(spark, sf_dir, "events").toPandas()
     n = len(ev)
     for col, got in [("user_id", hot_users), ("event_type", hot_types)]:

@@ -1030,3 +1030,70 @@ def test_pack_greedy_matches_python_reference(spark, seed):
             expect[(s, d)] = seq
             fill += n
     assert got == expect
+
+
+def test_ivf_recall_bound(spark, sf_dir):
+    """sim_ivf_recall's documented quality bound: with k-means-trained
+    centroids and n_probe=2 the mean recall@5 over the fixture queries
+    stays >= 0.8 (measured 0.88 sf0.001 / 0.92 sf0.01; stride centroids
+    manage only ~0.5). Keeps the approximation claim a measured number,
+    not prose."""
+    from spark_streaming_kafka_example_spark import plans
+
+    plans.load_all()
+    rows = plans.QUERIES["sim_ivf_recall"](spark, sf_dir).collect()
+    assert rows, "recall query returned no queries"
+    recalls = [r.recall for r in rows]
+    assert all(0.0 <= r <= 1.0 for r in recalls)
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_pack_payload_never_exceeds_cap(spark, sf_dir):
+    """Greedy no-straddle invariant on the materialized payload: a packed
+    sequence never exceeds the cap unless a single oversized doc owns it,
+    and the payload's whitespace token count equals tok_total."""
+    from spark_streaming_kafka_example_spark import plans
+    from spark_streaming_kafka_example_spark.plans.textprep import _PACK_CAP
+
+    plans.load_all()
+    rows = plans.QUERIES["pack_sequences_payload"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.tok_total <= _PACK_CAP or r.n_docs == 1, (
+            r.source, r.seq_id, r.tok_total, r.n_docs)
+        assert len(r.payload.split(" ")) == r.tok_total, (r.source, r.seq_id)
+
+
+def test_split_assignment_properties(spark, sf_dir):
+    """split_train_valid_test: every doc gets exactly one split, the split
+    is a pure function of doc_id (stable across runs), and the held-out
+    fractions land near their 3/256 targets."""
+    from spark_streaming_kafka_example_spark import plans
+
+    plans.load_all()
+    a = plans.QUERIES["split_train_valid_test"](spark, sf_dir).toPandas()
+    b = plans.QUERIES["split_train_valid_test"](spark, sf_dir).toPandas()
+    assert a.doc_id.is_unique
+    am = dict(zip(a.doc_id, a.split))
+    assert am == dict(zip(b.doc_id, b.split))  # deterministic
+    n = len(a)
+    frac = a.split.value_counts() / n
+    assert set(frac.index) <= {"train", "valid", "test"}
+    assert frac.get("train", 0) > 0.9
+    for held in ("valid", "test"):
+        assert 0 < frac.get(held, 0) < 0.05, frac.to_dict()
+
+
+def test_shuffle_training_order_properties(spark, sf_dir):
+    """shuffle_training_order: ranks are contiguous 1..n within each shard,
+    the permutation is deterministic, and it is not the identity order
+    (i.e. it actually shuffles doc_id order)."""
+    from spark_streaming_kafka_example_spark import plans
+
+    plans.load_all()
+    df = plans.QUERIES["shuffle_training_order"](spark, sf_dir).toPandas()
+    assert df.doc_id.is_unique
+    for shard, grp in df.groupby("shard"):
+        assert sorted(grp["rank"]) == list(range(1, len(grp) + 1)), shard
+        ordered = grp.sort_values("rank").doc_id.tolist()
+        assert ordered != sorted(ordered), f"shard {shard} not shuffled"

@@ -37,3 +37,15 @@ def test_entry_smoke(spark):
 
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_mixture_source_cardinality(spark, sf_dir):
+    """sample_domain_mixture's residual weight splits over exactly
+    _MIX_RESIDUAL_SHARDS = 20 - 2 unnamed shards; if the fixture's source
+    cardinality ever drifts, the target mixture stops summing to 1 — fail
+    loudly here instead (r05 ADVICE)."""
+    from spark_streaming_kafka_example_spark.plans import textprep
+    from spark_streaming_kafka_example_spark.sources import load_table
+
+    n = load_table(spark, sf_dir, "documents").select("source").distinct().count()
+    assert n == textprep._MIX_N_SOURCES
