@@ -450,3 +450,42 @@ def test_cluster_representatives_is_hash_agg(plan_of):
     plan = plan_of("dedup_cluster_representatives")
     assert "max_by" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_split_assignment_is_map_only(plan_of):
+    """split_train_valid_test is a pure projection: the plan must contain
+    no exchange at all — the split gate runs map-side on the scan."""
+    plan = plan_of("split_train_valid_test")
+    assert "Exchange" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,source:string" in plan  # pruned
+
+
+def test_shuffle_training_order_single_exchange(plan_of):
+    """shuffle_training_order shuffles ONCE on the shard key; the sort is
+    per-shard inside the window (no global single-partition sort, which
+    would serialize the permutation at scale)."""
+    plan = plan_of("shuffle_training_order")
+    # formatted mode prints each node in the tree AND the detail section
+    assert plan.count("Exchange (") == 1
+    assert "hashpartitioning(shard" in plan
+    assert "SinglePartition" not in plan
+    # text column pruned away — ranks derive from doc_id only
+    assert "text" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_pack_payload_no_corpus_sort(plan_of):
+    """pack_sequences_payload: the payload concat is a hash aggregation
+    (collect_list + array_sort), never a sort-exchange of the corpus, and
+    the assignment-to-text join must not be a cartesian."""
+    plan = plan_of("pack_sequences_payload")
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan  # map-side partial agg feeds the exchange
+
+
+def test_ivf_recall_no_cartesian_beyond_broadcast(plan_of):
+    """sim_ivf_recall composes the IVF probe and brute-force chains; every
+    cross join in them is against a broadcast (queries/centroids) relation,
+    never a distributed cartesian."""
+    plan = plan_of("sim_ivf_recall")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the documented broadcast crossJoins
