@@ -161,6 +161,9 @@ ROTATION_PRIORITY = [
     "pack_sequences_payload",
     "split_train_valid_test",
     "shuffle_training_order",
+    "pipeline_export_shards",
+    "dedup_repeated_spans",
+    "sim_quantize_int8",
 ]
 
 

@@ -71,6 +71,9 @@ HEADLINE = [
     "sim_ivf_indexed_topk",
     "sim_ivf_recall",
     "pack_sequences_payload",
+    "pipeline_export_shards",
+    "dedup_repeated_spans",
+    "sim_quantize_int8",
 ]
 
 

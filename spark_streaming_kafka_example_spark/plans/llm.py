@@ -1782,3 +1782,126 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cc = connected_components_star(jaccard_pair_graph(spark, sf_dir))
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+# ---------------------------------------------------------------------------
+# Repeated-span mining (r06): exact-substring dedup signal in the style of
+# Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better") — find W-token spans that occur in more than one document.
+# A true suffix-array pass is sequential; the distributed re-expression is
+# the standard one: slide a W-token window over every doc (explode),
+# md5 the span, and hash-aggregate occurrences — one explode + one
+# map-side-combinable agg, nothing quadratic, span text never shuffled
+# (only its 32-byte hash). Cross-doc repeated spans are exactly the spans
+# a span-level deduper would mask/cut.
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 16
+_SPAN_TOP = 100
+
+_SPAN_GRAM_SQL = " || ' ' || ".join(f"w[i+{j}]" for j in range(_SPAN_W))
+
+
+@register(
+    "dedup_repeated_spans",
+    f"""
+    WITH {EXACT_CORPUS_CTE.strip()},
+    cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+    spans AS (
+        SELECT doc_id,
+               md5(unnest(list_transform(
+                   generate_series(1, greatest(len(w) - {_SPAN_W - 1}, 0)),
+                   i -> {_SPAN_GRAM_SQL}))) AS span_h
+        FROM cw
+    ),
+    agg AS (
+        SELECT span_h,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_occ
+        FROM spans GROUP BY span_h
+    )
+    SELECT span_h, n_docs, n_occ FROM agg
+    WHERE n_docs >= 2
+    ORDER BY n_docs DESC, n_occ DESC, span_h
+    LIMIT {_SPAN_TOP}
+    """,
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top cross-document repeated {W}-token spans over the planted-copy
+    corpus: (span_h, n_docs, n_occ), heaviest first. The planted exact
+    copies guarantee the positive path; the top-k is a
+    TakeOrderedAndProject (no global sort)."""
+    corpus = _exact_corpus(spark, sf_dir)
+    spans = (
+        corpus.select("doc_id", F.split("text", " ").alias("_w"))
+        .select(
+            "doc_id",
+            F.explode(TXT.shingles_from_words("_w", _SPAN_W)).alias("span"),
+        )
+        .select("doc_id", F.md5("span").alias("span_h"))
+    )
+    return (
+        spans.groupBy("span_h")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occ"), F.asc("span_h"))
+        .limit(_SPAN_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Int8 embedding quantization (r06): the ANN storage path at 100 TB — a
+# symmetric per-vector max-abs scale and 8-bit codes cut vector storage
+# (and probe-scan I/O) 4x vs float32, with reconstruction error bounded by
+# scale/254 per dimension. Pure higher-order-function projection (no UDF,
+# no shuffle); codes are emitted comma-joined so every downstream surface
+# (including array-incapable canonicalizers) sees plain strings.
+# ---------------------------------------------------------------------------
+
+_QUANT_LEVELS = 127
+
+
+@register(
+    "sim_quantize_int8",
+    f"""
+    WITH {_EMB_D},
+    s AS (
+        SELECT vec_id, v,
+               greatest(list_max(list_transform(v, x -> abs(x))), 1e-12)
+                   AS scale
+        FROM e
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           array_to_string(list_transform(v, x ->
+               CAST(CAST(round({_QUANT_LEVELS} * x / scale) AS BIGINT) AS VARCHAR)),
+               ',') AS q,
+           round(list_max(list_transform(v, x ->
+               abs(x - round({_QUANT_LEVELS} * x / scale) * scale
+                       / {_QUANT_LEVELS}))), 6) AS max_err
+    FROM s
+    """,
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, scale, q, max_err): symmetric int8 codes per embedding plus
+    the realized max per-dimension dequantization error. The error bound
+    (max_err <= scale/254) is asserted in
+    tests/test_operators.py::test_quantize_int8_error_bound."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-12)
+    )
+    q = F.transform(v, lambda x: F.round(F.lit(_QUANT_LEVELS) * x / scale).cast("long"))
+    err = F.array_max(
+        F.zip_with(v, q, lambda a, b: F.abs(a - b * scale / _QUANT_LEVELS))
+    )
+    return emb.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.array_join(q.cast("array<string>"), ",").alias("q"),
+        F.round(err, 6).alias("max_err"),
+    )

@@ -73,13 +73,18 @@ def _bench_grams_df(docs):
     )
 
 
-def _hash256(col):
-    """Deterministic 8-bit gate value from md5 of a (castable) id column —
-    the single Spark twin of _HASH256_SQL."""
-    h = F.md5(F.col(col).cast("string"))
+def _md5_gate(h):
+    """First-byte value (0..255) of an md5 hex Column — the Spark twin of
+    the strpos-nibble SQL idiom (DuckDB has no conv())."""
     nib1 = F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
     nib2 = F.instr(F.lit("0123456789abcdef"), F.substring(h, 2, 1)) - 1
     return nib1 * 16 + nib2
+
+
+def _hash256(col):
+    """Deterministic 8-bit gate value from md5 of a (castable) id column —
+    the single Spark twin of _HASH256_SQL."""
+    return _md5_gate(F.md5(F.col(col).cast("string")))
 
 
 @register(
@@ -618,6 +623,14 @@ _SPLIT_HASH_SQL = (
 )
 
 
+def _split_gate():
+    """The salted split gate as a Spark Column — single definition shared
+    by split_train_valid_test and pipeline_export_shards."""
+    return _md5_gate(
+        F.md5(F.concat(F.lit(_SPLIT_SALT), F.col("doc_id").cast("string")))
+    )
+
+
 @register(
     "split_train_valid_test",
     f"""
@@ -630,10 +643,7 @@ _SPLIT_HASH_SQL = (
 )
 def split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    h = F.md5(F.concat(F.lit(_SPLIT_SALT), F.col("doc_id").cast("string")))
-    nib1 = F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
-    nib2 = F.instr(F.lit("0123456789abcdef"), F.substring(h, 2, 1)) - 1
-    gate = nib1 * 16 + nib2
+    gate = _split_gate()
     return docs.select(
         "doc_id",
         "source",
@@ -681,11 +691,9 @@ def shuffle_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     h = F.md5(F.concat(F.lit(_SHUFFLE_SALT), F.col("doc_id").cast("string")))
-    nib1 = F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
-    nib2 = F.instr(F.lit("0123456789abcdef"), F.substring(h, 2, 1)) - 1
     keyed = docs.select(
         "doc_id",
-        ((nib1 * 16 + nib2) % _SHUFFLE_SHARDS).cast("long").alias("shard"),
+        (_md5_gate(h) % _SHUFFLE_SHARDS).cast("long").alias("shard"),
         F.substring(h, 3, 30).alias("okey"),
     )
     w = Window.partitionBy("shard").orderBy("okey", "doc_id")
@@ -1207,4 +1215,119 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
         F.max_by("doc_id", key).alias("rep_doc_id"),
         F.count(F.lit(1)).alias("n_members"),
         F.max("quality_p").alias("rep_quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Export capstone (r06): the last mile of the pretraining pipeline — take
+# the TRAIN split, greedy-pack it into cap-sized sequences per source
+# shard, materialize each sequence's text payload, and assign every
+# sequence a (shard, rank) position in a deterministic training order.
+# The output IS the artifact a trainer consumes: read shards 0..N-1, each
+# in rank order.
+#
+# Scale: split gate is map-side; packing shuffles once on source;
+# payload is one hash agg; the export order is N independent per-shard
+# sorts (same no-global-sort argument as shuffle_training_order). One
+# recursive-CTE oracle replays the entire composition.
+# ---------------------------------------------------------------------------
+
+_EXPORT_SHARDS = 4
+
+_EXPORT_MD5_SQL = "md5('export:' || source || ':' || CAST(seq_id AS VARCHAR))"
+_EXPORT_SHARD_SQL = (
+    f"((strpos('0123456789abcdef', substring({_EXPORT_MD5_SQL}, 1, 1)) - 1) * 16 + "
+    f"(strpos('0123456789abcdef', substring({_EXPORT_MD5_SQL}, 2, 1)) - 1)) % {_EXPORT_SHARDS}"
+)
+
+
+@register(
+    "pipeline_export_shards",
+    f"""
+    WITH RECURSIVE train AS (
+        SELECT doc_id, source, text FROM documents
+        WHERE {_SPLIT_HASH_SQL} >= {_SPLIT_TEST_LT}
+    ),
+    wl AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok FROM train
+    ),
+    ord AS (
+        SELECT doc_id, source, n_tok,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM wl
+    ),
+    packed AS (
+        SELECT doc_id, source, n_tok, rn, 0 AS seq_id, n_tok AS fill
+        FROM ord WHERE rn = 1
+        UNION ALL
+        SELECT o.doc_id, o.source, o.n_tok, o.rn,
+               CASE WHEN p.fill + o.n_tok > {_PACK_CAP}
+                    THEN p.seq_id + 1 ELSE p.seq_id END,
+               CASE WHEN p.fill + o.n_tok > {_PACK_CAP}
+                    THEN o.n_tok ELSE p.fill + o.n_tok END
+        FROM packed p JOIN ord o ON o.source = p.source AND o.rn = p.rn + 1
+    ),
+    seqs AS (
+        SELECT p.source, CAST(p.seq_id AS BIGINT) AS seq_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(p.n_tok) AS BIGINT) AS tok_total,
+               string_agg(t.text, ' ' ORDER BY p.doc_id) AS payload
+        FROM packed p JOIN train t ON p.doc_id = t.doc_id
+        GROUP BY p.source, p.seq_id
+    )
+    SELECT CAST({_EXPORT_SHARD_SQL} AS BIGINT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY {_EXPORT_SHARD_SQL}
+               ORDER BY substring({_EXPORT_MD5_SQL}, 3), source, seq_id
+           ) AS BIGINT) AS rank,
+           source, seq_id, n_docs, tok_total, payload
+    FROM seqs
+    """,
+)
+def pipeline_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(shard, rank, source, seq_id, n_docs, tok_total, payload): the
+    train-split corpus packed and laid out for training. Composes the
+    r06 stages end-to-end — split gate (map-side), greedy packing (one
+    source-key shuffle, keyed applyInPandas), payload materialization
+    (one hash agg), deterministic shard/rank order (per-shard window) —
+    and the oracle replays the whole chain in one recursive-CTE query."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(_split_gate() >= _SPLIT_TEST_LT)
+    wl = train.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    seqs = (
+        pack_greedy(wl, cap=_PACK_CAP)
+        .join(train.select("doc_id", "text"), "doc_id")
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("tok_total"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("payload"),
+        )
+    )
+    eh = F.md5(
+        F.concat(
+            F.lit("export:"), F.col("source"), F.lit(":"),
+            F.col("seq_id").cast("string"),
+        )
+    )
+    keyed = seqs.select(
+        (_md5_gate(eh) % _EXPORT_SHARDS).cast("long").alias("shard"),
+        F.substring(eh, 3, 30).alias("okey"),
+        "source", "seq_id", "n_docs", "tok_total", "payload",
+    )
+    w = Window.partitionBy("shard").orderBy("okey", "source", "seq_id")
+    return keyed.select(
+        "shard",
+        F.row_number().over(w).cast("long").alias("rank"),
+        "source", "seq_id", "n_docs", "tok_total", "payload",
     )

@@ -1097,3 +1097,59 @@ def test_shuffle_training_order_properties(spark, sf_dir):
         assert sorted(grp["rank"]) == list(range(1, len(grp) + 1)), shard
         ordered = grp.sort_values("rank").doc_id.tolist()
         assert ordered != sorted(ordered), f"shard {shard} not shuffled"
+
+
+def test_export_shards_invariants(spark, sf_dir):
+    """pipeline_export_shards: ranks contiguous 1..n per shard; every
+    sequence respects the cap unless a single oversized doc owns it; the
+    payload token count equals tok_total; and no valid/test doc leaks into
+    the export (spot-check via the split query)."""
+    from spark_streaming_kafka_example_spark import plans
+    from spark_streaming_kafka_example_spark.plans.textprep import _PACK_CAP
+
+    plans.load_all()
+    df = plans.QUERIES["pipeline_export_shards"](spark, sf_dir).toPandas()
+    assert len(df) > 0
+    for shard, grp in df.groupby("shard"):
+        assert sorted(grp["rank"]) == list(range(1, len(grp) + 1)), shard
+    for r in df.itertuples():
+        assert r.tok_total <= _PACK_CAP or r.n_docs == 1
+        assert len(r.payload.split(" ")) == r.tok_total
+    # leakage check: total exported tokens == train-split token count
+    split = plans.QUERIES["split_train_valid_test"](spark, sf_dir).toPandas()
+    docs = load_table(spark, sf_dir, "documents").toPandas()
+    train_ids = set(split[split.split == "train"].doc_id)
+    expect_toks = sum(
+        len(t.split(" ")) for d, t in zip(docs.doc_id, docs.text) if d in train_ids
+    )
+    assert df.tok_total.sum() == expect_toks
+
+
+def test_quantize_int8_error_bound(spark, sf_dir):
+    """sim_quantize_int8: codes stay in [-127, 127] and the realized max
+    dequantization error respects the scale/254 symmetric-quantizer bound
+    (half a quantization step) with float slack."""
+    from spark_streaming_kafka_example_spark import plans
+
+    plans.load_all()
+    df = plans.QUERIES["sim_quantize_int8"](spark, sf_dir).toPandas()
+    assert len(df) > 0
+    for r in df.itertuples():
+        codes = [int(c) for c in r.q.split(",")]
+        assert all(-127 <= c <= 127 for c in codes), r.vec_id
+        # + 5e-7: max_err is rounded to 6 decimals, which can round UP past
+        # the exact bound by half an ulp of the rounding grid
+        assert r.max_err <= r.scale / 254 * 1.0001 + 5e-7, r.vec_id
+
+
+def test_repeated_spans_finds_planted_copies(spark, sf_dir):
+    """Every reported span must repeat across >= 2 docs, and the planted
+    exact copies guarantee spans with n_occ >= 2 exist; span occurrence
+    counts must be >= doc counts."""
+    from spark_streaming_kafka_example_spark import plans
+
+    plans.load_all()
+    df = plans.QUERIES["dedup_repeated_spans"](spark, sf_dir).toPandas()
+    assert len(df) > 0
+    assert (df.n_docs >= 2).all()
+    assert (df.n_occ >= df.n_docs).all()
