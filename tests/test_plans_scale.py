@@ -489,3 +489,32 @@ def test_ivf_recall_no_cartesian_beyond_broadcast(plan_of):
     plan = plan_of("sim_ivf_recall")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the documented broadcast crossJoins
+
+
+def test_repeated_spans_topk_and_partial_agg(plan_of):
+    """dedup_repeated_spans: map-side partial aggregation before the
+    shuffle, top-k via TakeOrderedAndProject (never a global sort), and
+    the scan pruned to (doc_id, text)."""
+    plan = plan_of("dedup_repeated_spans")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_quantize_int8_is_map_only(plan_of):
+    """sim_quantize_int8 is a pure projection: zero exchanges — the codes
+    and error bound compute inside the scan's partitioning."""
+    plan = plan_of("sim_quantize_int8")
+    assert "Exchange" not in plan
+
+
+def test_export_shards_plan_shape(plan_of):
+    """pipeline_export_shards: exactly three data exchanges (pack shard
+    key, payload agg, export shard window) + a broadcast for the
+    text-back join; no cartesian, no single-partition window."""
+    plan = plan_of("pipeline_export_shards")
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    assert plan.count("+- Exchange (") == 3
+    assert "BroadcastHashJoin" in plan
