@@ -164,6 +164,8 @@ ROTATION_PRIORITY = [
     "pipeline_export_shards",
     "dedup_repeated_spans",
     "sim_quantize_int8",
+    "funnel_view_click_purchase",
+    "cohort_daily_retention",
 ]
 
 

@@ -74,6 +74,7 @@ HEADLINE = [
     "pipeline_export_shards",
     "dedup_repeated_spans",
     "sim_quantize_int8",
+    "cohort_daily_retention",
 ]
 
 

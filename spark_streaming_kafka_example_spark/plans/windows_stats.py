@@ -349,3 +349,110 @@ def agg_bitwise_tour(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bit_xor(user_id)").cast("long").alias("bxor"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis (r06): strictly-ordered view -> click -> purchase
+# conversion. Each stage's entry time is the user's first qualifying event
+# AT OR AFTER the previous stage's entry — the standard product-analytics
+# funnel, expressed as per-user min-aggregations chained by equi-joins on
+# user_id (every join/agg shares the user_id shuffle key; nothing scans
+# events more than the three stage filters, each pushed to the scan).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_view_click_purchase",
+    """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.t_view
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.t_click
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase,
+           round(CAST((SELECT count(*) FROM c) AS DOUBLE)
+                 / (SELECT count(*) FROM v), 4) AS view_to_click,
+           round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+                 / (SELECT count(*) FROM c), 4) AS click_to_purchase
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row funnel summary: users entering each ordered stage plus
+    stage-to-stage conversion. Three pushed-filter scans, per-user min
+    aggs, user_id-keyed joins — no window over the event stream."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+
+    def first_at_or_after(etype: str, prev: DataFrame, prev_t: str, out: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype).select("user_id", "ts")
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias(out))
+        return (
+            e.join(prev, "user_id")
+            .filter(F.col("ts") >= F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    v = first_at_or_after("view", None, "", "t_view")
+    c = first_at_or_after("click", v, "t_view", "t_click")
+    p = first_at_or_after("purchase", c, "t_click", "t_purchase")
+    counts = [df.agg(F.count(F.lit(1)).alias(n)) for df, n in
+              [(v, "n_view"), (c, "n_click"), (p, "n_purchase")]]
+    row = counts[0].crossJoin(counts[1]).crossJoin(counts[2])
+    return row.select(
+        "n_view", "n_click", "n_purchase",
+        F.round(F.col("n_click").cast("double") / F.col("n_view"), 4)
+            .alias("view_to_click"),
+        F.round(F.col("n_purchase").cast("double") / F.col("n_click"), 4)
+            .alias("click_to_purchase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (r06): users grouped by first-seen day; per (cohort,
+# day-offset), how many came back. Two user_id-keyed aggregations + one
+# join, then a tiny (cohort, offset) agg — the canonical retention matrix
+# without any window function, so every stage is a partial-aggregated
+# hash shuffle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cohort_daily_retention",
+    """
+    WITH act AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    first AS (SELECT user_id, min(d) AS cohort_day FROM act GROUP BY user_id)
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.d) AS BIGINT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM act a JOIN first f ON a.user_id = f.user_id
+    GROUP BY f.cohort_day, day_offset
+    """,
+)
+def cohort_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    act = ev.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
+    first = act.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        act.join(first, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("d", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
