@@ -751,9 +751,15 @@ def sim_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the corpus" (SCALE.md): the assignment job amortizes across every
     later query, and the probe's scan is partition-pruned to n_probe
     buckets. Results are identical to the inline path by construction, so
-    the same oracle covers both. Index lands under the system temp dir
-    keyed by the sf name (overwritten per run — the build IS the query
-    under test)."""
+    the same oracle covers both.
+
+    EAGER BY NATURE: constructing this query RUNS the index build (a write
+    action) — parquet can't be planned against files that don't exist yet,
+    exactly as CREATE INDEX runs before the SELECT that uses it. This is
+    the one registry entry that does work at construction time; keep it
+    out of plan-enumeration fixtures. The index lands under a
+    per-application temp dir (applicationId in the path), so concurrent
+    sessions on one host never clobber each other's build (r06 review)."""
     import os
     import tempfile
 
@@ -765,6 +771,7 @@ def sim_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(
         tempfile.gettempdir(),
         "spark_graft_ivf_index",
+        spark.sparkContext.applicationId,
         os.path.basename(os.path.normpath(sf_dir)),
     )
     build_ivf_index(emb, centroids, path)

@@ -87,6 +87,16 @@ def _hash256(col):
     return _md5_gate(F.md5(F.col(col).cast("string")))
 
 
+def _gate_sql(md5_expr: str) -> str:
+    """First-byte value (0..255) of an md5 hex SQL expression — the single
+    strpos-nibble idiom (SQL twin of _md5_gate); every hash gate below
+    derives from this one definition (r06 review)."""
+    return (
+        f"((strpos('0123456789abcdef', substring({md5_expr}, 1, 1)) - 1) * 16 + "
+        f"(strpos('0123456789abcdef', substring({md5_expr}, 2, 1)) - 1))"
+    )
+
+
 @register(
     "text_decontaminate",
     f"""
@@ -397,34 +407,26 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "pack_sequences_payload",
-    f"""
-    {PACK_GREEDY_CTES}
-    SELECT p.source, CAST(p.seq_id AS BIGINT) AS seq_id,
+def _payload_select_sql(doc_rel: str) -> str:
+    """SQL payload materialization over a `packed` CTE joined back to
+    ``doc_rel`` — one definition shared by pack_sequences_payload and
+    pipeline_export_shards (r06 review)."""
+    return f"""SELECT p.source, CAST(p.seq_id AS BIGINT) AS seq_id,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(p.n_tok) AS BIGINT) AS tok_total,
            string_agg(d.text, ' ' ORDER BY p.doc_id) AS payload
-    FROM packed p JOIN documents d ON p.doc_id = d.doc_id
-    GROUP BY p.source, p.seq_id
-    """,
-)
-def pack_sequences_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The packer's actual training artifact: per (shard, seq_id), the
-    concatenated text payload in doc order plus doc/token counts. One join
-    of the (tiny) assignment relation back to the texts + one hash agg;
-    collect_list/array_sort keeps the concat order deterministic without a
-    sort-exchange of the corpus (struct sort key = unique doc_id). The
-    no-overflow invariant (tok_total <= cap unless a single oversized doc
-    owns the sequence) is asserted in
-    tests/test_operators.py::test_pack_payload_never_exceeds_cap."""
-    docs = load_table(spark, sf_dir, "documents")
-    wl = docs.select(
-        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tok")
-    )
-    packed = pack_greedy(wl, cap=_PACK_CAP)
+    FROM packed p JOIN {doc_rel} d ON p.doc_id = d.doc_id
+    GROUP BY p.source, p.seq_id"""
+
+
+def _payload_agg(packed: DataFrame, texts: DataFrame) -> DataFrame:
+    """Per (source, seq_id) payload materialization — Spark twin of
+    _payload_select_sql: one join of the (tiny) assignment relation back
+    to the texts + one hash agg; collect_list/array_sort keeps the concat
+    order deterministic without a sort-exchange of the corpus (struct
+    sort key = unique doc_id)."""
     return (
-        packed.join(docs.select("doc_id", "text"), "doc_id")
+        packed.join(texts, "doc_id")
         .groupBy("source", "seq_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -438,6 +440,27 @@ def pack_sequences_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("payload"),
         )
     )
+
+
+@register(
+    "pack_sequences_payload",
+    f"""
+    {PACK_GREEDY_CTES}
+    {_payload_select_sql("documents")}
+    """,
+)
+def pack_sequences_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packer's actual training artifact: per (shard, seq_id), the
+    concatenated text payload in doc order plus doc/token counts (see
+    _payload_agg for the plan shape). The no-overflow invariant
+    (tok_total <= cap unless a single oversized doc owns the sequence) is
+    asserted in tests/test_operators.py::test_pack_payload_never_exceeds_cap."""
+    docs = load_table(spark, sf_dir, "documents")
+    wl = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    packed = pack_greedy(wl, cap=_PACK_CAP)
+    return _payload_agg(packed, docs.select("doc_id", "text"))
 
 
 # ---------------------------------------------------------------------------
@@ -555,10 +578,7 @@ _MIX_P_SQL = (
     f"WHEN 'src1' THEN CAST({_MIX_W_SRC1} AS DOUBLE) "
     f"ELSE CAST({1 - _MIX_W_SRC0 - _MIX_W_SRC1} AS DOUBLE) / {_MIX_RESIDUAL_SHARDS} END"
 )
-_HASH256_SQL = (
-    "((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + "
-    "(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1))"
-)
+_HASH256_SQL = _gate_sql("md5(CAST(doc_id AS VARCHAR))")
 
 
 @register(
@@ -617,10 +637,7 @@ def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPLIT_SALT = "split:"
 _SPLIT_VALID_LT, _SPLIT_TEST_LT = 3, 6  # h<3 valid, 3<=h<6 test, else train
 
-_SPLIT_HASH_SQL = (
-    f"((strpos('0123456789abcdef', substring(md5('{_SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + "
-    f"(strpos('0123456789abcdef', substring(md5('{_SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1))"
-)
+_SPLIT_HASH_SQL = _gate_sql(f"md5('{_SPLIT_SALT}' || CAST(doc_id AS VARCHAR))")
 
 
 def _split_gate():
@@ -668,10 +685,29 @@ _SHUFFLE_SALT = "shuffle:"
 _SHUFFLE_SHARDS = 8
 
 _SHUFFLE_MD5_SQL = f"md5('{_SHUFFLE_SALT}' || CAST(doc_id AS VARCHAR))"
-_SHUFFLE_SHARD_SQL = (
-    f"((strpos('0123456789abcdef', substring({_SHUFFLE_MD5_SQL}, 1, 1)) - 1) * 16 + "
-    f"(strpos('0123456789abcdef', substring({_SHUFFLE_MD5_SQL}, 2, 1)) - 1)) % {_SHUFFLE_SHARDS}"
-)
+_SHUFFLE_SHARD_SQL = f"{_gate_sql(_SHUFFLE_MD5_SQL)} % {_SHUFFLE_SHARDS}"
+
+
+def _shard_rank(df: DataFrame, h, n_shards: int, tie_cols: list) -> DataFrame:
+    """(shard, rank) assignment from an md5 hex Column ``h``: shard = first
+    hash byte % n_shards, rank = row_number within shard ordered by the
+    REMAINING hex (decorrelated from the shard byte) then ``tie_cols``.
+    One shard-key exchange + per-shard sort — the no-global-sort
+    permutation shared by shuffle_training_order and
+    pipeline_export_shards (r06 review). Keeps all input columns."""
+    from pyspark.sql import Window
+
+    keyed = df.select(
+        (_md5_gate(h) % n_shards).cast("long").alias("shard"),
+        F.substring(h, 3, 30).alias("okey"),
+        "*",
+    )
+    w = Window.partitionBy("shard").orderBy("okey", *tie_cols)
+    return keyed.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).drop("okey")
+
+
 
 
 @register(
@@ -687,18 +723,10 @@ _SHUFFLE_SHARD_SQL = (
     """,
 )
 def shuffle_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     h = F.md5(F.concat(F.lit(_SHUFFLE_SALT), F.col("doc_id").cast("string")))
-    keyed = docs.select(
-        "doc_id",
-        (_md5_gate(h) % _SHUFFLE_SHARDS).cast("long").alias("shard"),
-        F.substring(h, 3, 30).alias("okey"),
-    )
-    w = Window.partitionBy("shard").orderBy("okey", "doc_id")
-    return keyed.select(
-        "doc_id", "shard", F.row_number().over(w).cast("long").alias("rank")
+    return _shard_rank(docs.select("doc_id"), h, _SHUFFLE_SHARDS, ["doc_id"]).select(
+        "doc_id", "shard", "rank"
     )
 
 
@@ -1235,10 +1263,7 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
 _EXPORT_SHARDS = 4
 
 _EXPORT_MD5_SQL = "md5('export:' || source || ':' || CAST(seq_id AS VARCHAR))"
-_EXPORT_SHARD_SQL = (
-    f"((strpos('0123456789abcdef', substring({_EXPORT_MD5_SQL}, 1, 1)) - 1) * 16 + "
-    f"(strpos('0123456789abcdef', substring({_EXPORT_MD5_SQL}, 2, 1)) - 1)) % {_EXPORT_SHARDS}"
-)
+_EXPORT_SHARD_SQL = f"{_gate_sql(_EXPORT_MD5_SQL)} % {_EXPORT_SHARDS}"
 
 
 @register(
@@ -1268,12 +1293,7 @@ _EXPORT_SHARD_SQL = (
         FROM packed p JOIN ord o ON o.source = p.source AND o.rn = p.rn + 1
     ),
     seqs AS (
-        SELECT p.source, CAST(p.seq_id AS BIGINT) AS seq_id,
-               CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(p.n_tok) AS BIGINT) AS tok_total,
-               string_agg(t.text, ' ' ORDER BY p.doc_id) AS payload
-        FROM packed p JOIN train t ON p.doc_id = t.doc_id
-        GROUP BY p.source, p.seq_id
+        {_payload_select_sql("train")}
     )
     SELECT CAST({_EXPORT_SHARD_SQL} AS BIGINT) AS shard,
            CAST(row_number() OVER (
@@ -1290,29 +1310,17 @@ def pipeline_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     r06 stages end-to-end — split gate (map-side), greedy packing (one
     source-key shuffle, keyed applyInPandas), payload materialization
     (one hash agg), deterministic shard/rank order (per-shard window) —
-    and the oracle replays the whole chain in one recursive-CTE query."""
-    from pyspark.sql import Window
-
+    and the oracle replays the whole chain in one recursive-CTE query.
+    The payload agg and the shard/rank keying are the shared _payload_agg
+    / _shard_rank helpers (same definitions as pack_sequences_payload and
+    shuffle_training_order)."""
     docs = load_table(spark, sf_dir, "documents")
     train = docs.filter(_split_gate() >= _SPLIT_TEST_LT)
     wl = train.select(
         "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tok")
     )
-    seqs = (
-        pack_greedy(wl, cap=_PACK_CAP)
-        .join(train.select("doc_id", "text"), "doc_id")
-        .groupBy("source", "seq_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tok").alias("tok_total"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
-                    lambda s: s["text"],
-                ),
-                " ",
-            ).alias("payload"),
-        )
+    seqs = _payload_agg(
+        pack_greedy(wl, cap=_PACK_CAP), train.select("doc_id", "text")
     )
     eh = F.md5(
         F.concat(
@@ -1320,14 +1328,6 @@ def pipeline_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("seq_id").cast("string"),
         )
     )
-    keyed = seqs.select(
-        (_md5_gate(eh) % _EXPORT_SHARDS).cast("long").alias("shard"),
-        F.substring(eh, 3, 30).alias("okey"),
-        "source", "seq_id", "n_docs", "tok_total", "payload",
-    )
-    w = Window.partitionBy("shard").orderBy("okey", "source", "seq_id")
-    return keyed.select(
-        "shard",
-        F.row_number().over(w).cast("long").alias("rank"),
-        "source", "seq_id", "n_docs", "tok_total", "payload",
+    return _shard_rank(seqs, eh, _EXPORT_SHARDS, ["source", "seq_id"]).select(
+        "shard", "rank", "source", "seq_id", "n_docs", "tok_total", "payload"
     )

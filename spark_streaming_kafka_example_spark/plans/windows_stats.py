@@ -252,9 +252,13 @@ def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     serialized to comma-joined strings: the result is a 1-row summary, and
     plain string cells keep every downstream consumer (including the
     driver's rows-only canonicalizer, which cannot sort array cells)
-    order-insensitive without losing information."""
+    order-insensitive without losing information. NULL user_ids (the
+    fixture has them) are tracked as the -1 sentinel BEFORE sketching —
+    array_join would otherwise drop a null heavy-hitter silently (r06
+    review)."""
     freq = (
         load_table(spark, sf_dir, "events")
+        .select(F.coalesce("user_id", F.lit(-1)).alias("user_id"), "event_type")
         .stat.freqItems(["user_id", "event_type"], support=0.05)
     )
     return freq.select(

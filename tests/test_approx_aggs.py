@@ -44,6 +44,7 @@ def test_freq_items_superset_of_true_heavy_hitters(spark, sf_dir):
     each sorted array to a comma-joined string (driver canonicalizer can't
     sort array cells), so split it back here."""
     out = plans.QUERIES["agg_freq_items"](spark, sf_dir).toPandas()
+    assert out.hot_users.iloc[0] and out.hot_types.iloc[0], "empty sketch"
     hot_users = {int(u) for u in out.hot_users.iloc[0].split(",")}
     hot_types = set(out.hot_types.iloc[0].split(","))
     ev = load_table(spark, sf_dir, "events").toPandas()

@@ -1095,8 +1095,9 @@ def test_shuffle_training_order_properties(spark, sf_dir):
     assert df.doc_id.is_unique
     for shard, grp in df.groupby("shard"):
         assert sorted(grp["rank"]) == list(range(1, len(grp) + 1)), shard
-        ordered = grp.sort_values("rank").doc_id.tolist()
-        assert ordered != sorted(ordered), f"shard {shard} not shuffled"
+        if len(grp) > 2:  # 1-2 docs can be coincidentally ordered
+            ordered = grp.sort_values("rank").doc_id.tolist()
+            assert ordered != sorted(ordered), f"shard {shard} not shuffled"
 
 
 def test_export_shards_invariants(spark, sf_dir):
