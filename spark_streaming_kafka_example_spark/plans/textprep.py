@@ -359,12 +359,18 @@ def pack_sequences_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Shared by pack_sequences_greedy AND stream_pack_greedy (plans/stream.py)
-# AND pack_sequences_payload: one definition of the packing recurrence's
-# reference implementation (CTE chain + per-consumer final SELECT).
-PACK_GREEDY_CTES = f"""
-    WITH RECURSIVE wl AS (
+# AND pack_sequences_payload AND pipeline_export_shards: ONE definition of
+# the packing recurrence's reference implementation, parameterized over
+# the source relation so the train-filtered export oracle replays the
+# same CTE chain instead of a hand-maintained copy (r06 review).
+
+
+def pack_greedy_ctes(doc_rel: str) -> str:
+    """wl/ord/packed CTE chain of the greedy-pack recurrence over
+    ``doc_rel`` (rows: doc_id, source, text). Prepend WITH RECURSIVE."""
+    return f"""wl AS (
         SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
-        FROM documents
+        FROM {doc_rel}
     ),
     ord AS (
         SELECT doc_id, source, n_tok,
@@ -383,6 +389,10 @@ PACK_GREEDY_CTES = f"""
                     THEN o.n_tok ELSE p.fill + o.n_tok END
         FROM packed p JOIN ord o ON o.source = p.source AND o.rn = p.rn + 1
     )"""
+
+
+PACK_GREEDY_CTES = f"""
+    WITH RECURSIVE {pack_greedy_ctes("documents")}"""
 
 PACK_GREEDY_ORACLE = f"""
     {PACK_GREEDY_CTES}
@@ -1273,25 +1283,7 @@ _EXPORT_SHARD_SQL = f"{_gate_sql(_EXPORT_MD5_SQL)} % {_EXPORT_SHARDS}"
         SELECT doc_id, source, text FROM documents
         WHERE {_SPLIT_HASH_SQL} >= {_SPLIT_TEST_LT}
     ),
-    wl AS (
-        SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok FROM train
-    ),
-    ord AS (
-        SELECT doc_id, source, n_tok,
-               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
-        FROM wl
-    ),
-    packed AS (
-        SELECT doc_id, source, n_tok, rn, 0 AS seq_id, n_tok AS fill
-        FROM ord WHERE rn = 1
-        UNION ALL
-        SELECT o.doc_id, o.source, o.n_tok, o.rn,
-               CASE WHEN p.fill + o.n_tok > {_PACK_CAP}
-                    THEN p.seq_id + 1 ELSE p.seq_id END,
-               CASE WHEN p.fill + o.n_tok > {_PACK_CAP}
-                    THEN o.n_tok ELSE p.fill + o.n_tok END
-        FROM packed p JOIN ord o ON o.source = p.source AND o.rn = p.rn + 1
-    ),
+    {pack_greedy_ctes("train")},
     seqs AS (
         {_payload_select_sql("train")}
     )

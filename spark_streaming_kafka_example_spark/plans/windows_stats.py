@@ -252,10 +252,13 @@ def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     serialized to comma-joined strings: the result is a 1-row summary, and
     plain string cells keep every downstream consumer (including the
     driver's rows-only canonicalizer, which cannot sort array cells)
-    order-insensitive without losing information. NULL user_ids (the
-    fixture has them) are tracked as the -1 sentinel BEFORE sketching —
-    array_join would otherwise drop a null heavy-hitter silently (r06
-    review)."""
+    order-insensitive without losing information. NULL user_ids are
+    tracked as the -1 sentinel BEFORE sketching, defensively: the current
+    fixtures contain none (dq_profile_events reports the count), but
+    array_join silently drops nulls, so a null heavy-hitter would
+    otherwise vanish from the serialized output; -1 sits outside the
+    generator's id domain (ids start at 0), so the sentinel cannot alias
+    a real user (r06 review)."""
     freq = (
         load_table(spark, sf_dir, "events")
         .select(F.coalesce("user_id", F.lit(-1)).alias("user_id"), "event_type")
@@ -394,19 +397,25 @@ def agg_bitwise_tour(spark: SparkSession, sf_dir: str) -> DataFrame:
 def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row funnel summary: users entering each ordered stage plus
     stage-to-stage conversion. Three pushed-filter scans, per-user min
-    aggs, user_id-keyed joins — no window over the event stream."""
+    aggs, user_id-keyed joins — no window over the event stream. Each
+    stage relation is lazily checkpointed (the kmeans_centroids idiom):
+    it feeds both the NEXT stage's join and its own count, and without the
+    cut every consumer re-derives the chain from the raw scan (a 12-scan
+    plan, caught by r06 review; the plan test pins <= 3 scans)."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
 
     def first_at_or_after(etype: str, prev: DataFrame, prev_t: str, out: str) -> DataFrame:
         e = ev.filter(F.col("event_type") == etype).select("user_id", "ts")
         if prev is None:
-            return e.groupBy("user_id").agg(F.min("ts").alias(out))
-        return (
-            e.join(prev, "user_id")
-            .filter(F.col("ts") >= F.col(prev_t))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias(out))
-        )
+            staged = e.groupBy("user_id").agg(F.min("ts").alias(out))
+        else:
+            staged = (
+                e.join(prev, "user_id")
+                .filter(F.col("ts") >= F.col(prev_t))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias(out))
+            )
+        return staged.localCheckpoint(eager=False)
 
     v = first_at_or_after("view", None, "", "t_view")
     c = first_at_or_after("click", v, "t_view", "t_click")
@@ -449,7 +458,14 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cohort_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    act = ev.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
+    # act feeds BOTH the cohort-min agg and the retention join; the lazy
+    # checkpoint materializes the (much smaller) distinct user-day relation
+    # once instead of scanning events twice (r06 review).
+    act = (
+        ev.select("user_id", F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     first = act.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
     return (
         act.join(first, "user_id")

@@ -518,3 +518,16 @@ def test_export_shards_plan_shape(plan_of):
     assert "SinglePartition" not in plan
     assert plan.count("+- Exchange (") == 3
     assert "BroadcastHashJoin" in plan
+
+
+def test_funnel_and_cohort_reuse_stage_relations(plan_of):
+    """funnel/cohort: checkpointed stage relations must be REUSED, not
+    re-derived — the executed plan may contain at most 3 (funnel) / 1
+    (cohort) parquet scans; the pre-fix funnel re-derived every subtree
+    for 12 scans."""
+    fp = plan_of("funnel_view_click_purchase")
+    assert fp.count("Scan parquet") <= 3
+    assert "CartesianProduct" not in fp  # scalar count crossJoins broadcast
+    cp = plan_of("cohort_daily_retention")
+    assert cp.count("Scan parquet") <= 1
+    assert "CartesianProduct" not in cp
