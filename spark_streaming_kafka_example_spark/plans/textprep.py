@@ -1323,3 +1323,141 @@ def pipeline_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shard_rank(seqs, eh, _EXPORT_SHARDS, ["source", "seq_id"]).select(
         "shard", "rank", "source", "seq_id", "n_docs", "tok_total", "payload"
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token counting (r06): whitespace tokens vs subword-style regex
+# tokens (letter runs | single digits | single punctuation — the ASCII
+# core of the GPT-2 pre-tokenizer pattern, constrained to constructs RE2
+# and Java regex interpret identically). The ratio ("fertility") is the
+# standard budget-planning number: corpus token cost under a subword
+# tokenizer per whitespace word. Pure projection — no UDF, no shuffle.
+# ---------------------------------------------------------------------------
+
+_BPE_PAT = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+@register(
+    "text_token_count_bpe",
+    f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tok,
+           CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT)
+               AS n_bpe_tok,
+           round(len(regexp_extract_all(text, '{_BPE_PAT}'))
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
+               AS fertility
+    FROM documents
+    """,
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.split("text", " "))
+    bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        ws.cast("long").alias("n_ws_tok"),
+        bpe.cast("long").alias("n_bpe_tok"),
+        F.round(bpe / ws.cast("double"), 4).alias("fertility"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality drift monitor (r06): the data-ops check a pipeline
+# runs per ingest batch — each source shard's mean quality score as a
+# z-score against the across-shard distribution; |z| >= 2 flags a shard
+# whose crawler/extractor likely regressed. Reuses the ONE logistic
+# quality definition (_quality_cte_sql / quality_p_col). Per-shard means
+# are one hash agg; the global moments are over |shards| rows (broadcast
+# back) — nothing scans the corpus twice.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_quality_drift",
+    f"""
+    WITH {_quality_cte_sql('documents').strip()},
+    per_src AS (
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(q.quality_p), 6) AS mean_q
+        FROM documents d JOIN quality q ON d.doc_id = q.doc_id
+        GROUP BY d.source
+    ),
+    gstats AS (
+        SELECT round(avg(mean_q), 6) AS g_mean,
+               round(stddev_samp(mean_q), 6) AS g_sd
+        FROM per_src
+    )
+    SELECT source, n_docs, mean_q,
+           round((mean_q - g_mean) / g_sd, 4) + 0 AS z,
+           (abs(round((mean_q - g_mean) / g_sd, 4)) >= 2.0) AS drift_flag
+    FROM per_src CROSS JOIN gstats
+    """,
+)
+def dq_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (
+        docs.select("source", quality_p_col().alias("quality_p"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality_p"), 6).alias("mean_q"),
+        )
+    )
+    glob = per_src.agg(
+        F.round(F.avg("mean_q"), 6).alias("g_mean"),
+        F.round(F.stddev_samp("mean_q"), 6).alias("g_sd"),
+    )
+    z = F.round((F.col("mean_q") - F.col("g_mean")) / F.col("g_sd"), 4)
+    return (
+        per_src.crossJoin(F.broadcast(glob))
+        .select(
+            "source", "n_docs", "mean_q",
+            z.alias("z"),
+            (F.abs(z) >= 2.0).alias("drift_flag"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew profile (r06): the diagnostic run BEFORE choosing a join
+# strategy — per candidate key column, the share of rows held by the
+# hottest key, total keys, and rows per key. top_share near 1/n_keys means
+# uniform (hash join fine); a large top_share says salt that key or
+# broadcast the other side. Two hash aggs per key column; the second
+# operates on |keys| rows.
+# ---------------------------------------------------------------------------
+
+
+def _skew_sql(key_col: str) -> str:
+    return f"""
+        SELECT '{key_col}' AS key_col,
+               CAST(max(c) AS BIGINT) AS top_key_n,
+               CAST(sum(c) AS BIGINT) AS total_n,
+               round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_share,
+               CAST(count(*) AS BIGINT) AS n_keys
+        FROM (SELECT {key_col}, count(*) AS c FROM events GROUP BY {key_col})"""
+
+
+@register(
+    "skew_profile_events",
+    f"""
+    {_skew_sql('user_id')}
+    UNION ALL
+    {_skew_sql('event_type')}
+    """,
+)
+def skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def profile(key_col: str) -> DataFrame:
+        counts = ev.groupBy(key_col).agg(F.count(F.lit(1)).alias("c"))
+        return counts.agg(
+            F.lit(key_col).alias("key_col"),
+            F.max("c").alias("top_key_n"),
+            F.sum("c").alias("total_n"),
+            F.round(F.max("c") / F.sum("c").cast("double"), 4).alias("top_share"),
+            F.count(F.lit(1)).alias("n_keys"),
+        )
+
+    return profile("user_id").unionByName(profile("event_type"))
