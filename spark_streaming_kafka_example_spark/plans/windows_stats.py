@@ -476,3 +476,84 @@ def cohort_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-filled minute rollup with LOCF (r06): the hypertable
+# time_bucket_gapfill shape — a dense per-entity minute spine over a
+# bounded horizon from each entity's first event, per-minute sums where
+# data exists, last-observation-carried-forward through the gaps, and a
+# filled-flag so consumers can tell measured from imputed. Scale: the
+# spine is explode(sequence(...)) — rows = entities x horizon, bounded by
+# construction, never |events| x anything; the fill is one per-entity
+# window (a single exchange shared with the rollup's groupBy key).
+# ---------------------------------------------------------------------------
+
+_GAPFILL_MINUTES = 120  # horizon: first 2h per user
+
+
+@register(
+    "rollup_gapfill_locf",
+    f"""
+    WITH ev AS (
+        SELECT user_id, date_trunc('minute', ts) AS m, value
+        FROM events WHERE user_id IS NOT NULL AND user_id < 20
+    ),
+    bounds AS (SELECT user_id, min(m) AS m0 FROM ev GROUP BY user_id),
+    spine AS (
+        SELECT user_id,
+               unnest(generate_series(m0,
+                      m0 + INTERVAL {_GAPFILL_MINUTES - 1} MINUTE,
+                      INTERVAL 1 MINUTE)) AS m
+        FROM bounds
+    ),
+    permin AS (
+        SELECT user_id, m, round(sum(value), 4) AS v
+        FROM ev GROUP BY user_id, m
+    )
+    SELECT s.user_id, s.m,
+           round(coalesce(p.v,
+               last_value(p.v IGNORE NULLS) OVER (
+                   PARTITION BY s.user_id ORDER BY s.m
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4) + 0
+               AS v_filled,
+           (p.v IS NULL) AS imputed
+    FROM spine s LEFT JOIN permin p ON s.user_id = p.user_id AND s.m = p.m
+    """,
+)
+def rollup_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, minute, v_filled, imputed) over each user's first
+    {_GAPFILL_MINUTES} minutes: per-minute sums, gaps carried forward.
+    The first spine row is never a gap (the spine starts AT the user's
+    first event minute), so LOCF is total."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & (F.col("user_id") < 20))
+        .select("user_id", F.date_trunc("minute", "ts").alias("m"), "value")
+    )
+    bounds = ev.groupBy("user_id").agg(F.min("m").alias("m0"))
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("m0"),
+                F.col("m0") + F.expr(f"INTERVAL {_GAPFILL_MINUTES - 1} MINUTE"),
+                F.expr("INTERVAL 1 MINUTE"),
+            )
+        ).alias("m"),
+    )
+    permin = ev.groupBy("user_id", "m").agg(F.round(F.sum("value"), 4).alias("v"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    locf = F.last("v", ignorenulls=True).over(w)
+    return (
+        spine.join(permin, ["user_id", "m"], "left_outer")
+        .select(
+            "user_id", "m",
+            F.round(F.coalesce("v", locf), 4).alias("v_filled"),
+            F.col("v").isNull().alias("imputed"),
+        )
+    )
