@@ -725,3 +725,155 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_hit_ngrams") > 0)
     )
     return run_to_table(spark, flagged, "append")
+
+
+# ---------------------------------------------------------------------------
+# Streaming quality-drift monitor (r06): the at-ingest twin of
+# dq_quality_drift — per-source mean logistic quality maintained as ONE
+# streaming aggregation (complete mode), z-scored against a STATIC
+# baseline (the across-shard moments, prefetched from the batch table:
+# two scalars, a driver fetch of the same class as zorder's bounds row).
+# In production the baseline is yesterday's materialized moments; scoring
+# each micro-batch against it is exactly this plan. The drained
+# availableNow result equals the batch query, so they share one oracle.
+# ---------------------------------------------------------------------------
+
+from .textprep import _quality_cte_sql, quality_p_col  # noqa: E402
+
+
+@register(
+    "stream_quality_drift",
+    f"""
+    WITH {_quality_cte_sql('documents').strip()},
+    per_src AS (
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(q.quality_p), 6) AS mean_q
+        FROM documents d JOIN quality q ON d.doc_id = q.doc_id
+        GROUP BY d.source
+    ),
+    gstats AS (
+        SELECT round(avg(mean_q), 6) AS g_mean,
+               round(stddev_samp(mean_q), 6) AS g_sd
+        FROM per_src
+    )
+    SELECT source, n_docs, mean_q,
+           round((mean_q - g_mean) / g_sd, 4) + 0 AS z,
+           (abs(round((mean_q - g_mean) / g_sd, 4)) >= 2.0) AS drift_flag
+    FROM per_src CROSS JOIN gstats
+    """,
+)
+def stream_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base_src = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", quality_p_col().alias("quality_p"))
+        .groupBy("source")
+        .agg(F.round(F.avg("quality_p"), 6).alias("mean_q"))
+    )
+    base = base_src.agg(
+        F.round(F.avg("mean_q"), 6).alias("g_mean"),
+        F.round(F.stddev_samp("mean_q"), 6).alias("g_sd"),
+    ).first()  # two scalars — the static baseline the stream scores against
+    agg = (
+        documents_stream(spark, sf_dir)
+        .select("source", quality_p_col().alias("quality_p"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality_p"), 6).alias("mean_q"),
+        )
+    )
+    z = F.round((F.col("mean_q") - F.lit(base["g_mean"])) / F.lit(base["g_sd"]), 4)
+    scored = agg.select(
+        "source", "n_docs", "mean_q", z.alias("z"), (F.abs(z) >= 2.0).alias("drift_flag")
+    )
+    return run_to_table(spark, scored, "complete")
+
+
+# ---------------------------------------------------------------------------
+# Streaming ANN probe (r06): vectors arrive on a stream and are answered
+# against the STATIC corpus — the serving shape of the IVF family. Streams
+# cannot rank with window functions, so the two rank steps of the batch
+# plan are re-expressed stream-legally:
+# - probe-bucket selection happens MAP-SIDE per query row: the centroid
+#   table (tiny — k rows) is fetched once to the driver and embedded as a
+#   literal array; slice(array_sort(transform(...))) picks the n_probe
+#   nearest buckets inside codegen;
+# - the per-query top-k is ONE streaming aggregation
+#   (slice(array_sort(collect_list(struct(-cos, n_id, cos))))), state
+#   bounded by the probed buckets' candidates per query.
+# Drained availableNow result == sim_ivf_topk, so it shares that oracle.
+# ---------------------------------------------------------------------------
+
+from .llm import _IVF_STRIDE_SQL  # noqa: E402  (same result, same oracle)
+
+
+@register("stream_ann_probe", _IVF_STRIDE_SQL)
+def stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import cosine, cosine_pandas
+    from ..operators.similarity import assign_buckets
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )  # k centroid rows — same driver-fetch class as the zorder bounds row
+    cent_arr = F.array(*[
+        F.struct(
+            F.lit(int(r["vec_id"])).alias("cent_id"),
+            F.array(*[F.lit(float(x)) for x in r["embedding"]])
+            .cast("array<double>")
+            .alias("cv"),
+        )
+        for r in cent_rows
+    ])
+    assigned = assign_buckets(
+        emb, emb.filter(F.col("vec_id") % 50 == 0)
+    ).select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"), "bucket")
+
+    q = (
+        embeddings_stream(spark, sf_dir)
+        .filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    )
+    scored_cents = F.transform(
+        cent_arr,
+        lambda s: F.struct(
+            (-F.round(cosine(F.col("qv"), s["cv"]), 4)).alias("neg"),
+            s["cent_id"].alias("cent_id"),
+        ),
+    )
+    probed = q.select(
+        "q_id", "qv",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(scored_cents), 1, 2), lambda s: s["cent_id"]
+            )
+        ).alias("bucket"),
+    )
+    cand = (
+        probed.join(assigned, "bucket")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id", "n_id", F.round(cosine_pandas("qv", "nv"), 4).alias("cos")
+        )
+    )
+    topk = (
+        cand.groupBy("q_id")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct((-F.col("cos")).alias("neg"), "n_id", "cos"))
+                ),
+                1, 5,
+            ).alias("top")
+        )
+        .select("q_id", F.posexplode("top").alias("pos", "s"))
+        .select(
+            "q_id",
+            F.col("s.n_id").alias("n_id"),
+            F.col("s.cos").alias("cos"),
+            (F.col("pos") + 1).cast("int").alias("rnk"),
+        )
+    )
+    return run_to_table(spark, topk, "complete")
