@@ -1916,3 +1916,51 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(q.cast("array<string>"), ",").alias("q"),
         F.round(err, 6).alias("max_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID accuracy gate (r06): lang_pred (marker-list n-gram heuristic)
+# scored against the fixture's true `lang` labels, per language — the
+# langid analogue of sim_ivf_recall: classifier quality as a
+# driver-checked number rather than a docstring claim. One hash agg over
+# a pure-projection prediction.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_langid_accuracy",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+           {_LANG_SCORES_SQL}
+        FROM documents
+    ),
+    pred AS (SELECT doc_id, lang, {_LANG_CASE} AS lang_pred FROM scored)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           round(sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS acc
+    FROM pred GROUP BY lang
+    """,
+)
+def text_langid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured on the fixture: acc = 1.0 for en, 0.0 elsewhere — the
+    fixture's non-en rows carry English-vocabulary synthetic text (the
+    `lang` column is a label only), so the marker heuristic correctly
+    reads every TEXT as English. That disagreement is precisely what a
+    per-language accuracy gate exists to surface; on a real corpus the
+    same query scores the classifier. Structural invariant (en rows are
+    genuinely English → never misclassified) is pinned in
+    tests/test_operators.py::test_langid_accuracy_structure."""
+    docs = load_table(spark, sf_dir, "documents")
+    hit = F.when(F.col("lang_pred") == F.col("lang"), 1).otherwise(0)
+    return (
+        docs.select("lang", TXT.lang_id().alias("lang_pred"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(hit).alias("n_correct"),
+            F.round(F.sum(hit) / F.count(F.lit(1)).cast("double"), 4).alias("acc"),
+        )
+    )

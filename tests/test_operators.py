@@ -1154,3 +1154,19 @@ def test_repeated_spans_finds_planted_copies(spark, sf_dir):
     assert len(df) > 0
     assert (df.n_docs >= 2).all()
     assert (df.n_occ >= df.n_docs).all()
+
+
+def test_langid_accuracy_structure(spark, sf_dir):
+    """text_langid_accuracy: every fixture language appears, counts are
+    consistent, and genuinely-English text is never misclassified
+    (en acc == 1.0). Non-en rows carry English-vocabulary synthetic text,
+    so their acc is expected to be 0 — the gate surfaces exactly that
+    label/text disagreement (see the query docstring)."""
+    from spark_streaming_kafka_example_spark import plans
+
+    plans.load_all()
+    df = plans.QUERIES["text_langid_accuracy"](spark, sf_dir).toPandas()
+    assert set(df.lang) == {"en", "de", "es", "fr", "zh"}
+    assert (df.n_correct <= df.n_docs).all()
+    en = df[df.lang == "en"].iloc[0]
+    assert en.acc == 1.0 and en.n_correct == en.n_docs
