@@ -557,3 +557,73 @@ def rollup_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").isNull().alias("imputed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands (r06): collapse each user's consecutive same-state days
+# into intervals — the classic rn-difference trick (row_number over all
+# days minus row_number within the state partition is constant exactly
+# across a consecutive run). State here is scale-free: a day is 'above' or
+# 'below' the user's own mean daily total, so the query works unchanged
+# at any sf. All three windows and the final agg share the user_id
+# exchange; nothing global.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "islands_user_daily_tier",
+    """
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS d,
+               round(sum(value), 2) AS total
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY user_id, date_trunc('day', ts)
+    ),
+    tiered AS (
+        SELECT user_id, d, total,
+               CASE WHEN total >= round(avg(total) OVER (PARTITION BY user_id), 4)
+                    THEN 'above' ELSE 'below' END AS tier
+        FROM daily
+    ),
+    numbered AS (
+        SELECT user_id, d, tier,
+               row_number() OVER (PARTITION BY user_id ORDER BY d)
+             - row_number() OVER (PARTITION BY user_id, tier ORDER BY d)
+                   AS island
+        FROM tiered
+    )
+    SELECT user_id, tier, min(d) AS start_day, max(d) AS end_day,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM numbered GROUP BY user_id, tier, island
+    """,
+)
+def islands_user_daily_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    daily = (
+        ev.select("user_id", F.date_trunc("day", "ts").alias("d"), "value")
+        .groupBy("user_id", "d")
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+    )
+    wu = Window.partitionBy("user_id")
+    tiered = daily.select(
+        "user_id", "d", "total",
+        F.when(
+            F.col("total") >= F.round(F.avg("total").over(wu), 4), "above"
+        ).otherwise("below").alias("tier"),
+    )
+    rn_all = F.row_number().over(Window.partitionBy("user_id").orderBy("d"))
+    rn_tier = F.row_number().over(
+        Window.partitionBy("user_id", "tier").orderBy("d")
+    )
+    numbered = tiered.select(
+        "user_id", "d", "tier", (rn_all - rn_tier).alias("island")
+    )
+    return (
+        numbered.groupBy("user_id", "tier", "island")
+        .agg(
+            F.min("d").alias("start_day"),
+            F.max("d").alias("end_day"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .drop("island")
+    )
