@@ -1461,3 +1461,154 @@ def skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return profile("user_id").unionByName(profile("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# RAG prep capstone (r06): chunk -> featurize -> retrieve, end to end —
+# the serving-side sibling of pipeline_pretrain_v2 (pretraining) and
+# pipeline_export_shards (export). Documents are cut into the standard
+# overlapping token windows, every chunk gets a vocabulary-free
+# hashing-trick sparse vector, and a query document's chunks retrieve
+# their top-3 nearest chunks by sparse cosine. Scale: the query side is
+# ONE document's chunks (broadcast); the dot product is a bucket
+# equi-join against only the buckets the query touches — never an
+# all-pairs chunk join; norms are one per-chunk agg.
+# ---------------------------------------------------------------------------
+
+from .llm import _HASH_BUCKETS, _TOK_BUCKET_SQL  # noqa: E402
+
+_RAG_QUERY_DOC = 0
+_RAG_TOPK = 3
+
+_RAG_CHUNKS_CTE = f"""
+    wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    chunks AS (
+        SELECT doc_id,
+               CAST((start - 1) / {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+               array_to_string(w[start:start + {_CHUNK_SIZE} - 1], ' ') AS chunk
+        FROM (
+            SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w), 1),
+                          {_CHUNK_STRIDE})) AS start
+            FROM wl)
+    ),
+    ctoks AS (
+        SELECT doc_id, chunk_id, unnest(string_split(chunk, ' ')) AS tok
+        FROM chunks
+    ),
+    feats AS (
+        SELECT doc_id, chunk_id, {_TOK_BUCKET_SQL} AS bucket,
+               CAST(count(*) AS BIGINT) AS tf
+        FROM ctoks GROUP BY doc_id, chunk_id, bucket
+    ),
+    norms AS (
+        SELECT doc_id, chunk_id, sqrt(sum(tf * tf)) AS nrm
+        FROM feats GROUP BY doc_id, chunk_id
+    )"""
+
+
+@register(
+    "pipeline_rag_prep",
+    f"""
+    WITH {_RAG_CHUNKS_CTE.strip()},
+    q AS (
+        SELECT chunk_id AS q_chunk, bucket, tf FROM feats
+        WHERE doc_id = {_RAG_QUERY_DOC}
+    ),
+    dots AS (
+        SELECT q.q_chunk, f.doc_id AS c_doc, f.chunk_id AS c_chunk,
+               sum(q.tf * f.tf) AS dot
+        FROM q JOIN feats f ON q.bucket = f.bucket
+        WHERE f.doc_id <> {_RAG_QUERY_DOC}
+        GROUP BY q.q_chunk, f.doc_id, f.chunk_id
+    ),
+    scored AS (
+        SELECT d.q_chunk, d.c_doc, d.c_chunk,
+               round(d.dot / (qn.nrm * cn.nrm), 4) AS cos
+        FROM dots d
+        JOIN norms qn ON qn.doc_id = {_RAG_QUERY_DOC} AND qn.chunk_id = d.q_chunk
+        JOIN norms cn ON cn.doc_id = d.c_doc AND cn.chunk_id = d.c_chunk
+    )
+    SELECT q_chunk, c_doc, c_chunk, cos + 0 AS cos, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_chunk
+                                     ORDER BY cos DESC, c_doc, c_chunk) AS rnk
+        FROM scored)
+    WHERE rnk <= {_RAG_TOPK}
+    """,
+)
+def pipeline_rag_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_chunk, c_doc, c_chunk, cos, rnk): for each chunk of the query
+    document, its top-{_RAG_TOPK} nearest corpus chunks by hashing-trick
+    sparse cosine. The bucket join is candidate-bounded (only buckets the
+    broadcast query touches ever join) and the top-k is a per-query-chunk
+    window over |candidates| rows."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    wl = docs.select("doc_id", F.split("text", " ").alias("w"))
+    chunks = (
+        wl.select(
+            "doc_id", "w",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("w"), F.lit(1)),
+                    F.lit(_CHUNK_STRIDE),
+                )
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / _CHUNK_STRIDE).cast("long").alias("chunk_id"),
+            F.array_join(
+                F.slice("w", F.col("start"), _CHUNK_SIZE), " "
+            ).alias("chunk"),
+        )
+    )
+    toks = chunks.select(
+        "doc_id", "chunk_id", F.explode(F.split("chunk", " ")).alias("tok")
+    )
+    nib1 = F.instr(F.lit("0123456789abcdef"), F.substring(F.md5("tok"), 1, 1)) - 1
+    nib2 = F.instr(F.lit("0123456789abcdef"), F.substring(F.md5("tok"), 2, 1)) - 1
+    feats = (
+        toks.select(
+            "doc_id", "chunk_id",
+            ((nib1 * 16 + nib2) % _HASH_BUCKETS).alias("bucket"),
+        )
+        .groupBy("doc_id", "chunk_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    norms = feats.groupBy("doc_id", "chunk_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("nrm")
+    )
+    q = feats.filter(F.col("doc_id") == _RAG_QUERY_DOC).select(
+        F.col("chunk_id").alias("q_chunk"), "bucket", F.col("tf").alias("q_tf")
+    )
+    dots = (
+        feats.filter(F.col("doc_id") != _RAG_QUERY_DOC)
+        .join(F.broadcast(q), "bucket")
+        .groupBy("q_chunk", F.col("doc_id").alias("c_doc"),
+                 F.col("chunk_id").alias("c_chunk"))
+        .agg(F.sum(F.col("q_tf") * F.col("tf")).alias("dot"))
+    )
+    qn = norms.filter(F.col("doc_id") == _RAG_QUERY_DOC).select(
+        F.col("chunk_id").alias("q_chunk"), F.col("nrm").alias("q_nrm")
+    )
+    cn = norms.select(
+        F.col("doc_id").alias("c_doc"), F.col("chunk_id").alias("c_chunk"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    scored = (
+        dots.join(F.broadcast(qn), "q_chunk")
+        .join(cn, ["c_doc", "c_chunk"])
+        .select(
+            "q_chunk", "c_doc", "c_chunk",
+            F.round(F.col("dot") / (F.col("q_nrm") * F.col("c_nrm")), 4)
+                .alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_chunk").orderBy(
+        F.desc("cos"), F.asc("c_doc"), F.asc("c_chunk")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= _RAG_TOPK
+    )
