@@ -1569,6 +1569,9 @@ def pipeline_rag_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nib1 = F.instr(F.lit("0123456789abcdef"), F.substring(F.md5("tok"), 1, 1)) - 1
     nib2 = F.instr(F.lit("0123456789abcdef"), F.substring(F.md5("tok"), 2, 1)) - 1
+    # feats feeds FOUR consumers (query side, corpus side, both norm
+    # lookups) — lazily checkpoint so the chunk+hash derivation runs once,
+    # not per consumer (at scale: "write the feature table").
     feats = (
         toks.select(
             "doc_id", "chunk_id",
@@ -1576,6 +1579,7 @@ def pipeline_rag_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "chunk_id", "bucket")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
     norms = feats.groupBy("doc_id", "chunk_id").agg(
         F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("nrm")

@@ -526,10 +526,13 @@ def rollup_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_GAPFILL_MINUTES} minutes: per-minute sums, gaps carried forward.
     The first spine row is never a gap (the spine starts AT the user's
     first event minute), so LOCF is total."""
+    # ev feeds both the bounds agg and the per-minute agg — lazy
+    # checkpoint reads events once for the (small, user<20) slice.
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull() & (F.col("user_id") < 20))
         .select("user_id", F.date_trunc("minute", "ts").alias("m"), "value")
+        .localCheckpoint(eager=False)
     )
     bounds = ev.groupBy("user_id").agg(F.min("m").alias("m0"))
     spine = bounds.select(

@@ -531,3 +531,27 @@ def test_funnel_and_cohort_reuse_stage_relations(plan_of):
     cp = plan_of("cohort_daily_retention")
     assert cp.count("Scan parquet") <= 1
     assert "CartesianProduct" not in cp
+
+
+def test_rag_prep_plan_shape(plan_of):
+    """pipeline_rag_prep: the checkpointed feature relation is reused (<=1
+    parquet scan survives in the executed plan), the query side broadcasts,
+    and nothing is all-pairs."""
+    plan = plan_of("pipeline_rag_prep")
+    assert plan.count("Scan parquet") <= 1
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_gapfill_islands_langid_plan_shape(plan_of):
+    """Gap-fill reads its events slice once (checkpointed); islands keeps
+    every window on the user-key partitioning (no single-partition window);
+    langid accuracy is one aggregation exchange over a pruned scan."""
+    gp = plan_of("rollup_gapfill_locf")
+    assert gp.count("Scan parquet") <= 1
+    assert "SinglePartition" not in gp
+    il = plan_of("islands_user_daily_tier")
+    assert "SinglePartition" not in il and "CartesianProduct" not in il
+    la = plan_of("text_langid_accuracy")
+    assert la.count("Exchange (") == 1
