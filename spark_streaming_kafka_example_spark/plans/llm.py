@@ -1964,3 +1964,81 @@ def text_langid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(hit) / F.count(F.lit(1)).cast("double"), 4).alias("acc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-rate dashboard (r06): per source shard, how much of it is exact
+# duplicate mass — the number every dedup run reports before/after. One
+# fingerprint agg + one source agg over the planted-copy corpus (plants
+# land in a 'planted' pseudo-source via the id offset so the rate is
+# observable). n_distinct counts unique texts; dup_rate = 1 - distinct/n.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_rate_by_source",
+    f"""
+    WITH {EXACT_CORPUS_CTE.strip()},
+    src AS (
+        SELECT doc_id, text,
+               CASE WHEN doc_id >= 200000 THEN 'planted' ELSE 'corpus' END
+                   AS source_kind
+        FROM corpus
+    )
+    SELECT source_kind,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+           round(1 - count(DISTINCT md5(text)) / CAST(count(*) AS DOUBLE), 4)
+               AS dup_rate
+    FROM src GROUP BY source_kind
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _exact_corpus(spark, sf_dir)
+    src = corpus.select(
+        F.md5("text").alias("fp"),
+        F.when(F.col("doc_id") >= 200000, "planted")
+        .otherwise("corpus")
+        .alias("source_kind"),
+    )
+    return src.groupBy("source_kind").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_distinct"),
+        F.round(
+            1 - F.countDistinct("fp") / F.count(F.lit(1)).cast("double"), 4
+        ).alias("dup_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Doc-length histogram (r06): log2-bucketed whitespace-token counts — the
+# one-glance length distribution every corpus report leads with. floor of
+# log2 keeps bucket edges engine-exact on integers; one map-side bucket
+# expression + a tiny agg.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_length_histogram",
+    """
+    SELECT CAST(floor(log2(greatest(len(string_split(text, ' ')), 1)))
+                AS BIGINT) AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(len(string_split(text, ' '))) AS BIGINT) AS min_tok,
+           CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tok
+    FROM documents GROUP BY log2_bucket
+    """,
+)
+def dq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    bucket = F.floor(F.log2(F.greatest(n_tok, F.lit(1)))).cast("long")
+    return (
+        docs.select(bucket.alias("log2_bucket"), n_tok.alias("n_tok"))
+        .groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tok").cast("long").alias("min_tok"),
+            F.max("n_tok").cast("long").alias("max_tok"),
+        )
+    )
