@@ -1170,3 +1170,37 @@ def test_langid_accuracy_structure(spark, sf_dir):
     assert (df.n_correct <= df.n_docs).all()
     en = df[df.lang == "en"].iloc[0]
     assert en.acc == 1.0 and en.n_correct == en.n_docs
+
+
+def test_islands_partition_user_days(spark, sf_dir):
+    """islands_user_daily_tier: per user, the intervals are disjoint,
+    ordered, cover exactly the user's active days (sum of n_days == number
+    of distinct active days), and adjacent intervals never share a tier
+    (same-tier consecutive days must have merged)."""
+    from spark_streaming_kafka_example_spark import plans
+
+    plans.load_all()
+    df = plans.QUERIES["islands_user_daily_tier"](spark, sf_dir).toPandas()
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+        .toPandas()
+    )
+    active = ev.groupby("user_id").d.nunique()
+    for uid, grp in df.groupby("user_id"):
+        ivs = grp.sort_values("start_day")
+        assert (ivs.start_day <= ivs.end_day).all()
+        assert ivs.n_days.sum() == active[uid]
+        prev_end, prev_tier = None, None
+        for r in ivs.itertuples():
+            if prev_end is not None:
+                assert r.start_day > prev_end, uid  # disjoint, ordered
+                # adjacent (no gap of missing days between them) same-tier
+                # runs must have merged; runs separated by inactive days
+                # may legitimately repeat a tier
+                gap_days = (r.start_day - prev_end).days
+                if gap_days == 1:
+                    assert r.tier != prev_tier, uid
+            prev_end, prev_tier = r.end_day, r.tier
