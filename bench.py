@@ -75,6 +75,7 @@ HEADLINE = [
     "dedup_repeated_spans",
     "sim_quantize_int8",
     "cohort_daily_retention",
+    "pipeline_rag_prep",
 ]
 
 

@@ -26,6 +26,7 @@ __all__ = [
     "LANG_MARKERS",
     "EN_STOPWORDS",
     "BPE_TOKEN_RE",
+    "BPE_TOKEN_RE_GPT2",
     "PII_PATTERNS",
 ]
 
@@ -46,6 +47,14 @@ def token_count_ws(col: str = "text") -> Column:
 # BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks —
 # the usual pre-merge segmentation shape. Kept to portable regex syntax.
 BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+# GPT-2-style variant (text_token_count_bpe's fertility ratio): SINGLE
+# digits (GPT-2 splits digit runs per digit) and \s whitespace class —
+# deliberately DIFFERENT from BPE_TOKEN_RE above ('2024' is 1 token there,
+# 4 here). Both constants live side by side so the two published token
+# budgets are distinguishable by definition, not just by column name
+# (r06 review).
+BPE_TOKEN_RE_GPT2 = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 
 
 def token_count_bpe(col: str = "text") -> Column:

@@ -1428,6 +1428,15 @@ _TOK_BUCKET_SQL = (
 )
 
 
+def tok_bucket_col(tok: str = "tok"):
+    """Hashing-trick bucket for a token column — the ONE Spark definition
+    of the md5-nibble bucket assignment (SQL twin: _TOK_BUCKET_SQL).
+    Shared by text_hashing_features and pipeline_rag_prep (r06 review)."""
+    nib1 = F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(tok), 1, 1)) - 1
+    nib2 = F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(tok), 2, 1)) - 1
+    return (nib1 * 16 + nib2) % _HASH_BUCKETS
+
+
 @register(
     "text_hashing_features",
     f"""
@@ -1455,10 +1464,8 @@ def text_hashing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     )
-    nib1 = F.instr(F.lit("0123456789abcdef"), F.substring(F.md5("tok"), 1, 1)) - 1
-    nib2 = F.instr(F.lit("0123456789abcdef"), F.substring(F.md5("tok"), 2, 1)) - 1
     return (
-        toks.select("doc_id", ((nib1 * 16 + nib2) % _HASH_BUCKETS).alias("bucket"))
+        toks.select("doc_id", tok_bucket_col().alias("bucket"))
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

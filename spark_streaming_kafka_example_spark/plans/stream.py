@@ -738,30 +738,10 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # availableNow result equals the batch query, so they share one oracle.
 # ---------------------------------------------------------------------------
 
-from .textprep import _quality_cte_sql, quality_p_col  # noqa: E402
+from .textprep import QUALITY_DRIFT_ORACLE, quality_p_col  # noqa: E402
 
 
-@register(
-    "stream_quality_drift",
-    f"""
-    WITH {_quality_cte_sql('documents').strip()},
-    per_src AS (
-        SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
-               round(avg(q.quality_p), 6) AS mean_q
-        FROM documents d JOIN quality q ON d.doc_id = q.doc_id
-        GROUP BY d.source
-    ),
-    gstats AS (
-        SELECT round(avg(mean_q), 6) AS g_mean,
-               round(stddev_samp(mean_q), 6) AS g_sd
-        FROM per_src
-    )
-    SELECT source, n_docs, mean_q,
-           round((mean_q - g_mean) / g_sd, 4) + 0 AS z,
-           (abs(round((mean_q - g_mean) / g_sd, 4)) >= 2.0) AS drift_flag
-    FROM per_src CROSS JOIN gstats
-    """,
-)
+@register("stream_quality_drift", QUALITY_DRIFT_ORACLE)
 def stream_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_src = (
         load_table(spark, sf_dir, "documents")

@@ -750,17 +750,36 @@ def shuffle_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHUNK_SIZE, _CHUNK_STRIDE = 32, 24  # 8-token overlap
 
-
-@register(
-    "text_chunk_windows",
-    f"""
-    WITH wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+# The ONE definition of the chunk-window grid — (doc_id, w, start) rows,
+# one per window — shared by text_chunk_windows and pipeline_rag_prep
+# (r06 review: size/stride semantics must not be hand-synced).
+CHUNK_STARTS_CTE = f"""wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     starts AS (
         SELECT doc_id, w,
                unnest(generate_series(1, greatest(len(w), 1), {_CHUNK_STRIDE}))
                    AS start
         FROM wl
+    )"""
+
+
+def _chunk_starts_df(docs: DataFrame) -> DataFrame:
+    """Spark twin of CHUNK_STARTS_CTE: one (doc_id, w, start) row per
+    chunk window."""
+    return docs.select("doc_id", F.split("text", " ").alias("w")).select(
+        "doc_id",
+        "w",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("w"), F.lit(1)), F.lit(_CHUNK_STRIDE)
+            )
+        ).alias("start"),
     )
+
+
+@register(
+    "text_chunk_windows",
+    f"""
+    WITH {CHUNK_STARTS_CTE}
     SELECT doc_id,
            CAST((start - 1) / {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
            array_to_string(w[start:start + {_CHUNK_SIZE} - 1], ' ') AS chunk,
@@ -773,17 +792,7 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token windows of {_CHUNK_SIZE} with stride {_CHUNK_STRIDE}. The
     final window of a doc may be short (>=1 token); chunk_id numbers
     windows from 0 in order."""
-    docs = load_table(spark, sf_dir, "documents")
-    wl = docs.select("doc_id", F.split("text", " ").alias("w"))
-    starts = wl.select(
-        "doc_id",
-        "w",
-        F.explode(
-            F.sequence(
-                F.lit(1), F.greatest(F.size("w"), F.lit(1)), F.lit(_CHUNK_STRIDE)
-            )
-        ).alias("start"),
-    )
+    starts = _chunk_starts_df(load_table(spark, sf_dir, "documents"))
     return starts.select(
         "doc_id",
         ((F.col("start") - 1) / _CHUNK_STRIDE).cast("long").alias("chunk_id"),
@@ -1334,7 +1343,7 @@ def pipeline_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tokenizer per whitespace word. Pure projection — no UDF, no shuffle.
 # ---------------------------------------------------------------------------
 
-_BPE_PAT = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+from ..functions.text import BPE_TOKEN_RE_GPT2 as _BPE_PAT  # noqa: E402
 
 
 @register(
@@ -1373,9 +1382,10 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "dq_quality_drift",
-    f"""
+# ONE oracle for the batch monitor AND its streaming twin
+# (plans/stream.py imports it): the drained availableNow stream equals
+# the batch result, so a single SQL definition covers both (r06 review).
+QUALITY_DRIFT_ORACLE = f"""
     WITH {_quality_cte_sql('documents').strip()},
     per_src AS (
         SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
@@ -1392,8 +1402,10 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((mean_q - g_mean) / g_sd, 4) + 0 AS z,
            (abs(round((mean_q - g_mean) / g_sd, 4)) >= 2.0) AS drift_flag
     FROM per_src CROSS JOIN gstats
-    """,
-)
+    """
+
+
+@register("dq_quality_drift", QUALITY_DRIFT_ORACLE)
 def dq_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     per_src = (
@@ -1430,13 +1442,19 @@ def dq_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _skew_sql(key_col: str) -> str:
+    # NULL keys drop out of any equi-join, so they are excluded from the
+    # hot-key arithmetic and reported as their own count instead — a 30%
+    # NULL column must not masquerade as a salting candidate (r06 review).
     return f"""
         SELECT '{key_col}' AS key_col,
                CAST(max(c) AS BIGINT) AS top_key_n,
                CAST(sum(c) AS BIGINT) AS total_n,
                round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_share,
-               CAST(count(*) AS BIGINT) AS n_keys
-        FROM (SELECT {key_col}, count(*) AS c FROM events GROUP BY {key_col})"""
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST((SELECT count(*) FROM events WHERE {key_col} IS NULL)
+                   AS BIGINT) AS n_null
+        FROM (SELECT {key_col}, count(*) AS c FROM events
+              WHERE {key_col} IS NOT NULL GROUP BY {key_col})"""
 
 
 @register(
@@ -1451,14 +1469,21 @@ def skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
 
     def profile(key_col: str) -> DataFrame:
-        counts = ev.groupBy(key_col).agg(F.count(F.lit(1)).alias("c"))
+        counts = (
+            ev.filter(F.col(key_col).isNotNull())
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        nulls = ev.agg(
+            F.count(F.when(F.col(key_col).isNull(), 1)).alias("n_null")
+        )
         return counts.agg(
             F.lit(key_col).alias("key_col"),
             F.max("c").alias("top_key_n"),
             F.sum("c").alias("total_n"),
             F.round(F.max("c") / F.sum("c").cast("double"), 4).alias("top_share"),
             F.count(F.lit(1)).alias("n_keys"),
-        )
+        ).crossJoin(F.broadcast(nulls))
 
     return profile("user_id").unionByName(profile("event_type"))
 
@@ -1475,26 +1500,18 @@ def skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # all-pairs chunk join; norms are one per-chunk agg.
 # ---------------------------------------------------------------------------
 
-from .llm import _HASH_BUCKETS, _TOK_BUCKET_SQL  # noqa: E402
+from .llm import _TOK_BUCKET_SQL  # noqa: E402
 
 _RAG_QUERY_DOC = 0
 _RAG_TOPK = 3
 
 _RAG_CHUNKS_CTE = f"""
-    wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    chunks AS (
+    {CHUNK_STARTS_CTE},
+    ctoks AS (
         SELECT doc_id,
                CAST((start - 1) / {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
-               array_to_string(w[start:start + {_CHUNK_SIZE} - 1], ' ') AS chunk
-        FROM (
-            SELECT doc_id, w,
-                   unnest(generate_series(1, greatest(len(w), 1),
-                          {_CHUNK_STRIDE})) AS start
-            FROM wl)
-    ),
-    ctoks AS (
-        SELECT doc_id, chunk_id, unnest(string_split(chunk, ' ')) AS tok
-        FROM chunks
+               unnest(w[start:start + {_CHUNK_SIZE} - 1]) AS tok
+        FROM starts
     ),
     feats AS (
         SELECT doc_id, chunk_id, {_TOK_BUCKET_SQL} AS bucket,
@@ -1544,39 +1561,21 @@ def pipeline_rag_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over |candidates| rows."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
-    wl = docs.select("doc_id", F.split("text", " ").alias("w"))
-    chunks = (
-        wl.select(
-            "doc_id", "w",
-            F.explode(
-                F.sequence(
-                    F.lit(1), F.greatest(F.size("w"), F.lit(1)),
-                    F.lit(_CHUNK_STRIDE),
-                )
-            ).alias("start"),
-        )
-        .select(
-            "doc_id",
-            ((F.col("start") - 1) / _CHUNK_STRIDE).cast("long").alias("chunk_id"),
-            F.array_join(
-                F.slice("w", F.col("start"), _CHUNK_SIZE), " "
-            ).alias("chunk"),
-        )
+    from .llm import tok_bucket_col
+
+    # Chunk grid + tokens: the shared _chunk_starts_df grid, exploding the
+    # sliced token array DIRECTLY (no join-to-string-and-resplit round
+    # trip — r06 review).
+    toks = _chunk_starts_df(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        ((F.col("start") - 1) / _CHUNK_STRIDE).cast("long").alias("chunk_id"),
+        F.explode(F.slice("w", F.col("start"), _CHUNK_SIZE)).alias("tok"),
     )
-    toks = chunks.select(
-        "doc_id", "chunk_id", F.explode(F.split("chunk", " ")).alias("tok")
-    )
-    nib1 = F.instr(F.lit("0123456789abcdef"), F.substring(F.md5("tok"), 1, 1)) - 1
-    nib2 = F.instr(F.lit("0123456789abcdef"), F.substring(F.md5("tok"), 2, 1)) - 1
     # feats feeds FOUR consumers (query side, corpus side, both norm
     # lookups) — lazily checkpoint so the chunk+hash derivation runs once,
     # not per consumer (at scale: "write the feature table").
     feats = (
-        toks.select(
-            "doc_id", "chunk_id",
-            ((nib1 * 16 + nib2) % _HASH_BUCKETS).alias("bucket"),
-        )
+        toks.select("doc_id", "chunk_id", tok_bucket_col().alias("bucket"))
         .groupBy("doc_id", "chunk_id", "bucket")
         .agg(F.count(F.lit(1)).alias("tf"))
         .localCheckpoint(eager=False)
