@@ -1204,3 +1204,37 @@ def test_islands_partition_user_days(spark, sf_dir):
                 if gap_days == 1:
                     assert r.tier != prev_tier, uid
             prev_end, prev_tier = r.end_day, r.tier
+
+
+def test_zvalue_bits_roundtrip(spark):
+    """z_value must be a true Morton interleave: de-interleaving the bits
+    in Python recovers both inputs exactly for a seeded sweep of values
+    across the full bit range."""
+    import random
+
+    from spark_streaming_kafka_example_spark.operators.zorder import z_value
+
+    rng = random.Random(7)
+    bits = 12
+    rows = [(i, rng.randrange(0, 1 << bits), rng.randrange(0, 1 << bits))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "i long, a long, b long")
+    got = {r["i"]: r["z"] for r in
+           df.select("i", z_value(["a", "b"], bits=bits).alias("z")).collect()}
+    for i, a, b in rows:
+        z = got[i]
+        da = sum(((z >> (k * 2)) & 1) << k for k in range(bits))
+        db = sum(((z >> (k * 2 + 1)) & 1) << k for k in range(bits))
+        assert (da, db) == (a, b), (i, a, b, z)
+
+
+def test_bench_headline_names_registered():
+    """bench.py silently skips HEADLINE names missing from the registry;
+    this makes a typo or a renamed query loud instead."""
+    import bench
+
+    from spark_streaming_kafka_example_spark import plans
+
+    plans.load_all()
+    missing = [n for n in bench.HEADLINE if n not in plans.QUERIES]
+    assert not missing, missing
