@@ -26,11 +26,18 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: tuple[str, ...] = (),
     suffix: str = "_right",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """For each left row attach, per key, the most recent right row with
     ``right_ts <= left_ts`` (ties: the right row matches, i.e. DuckDB ASOF
     ``>=`` semantics). Right columns come back as ``<col><suffix>``; the
     matched right timestamp as ``<right_ts><suffix>``.
+
+    ``tolerance_seconds`` (pd.merge_asof's tolerance): a match older than
+    the window is nulled out — correct because the as-of match is already
+    the LATEST right row at or before ``left_ts``, so if it falls outside
+    the window no other row can fall inside. Applied as a post-projection:
+    no change to the single-exchange plan.
     """
     left_payload = [c for c in left.columns if c != key]
     carried = [right_ts, *[c for c in right_cols if c != right_ts]]
@@ -63,4 +70,19 @@ def asof_join(
             for c in carried
         ],
     )
-    return filled.filter(F.col("_kind") == 1).drop("_kind")
+    out = filled.filter(F.col("_kind") == 1).drop("_kind")
+    if tolerance_seconds is not None:
+        rts = f"{right_ts}{suffix}"
+        fresh = (
+            F.col(left_ts).cast("long") - F.col(rts).cast("long")
+            <= tolerance_seconds
+        )
+        out = out.select(
+            key,
+            *left_payload,
+            *[
+                F.when(fresh, F.col(f"{c}{suffix}")).alias(f"{c}{suffix}")
+                for c in carried
+            ],
+        )
+    return out

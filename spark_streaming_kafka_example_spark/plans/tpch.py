@@ -1175,3 +1175,35 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_nationkey").alias("nationkey"))
     )
     return c1.intersectAll(c2)
+
+
+@register(
+    "asof_tolerance_30m",
+    """
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           CASE WHEN c.ts >= p.ts - INTERVAL 30 MINUTE THEN c.ts END
+               AS ts_click,
+           CASE WHEN c.ts >= p.ts - INTERVAL 30 MINUTE THEN c.value END
+               AS value_click
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_tolerance_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """asof_purchase_last_click with pd.merge_asof-style tolerance: a last
+    click older than 30 minutes nulls out instead of matching — attribution
+    windows, staleness cutoffs. Same single-exchange plan; the window is a
+    post-projection (operators/asof.py tolerance_seconds)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join(
+        purchases, clicks, key="user_id", right_cols=("value",),
+        suffix="_click", tolerance_seconds=1800,
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", "value", "ts_click", "value_click"
+    )
