@@ -166,6 +166,17 @@ ROTATION_PRIORITY = [
     "sim_quantize_int8",
     "funnel_view_click_purchase",
     "cohort_daily_retention",
+    # r07-new: amortized IVF probe (shares the stride oracle), streaming
+    # cohort-retention twin, sequence-path mining, per-minute anomaly
+    # z-score, DAU/7-day stickiness, 2-iteration PageRank, quality-weighted
+    # sampling — queued after the 10 r06 drains.
+    "sim_ivf_probe_only",
+    "stream_cohort_retention",
+    "paths_event_trigrams",
+    "anomaly_minute_zscore",
+    "dau_stickiness_7d",
+    "graph_pagerank_2iter",
+    "sample_quality_weighted",
 ]
 
 

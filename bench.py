@@ -69,6 +69,11 @@ HEADLINE = [
     # r06-new: materialized IVF (build + partition-pruned probe), recall
     # gate, packed-payload materialization
     "sim_ivf_indexed_topk",
+    # r07 (r06 VERDICT task 3): the amortized serving cost — probes the
+    # index sim_ivf_indexed_topk just built, so this times the
+    # partition-pruned probe alone while indexed_topk keeps charging
+    # build+probe (its samples force a rebuild; see _PRE_SAMPLE).
+    "sim_ivf_probe_only",
     "sim_ivf_recall",
     "pack_sequences_payload",
     "pipeline_export_shards",
@@ -77,6 +82,54 @@ HEADLINE = [
     "cohort_daily_retention",
     "pipeline_rag_prep",
 ]
+
+
+def _force_ivf_rebuild() -> None:
+    """sim_ivf_indexed_topk documents CREATE-INDEX (build+probe) timing;
+    the build memoizes per session (r06 ADVICE), so each bench sample must
+    drop the memo to keep measuring the end-to-end cost. sim_ivf_probe_only
+    then reuses the last built index — the amortized number."""
+    from spark_streaming_kafka_example_spark.plans import llm
+
+    llm._IVF_INDEX_BUILT.clear()
+
+
+_PRE_SAMPLE = {"sim_ivf_indexed_topk": _force_ivf_rebuild}
+
+
+def _calibration(spark) -> dict[str, float]:
+    """Fixed-size, data-independent load probes (r06 VERDICT task 4): two
+    consecutive driver rounds drifted ~+20% uniformly from host load, which
+    took manual same-code reruns to prove. These two constants let a future
+    reader normalize totals without re-running:
+    - jvm_agg_sec: a constant 20M-row in-JVM hash+sum aggregation
+      (whole-stage codegen, no IO) — tracks JVM/CPU contention;
+    - python_hash_sec: 2M iterations of hashlib in the driver process —
+      tracks raw host CPU availability outside the JVM.
+    Both are min-of-3 like every headline query. BASELINE.md documents the
+    reference values and how to use the ratio."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    jvm = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(20_000_000).select(
+            F.sum(F.hash("id")).alias("h")
+        ).write.format("noop").mode("overwrite").save()
+        jvm.append(time.perf_counter() - t0)
+    py = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        h = b"calib"
+        for _i in range(2_000_000):
+            h = hashlib.md5(h).digest()
+        py.append(time.perf_counter() - t0)
+    return {
+        "jvm_agg_sec": round(min(jvm), 3),
+        "python_hash_sec": round(min(py), 3),
+    }
 
 
 def main() -> None:
@@ -108,6 +161,9 @@ def main() -> None:
             continue
         samples = []
         for _ in range(3):
+            pre = _PRE_SAMPLE.get(name)
+            if pre is not None:
+                pre()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
@@ -122,6 +178,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "calibration": _calibration(spark),
             }
         )
     )

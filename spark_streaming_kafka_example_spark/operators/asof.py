@@ -37,7 +37,12 @@ def asof_join(
     the window is nulled out — correct because the as-of match is already
     the LATEST right row at or before ``left_ts``, so if it falls outside
     the window no other row can fall inside. Applied as a post-projection:
-    no change to the single-exchange plan.
+    no change to the single-exchange plan. The freshness compare is EXACT
+    interval arithmetic on the timestamps (``right_ts >= left_ts -
+    INTERVAL n SECONDS``), never truncated to whole seconds — a match
+    whose true age falls in ``(n, n+1)`` seconds with a larger left-side
+    µs fraction must be nulled, matching both pd.merge_asof and DuckDB's
+    ``ts >= ts - INTERVAL`` (r06 ADVICE).
     """
     left_payload = [c for c in left.columns if c != key]
     carried = [right_ts, *[c for c in right_cols if c != right_ts]]
@@ -73,9 +78,8 @@ def asof_join(
     out = filled.filter(F.col("_kind") == 1).drop("_kind")
     if tolerance_seconds is not None:
         rts = f"{right_ts}{suffix}"
-        fresh = (
-            F.col(left_ts).cast("long") - F.col(rts).cast("long")
-            <= tolerance_seconds
+        fresh = F.col(rts) >= F.col(left_ts) - F.expr(
+            f"INTERVAL {int(tolerance_seconds)} SECONDS"
         )
         out = out.select(
             key,

@@ -695,9 +695,19 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared by sim_ivf_topk (inline assignment) and sim_ivf_indexed_topk (the
 # materialized bucket-partitioned index): the index is a cached copy of the
 # SAME assignment relation, so one oracle describes both results.
+#
+# The stride centroid set is CAPPED at a fixed k (_STRIDE_K_CAP): bare
+# `vec_id % 50` grows linearly with the corpus, so broadcasting it — and
+# every driver fetch derived from it — would scale with N (r06 VERDICT
+# task 2). `% 50 AND < 50*cap` keeps the oracle-replayable determinism of
+# the stride pick while bounding the centroid relation at ≤ cap rows at
+# ANY corpus size (identical sets at sf≤0.01, where N/50 < cap already).
+_STRIDE_K_CAP = 32
+
 _IVF_STRIDE_SQL = f"""
     WITH {_EMB_D},
-    cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+    cent AS (SELECT vec_id AS cent_id, v AS cv FROM e
+             WHERE vec_id % 50 = 0 AND vec_id < {50 * _STRIDE_K_CAP}),
     assigned AS (
         SELECT vec_id, v, bucket FROM (
             SELECT e.vec_id, e.v, cent.cent_id AS bucket,
@@ -735,12 +745,52 @@ _IVF_STRIDE_SQL = f"""
     """
 
 
+def stride_centroids(emb: DataFrame) -> DataFrame:
+    """The deterministic oracle-replayable centroid subset, bounded at
+    _STRIDE_K_CAP rows regardless of corpus size (broadcast-safe at 100 TB;
+    the production path trains fixed-k centroids with kmeans_centroids)."""
+    return emb.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 50 * _STRIDE_K_CAP)
+    )
+
+
 @register("sim_ivf_topk", _IVF_STRIDE_SQL)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    centroids = emb.filter(F.col("vec_id") % 50 == 0)
-    return ivf_topk(emb, queries, centroids, k=5, n_probe=2)
+    return ivf_topk(emb, queries, stride_centroids(emb), k=5, n_probe=2)
+
+
+# Paths whose IVF index was already materialized by THIS process (keyed by
+# the per-app-unique SparkFiles path, so a new session / app never sees a
+# stale entry). CREATE INDEX IF NOT EXISTS semantics: the first
+# construction in a session pays the build, every later construction —
+# including plan enumerations and the probe-only twin below — reuses the
+# files (r06 ADVICE: the registry's one side-effectful entry no longer
+# re-runs its write per construction).
+_IVF_INDEX_BUILT: set[str] = set()
+
+
+def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the stride-centroid IVF index for ``sf_dir`` once per
+    session; return its path (inside the app's own Spark temp dir: per-app
+    unique, auto-deleted at shutdown — no stale /tmp accumulation)."""
+    import os
+
+    from pyspark import SparkFiles
+
+    from ..operators.similarity import build_ivf_index
+
+    path = os.path.join(
+        SparkFiles.getRootDirectory(),
+        "spark_graft_ivf_index",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    if path not in _IVF_INDEX_BUILT:
+        emb = load_table(spark, sf_dir, "embeddings")
+        build_ivf_index(emb, stride_centroids(emb), path)
+        _IVF_INDEX_BUILT.add(path)
+    return path
 
 
 @register("sim_ivf_indexed_topk", _IVF_STRIDE_SQL)
@@ -753,33 +803,41 @@ def sim_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets. Results are identical to the inline path by construction, so
     the same oracle covers both.
 
-    EAGER BY NATURE: constructing this query RUNS the index build (a write
-    action) — parquet can't be planned against files that don't exist yet,
-    exactly as CREATE INDEX runs before the SELECT that uses it. This is
-    the one registry entry that does work at construction time; keep it
-    out of plan-enumeration fixtures, and the rebuild-per-construction is
-    intentional (the registered query measures build+probe end-to-end;
-    amortized probing is ivf_topk_indexed called directly against a kept
-    index). The index lands inside the application's OWN Spark temp dir
-    (SparkFiles root): per-app unique, so concurrent sessions never
-    clobber each other, and Spark deletes it at shutdown — no stale /tmp
-    accumulation (r06 review)."""
-    import os
+    EAGER BY NATURE: the FIRST construction in a session RUNS the index
+    build (a write action) — parquet can't be planned against files that
+    don't exist yet, exactly as CREATE INDEX runs before the SELECT that
+    uses it; later constructions reuse the materialized files
+    (_ensure_ivf_index memoizes per path, r06 ADVICE). In a fresh session
+    this query therefore measures build+probe end-to-end; the amortized
+    per-query cost is the separately-benched sim_ivf_probe_only."""
+    path = _ensure_ivf_index(spark, sf_dir)
 
-    from pyspark import SparkFiles
-
-    from ..operators.similarity import build_ivf_index, ivf_topk_indexed
+    from ..operators.similarity import ivf_topk_indexed
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    centroids = emb.filter(F.col("vec_id") % 50 == 0)
-    path = os.path.join(
-        SparkFiles.getRootDirectory(),
-        "spark_graft_ivf_index",
-        os.path.basename(os.path.normpath(sf_dir)),
+    return ivf_topk_indexed(
+        spark, path, queries, stride_centroids(emb), k=5, n_probe=2
     )
-    build_ivf_index(emb, centroids, path)
-    return ivf_topk_indexed(spark, path, queries, centroids, k=5, n_probe=2)
+
+
+@register("sim_ivf_probe_only", _IVF_STRIDE_SQL)
+def sim_ivf_probe_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The amortized serving cost of the materialized IVF index: probe a
+    PRE-BUILT index (built at most once per session by _ensure_ivf_index —
+    in bench.py's HEADLINE order sim_ivf_indexed_topk has already paid the
+    build, so this query times the partition-pruned probe alone, r06
+    VERDICT task 3). Identical results to sim_ivf_topk / indexed_topk, so
+    all three share one oracle."""
+    path = _ensure_ivf_index(spark, sf_dir)
+
+    from ..operators.similarity import ivf_topk_indexed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk_indexed(
+        spark, path, queries, stride_centroids(emb), k=5, n_probe=2
+    )
 
 
 _KMEANS_K = 8
@@ -800,9 +858,11 @@ def _kmeans_iter_sql(i: int, prev: str) -> str:
     c{i} AS (SELECT bucket AS cent_id, list(val ORDER BY ord) AS cv FROM m{i} GROUP BY 1)"""
 
 
-@register(
-    "sim_ivf_kmeans_topk",
-    f"""
+# Shared by sim_ivf_kmeans_topk (batch) and stream_ann_probe (the serving
+# twin in plans/stream.py): both run the k-means-trained IVF probe, so one
+# oracle describes both results. The centroid relation is FIXED-K (k =
+# _KMEANS_K) — never a corpus-size-dependent subset (r06 VERDICT task 2).
+_IVF_KMEANS_SQL = f"""
     WITH {_EMB_D},
     c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {_KMEANS_K}),
     {_kmeans_iter_sql(1, 'c0')},
@@ -841,8 +901,10 @@ def _kmeans_iter_sql(i: int, prev: str) -> str:
                                      ORDER BY cos DESC, n_id) AS rnk
         FROM scored)
     WHERE rnk <= 5
-    """,
-)
+    """
+
+
+@register("sim_ivf_kmeans_topk", _IVF_KMEANS_SQL)
 def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import kmeans_centroids
 

@@ -478,14 +478,15 @@ def stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # replays with the same round(4) + centroid-id tie-break.
 # ---------------------------------------------------------------------------
 
-from .llm import _DOT, _NORM  # noqa: E402
+from .llm import _DOT, _NORM, _STRIDE_K_CAP  # noqa: E402
 
 
 @register(
     "stream_vector_bucketize",
     f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 50 = 0)
+    cent AS (SELECT vec_id AS cent_id, v AS cv FROM e
+             WHERE vec_id % 50 = 0 AND vec_id < {50 * _STRIDE_K_CAP})
     SELECT vec_id, bucket FROM (
         SELECT e.vec_id, cent.cent_id AS bucket,
                row_number() OVER (
@@ -498,12 +499,16 @@ from .llm import _DOT, _NORM  # noqa: E402
     """,
 )
 def stream_vector_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arriving vectors bucketed against a FIXED-K broadcast centroid set
+    (stride pick capped at _STRIDE_K_CAP rows — a bare id-stride subset
+    grows linearly with the corpus and so would the broadcast; r06 VERDICT
+    task 2)."""
     from ..functions.vectors import cosine_pandas
 
-    cent = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") % 50 == 0)
-        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv"))
+    from .llm import stride_centroids
+
+    cent = stride_centroids(load_table(spark, sf_dir, "embeddings")).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
     )
     scored = (
         embeddings_stream(spark, sf_dir)
@@ -753,6 +758,16 @@ def stream_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("mean_q"), 6).alias("g_mean"),
         F.round(F.stddev_samp("mean_q"), 6).alias("g_sd"),
     ).first()  # two scalars — the static baseline the stream scores against
+    # Fail LOUDLY on a degenerate baseline instead of emitting null/inf
+    # z-scores that silently diverge from the batch oracle: stddev_samp is
+    # NULL below 2 sources and 0 when every per-source mean coincides
+    # (r06 ADVICE).
+    if base["g_mean"] is None or base["g_sd"] is None or base["g_sd"] == 0:
+        raise ValueError(
+            "stream_quality_drift: degenerate quality baseline"
+            f" (g_mean={base['g_mean']}, g_sd={base['g_sd']}) — need >= 2"
+            " sources with distinct mean quality to z-score against"
+        )
     agg = (
         documents_stream(spark, sf_dir)
         .select("source", quality_p_col().alias("quality_p"))
@@ -770,45 +785,58 @@ def stream_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Streaming ANN probe (r06): vectors arrive on a stream and are answered
-# against the STATIC corpus — the serving shape of the IVF family. Streams
-# cannot rank with window functions, so the two rank steps of the batch
-# plan are re-expressed stream-legally:
+# Streaming ANN probe (r06, fixed-k r07): vectors arrive on a stream and
+# are answered against the STATIC corpus — the serving shape of the IVF
+# family. Streams cannot rank with window functions, so the two rank steps
+# of the batch plan are re-expressed stream-legally:
 # - probe-bucket selection happens MAP-SIDE per query row: the centroid
-#   table (tiny — k rows) is fetched once to the driver and embedded as a
-#   literal array; slice(array_sort(transform(...))) picks the n_probe
-#   nearest buckets inside codegen;
+#   table — k-means-trained, so EXACTLY _KMEANS_K rows at any corpus size
+#   (the r06 stride pick collected N/50 full vectors to the driver, a
+#   scale-killer; r06 VERDICT task 2) — is fetched once to the driver and
+#   embedded as a literal array; slice(array_sort(transform(...))) picks
+#   the n_probe nearest buckets inside codegen;
 # - the per-query top-k is ONE streaming aggregation
 #   (slice(array_sort(collect_list(struct(-cos, n_id, cos))))), state
 #   bounded by the probed buckets' candidates per query.
-# Drained availableNow result == sim_ivf_topk, so it shares that oracle.
+# Drained availableNow result == sim_ivf_kmeans_topk, so it shares that
+# oracle (the SQL replays Lloyd training exactly).
 # ---------------------------------------------------------------------------
 
-from .llm import _IVF_STRIDE_SQL  # noqa: E402  (same result, same oracle)
+from .llm import _IVF_KMEANS_SQL, _KMEANS_K  # noqa: E402  (same result/oracle)
 
 
-@register("stream_ann_probe", _IVF_STRIDE_SQL)
-def stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.vectors import cosine, cosine_pandas
-    from ..operators.similarity import assign_buckets
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    cent_rows = (
-        emb.filter(F.col("vec_id") % 50 == 0)
-        .select("vec_id", "embedding")
-        .collect()
-    )  # k centroid rows — same driver-fetch class as the zorder bounds row
-    cent_arr = F.array(*[
+def _centroid_literal_array(cent_rows, k: int):
+    """Embed a FIXED-K centroid table as a plan-literal array of
+    (cent_id, cv) structs. Guards the scale contract: the collect feeding
+    this must be bounded by the centroid count k, never by the corpus."""
+    if len(cent_rows) > k:
+        raise ValueError(
+            f"centroid relation must be fixed-k (<= {k} rows), got"
+            f" {len(cent_rows)} — a corpus-size-dependent centroid set"
+            " cannot be embedded as plan literals"
+        )
+    return F.array(*[
         F.struct(
-            F.lit(int(r["vec_id"])).alias("cent_id"),
-            F.array(*[F.lit(float(x)) for x in r["embedding"]])
+            F.lit(int(r["cent_id"])).alias("cent_id"),
+            F.array(*[F.lit(float(x)) for x in r["cv"]])
             .cast("array<double>")
             .alias("cv"),
         )
         for r in cent_rows
     ])
+
+
+@register("stream_ann_probe", _IVF_KMEANS_SQL)
+def stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import cosine, cosine_pandas
+    from ..operators.similarity import assign_buckets, kmeans_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(emb, k=_KMEANS_K, iterations=2)
+    cent_arr = _centroid_literal_array(cent.collect(), _KMEANS_K)
     assigned = assign_buckets(
-        emb, emb.filter(F.col("vec_id") % 50 == 0)
+        emb,
+        cent.select(F.col("cent_id").alias("vec_id"), F.col("cv").alias("embedding")),
     ).select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"), "bucket")
 
     q = (
@@ -857,3 +885,45 @@ def stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_table(spark, topk, "complete")
+
+
+# ---------------------------------------------------------------------------
+# Streaming cohort retention (r07, r06 VERDICT task 7): the live-dashboard
+# twin of cohort_daily_retention. Cohort assignment (user -> first-seen
+# day) is a MATERIALIZED dimension — in production yesterday's cohort map,
+# here derived once from the static batch table (the stream_quality_drift
+# baseline pattern) — so the stream side is one stream-static broadcast
+# join plus ONE streaming aggregation: exact distinct-user counts via
+# size(collect_set(user_id)) (count(DISTINCT) is not streamable; the set
+# state per (cohort, offset) cell is the standard exact-distinct cost —
+# approx_count_distinct is the drop-in at 100 TB if cells get hot).
+# Drained availableNow result == the batch matrix, so they share one
+# oracle.
+# ---------------------------------------------------------------------------
+
+from .windows_stats import COHORT_RETENTION_ORACLE  # noqa: E402
+
+
+@register("stream_cohort_retention", COHORT_RETENTION_ORACLE)
+def stream_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cohort_map = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.date_trunc("day", F.min("ts")).alias("cohort_day"))
+    )
+    activity = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", F.date_trunc("day", "ts").alias("d"))
+        .join(F.broadcast(cohort_map), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("d", "cohort_day").cast("long").alias("day_offset"),
+        )
+    )
+    matrix = activity.groupBy("cohort_day", "day_offset").agg(
+        F.size(F.collect_set("user_id")).cast("long").alias("n_active")
+    )
+    return run_to_table(spark, matrix, "complete")

@@ -1615,3 +1615,41 @@ def pipeline_rag_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= _RAG_TOPK
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted sampling (r07): keep each document with probability
+# proportional to its logistic quality score — the importance-sampling
+# step between quality scoring and mixture construction in a pretraining
+# pipeline (upsample clean text without hard-thresholding). The coin is
+# the deterministic md5 gate (_hash256/256 as a uniform in [0,1)), so the
+# draw is reproducible, re-runnable, and oracle-replayable — never rand().
+# Scale: pure map-side projection + one source-keyed hash agg; the gate
+# pushes into the scan stage.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_quality_weighted",
+    f"""
+    WITH {_quality_cte_sql('documents').strip()},
+    gated AS (
+        SELECT d.doc_id, d.source, q.quality_p
+        FROM documents d JOIN quality q USING (doc_id)
+        WHERE {_gate_sql("md5(CAST(d.doc_id AS VARCHAR))")} / 256.0
+              < q.quality_p
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+           round(avg(quality_p), 4) AS mean_quality
+    FROM gated GROUP BY source
+    """,
+)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.select(
+        "doc_id", "source", quality_p_col().alias("quality_p")
+    ).filter(_hash256("doc_id") / 256.0 < F.col("quality_p"))
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.avg("quality_p"), 4).alias("mean_quality"),
+    )

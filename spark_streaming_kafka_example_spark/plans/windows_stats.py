@@ -227,7 +227,17 @@ def rollup_time_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile capability: Greenwald-Khanna sketch, single pass,
     mergeable partials — the 100 TB replacement for exact percentiles
-    (agg_median_percentile), same query shape."""
+    (agg_median_percentile), same query shape.
+
+    ROWS-ONLY IDIOM (shared with agg_freq_items): sketch outputs have no
+    cross-engine DuckDB twin, so the driver runs its weaker rows-only
+    check; that canonicalizer cannot sort array cells, so rows-only
+    queries must emit only SCALAR-typed columns. percentile_approx with a
+    scalar percentage returns plain doubles (the array form would return
+    array<double> — don't), pinned by
+    tests/test_approx_aggs.py::test_rows_only_sketch_outputs_are_scalar_typed;
+    the real accuracy contract is the rank-error bound asserted in
+    test_percentile_approx_within_accuracy_bound."""
     return (
         load_table(spark, sf_dir, "customer")
         .groupBy("c_mktsegment")
@@ -441,9 +451,10 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "cohort_daily_retention",
-    """
+# Shared with the streaming twin (plans/stream.py stream_cohort_retention):
+# the drained stream result equals this batch matrix, so one oracle covers
+# both.
+COHORT_RETENTION_ORACLE = """
     WITH act AS (
         SELECT DISTINCT user_id, date_trunc('day', ts) AS d
         FROM events WHERE user_id IS NOT NULL
@@ -454,8 +465,10 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_active
     FROM act a JOIN first f ON a.user_id = f.user_id
     GROUP BY f.cohort_day, day_offset
-    """,
-)
+    """
+
+
+@register("cohort_daily_retention", COHORT_RETENTION_ORACLE)
 def cohort_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     # act feeds BOTH the cohort-min agg and the retention join; the lazy
@@ -630,3 +643,218 @@ def islands_user_daily_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("island")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence path mining (r07): per-user ordered event-type journeys ->
+# sliding trigram paths -> global top-20. The clickstream "top paths"
+# report. Scale: one exchange on user_id for the ordered collect (state per
+# user = that user's events, the same bound as sessionization), trigram
+# expansion is a map-side higher-order function, the count is a partial-
+# aggregated hash shuffle, and the top-20 is TakeOrderedAndProject — no
+# global sort, nothing quadratic.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "paths_event_trigrams",
+    """
+    WITH seqs AS (
+        SELECT user_id, list(event_type ORDER BY ts, event_id) AS t
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    tris AS (
+        SELECT unnest(list_transform(range(2, len(t)),
+                      i -> t[i-1] || '>' || t[i] || '>' || t[i+1])) AS path
+        FROM seqs WHERE len(t) >= 3
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n
+    FROM tris GROUP BY path ORDER BY n DESC, path LIMIT 20
+    """,
+)
+def paths_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    seqs = (
+        ev.select("user_id", F.struct("ts", "event_id", "event_type").alias("s"))
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("s")), lambda s: s["event_type"]
+            ).alias("t")
+        )
+    )
+    tris = seqs.filter(F.size("t") >= 3).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 2),"
+                " i -> concat_ws('>', t[i-1], t[i], t[i+1]))"
+            )
+        ).alias("path")
+    )
+    return (
+        tris.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-minute volume anomaly detection (r07): minute rollup z-scored against
+# the distribution of ALL minute counts — the ops-dashboard "traffic spike"
+# monitor. Scale: one minute-rollup shuffle; the two global moments are a
+# broadcast one-row relation (never a driver fetch), so the flagging pass
+# is map-side.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "anomaly_minute_zscore",
+    """
+    WITH m AS (
+        SELECT date_trunc('minute', ts) AS minute,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1
+    ),
+    mom AS (
+        SELECT round(avg(CAST(n_events AS DOUBLE)), 6) AS mean_n,
+               round(stddev_samp(CAST(n_events AS DOUBLE)), 6) AS sd_n
+        FROM m
+    )
+    SELECT minute, n_events, sum_value,
+           round((n_events - mean_n) / sd_n, 4) + 0 AS z,
+           (abs(round((n_events - mean_n) / sd_n, 4)) >= 3.0) AS is_anomaly
+    FROM m CROSS JOIN mom
+    """,
+)
+def anomaly_minute_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # The minute rollup feeds BOTH the moments agg and the flagging pass;
+    # materialize it once (the cohort idiom) instead of scanning events
+    # twice.
+    m = (
+        ev.groupBy(F.date_trunc("minute", "ts").alias("minute"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    mom = m.agg(
+        F.round(F.avg(F.col("n_events").cast("double")), 6).alias("mean_n"),
+        F.round(F.stddev_samp(F.col("n_events").cast("double")), 6).alias("sd_n"),
+    )
+    z = F.round((F.col("n_events") - F.col("mean_n")) / F.col("sd_n"), 4)
+    return m.crossJoin(F.broadcast(mom)).select(
+        "minute", "n_events", "sum_value",
+        z.alias("z"), (F.abs(z) >= 3.0).alias("is_anomaly"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DAU / trailing-7-day stickiness (r07): per day, distinct daily actives
+# and distinct actives over the trailing week. count(DISTINCT) over a
+# sliding RANGE window doesn't exist in either engine; the scalable
+# composition materializes the (user, day) relation once, then each
+# user-day contributes to the 7 report days it is visible from —
+# explode(sequence(...)) — and a distinct+count per report day finishes
+# it. Rows = user-days x 7 (bounded by construction), two hash shuffles,
+# no window function at all.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dau_stickiness_7d",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    dau AS (SELECT d, CAST(count(*) AS BIGINT) AS n_dau FROM ud GROUP BY d),
+    contrib AS (
+        SELECT DISTINCT user_id, rday FROM (
+            SELECT user_id,
+                   unnest(generate_series(d, d + INTERVAL 6 DAY,
+                                          INTERVAL 1 DAY)) AS rday
+            FROM ud)
+    ),
+    wau AS (SELECT rday, CAST(count(*) AS BIGINT) AS n_wau7
+            FROM contrib GROUP BY rday)
+    SELECT dau.d, n_dau, n_wau7,
+           round(CAST(n_dau AS DOUBLE) / n_wau7, 4) AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.rday
+    """,
+)
+def dau_stickiness_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    # ud feeds both the DAU agg and the 7-day expansion; materialize the
+    # (much smaller) distinct user-day relation once (the cohort idiom).
+    ud = (
+        ev.select("user_id", F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("n_dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(d, d + interval 6 days, interval 1 day)")
+        ).alias("rday"),
+    ).distinct()
+    wau = contrib.groupBy("rday").agg(F.count(F.lit(1)).alias("n_wau7"))
+    return dau.join(wau, dau.d == wau.rday).select(
+        "d", "n_dau", "n_wau7",
+        F.round(F.col("n_dau").cast("double") / F.col("n_wau7"), 4)
+            .alias("stickiness"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the customer->supplier purchase graph (r07): the second
+# iterative graph operator (operators/pagerank.py) next to connected
+# components — who are the structurally central suppliers. Fixed 2
+# iterations with per-step round(8) make Lloyd-style exact oracle replay
+# possible; dangling supplier nodes leak mass by the documented simplified
+# formulation. Node ids are 'c:<custkey>' / 's:<suppkey>' strings so the
+# two key spaces can't alias.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_pagerank_2iter",
+    """
+    WITH edges AS (
+        SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+               FROM edges GROUP BY src),
+    pr0 AS (SELECT node, round(1.0 / n, 8) AS pr FROM nodes CROSS JOIN nn),
+    c1 AS (SELECT e.dst, round(sum(p.pr / o.deg), 8) AS s
+           FROM edges e JOIN outdeg o ON e.src = o.src
+                        JOIN pr0 p ON e.src = p.node
+           GROUP BY e.dst),
+    pr1 AS (SELECT node, round(0.15 / n + 0.85 * coalesce(c1.s, 0), 8) AS pr
+            FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.node = c1.dst),
+    c2 AS (SELECT e.dst, round(sum(p.pr / o.deg), 8) AS s
+           FROM edges e JOIN outdeg o ON e.src = o.src
+                        JOIN pr1 p ON e.src = p.node
+           GROUP BY e.dst),
+    pr2 AS (SELECT node, round(0.15 / n + 0.85 * coalesce(c2.s, 0), 8) AS pr
+            FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.node = c2.dst)
+    SELECT node, pr FROM pr2
+    """,
+)
+def graph_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pagerank import pagerank
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = o.join(l, o.o_orderkey == l.l_orderkey).select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return pagerank(edges, iterations=2, damping=0.85)

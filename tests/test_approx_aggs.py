@@ -55,6 +55,26 @@ def test_freq_items_superset_of_true_heavy_hitters(spark, sf_dir):
         assert true_hitters <= got, f"{col}: missing {true_hitters - got}"
 
 
+def test_rows_only_sketch_outputs_are_scalar_typed(spark, sf_dir):
+    """The two rows-only registry entries (no DuckDB oracle) must emit
+    only scalar-typed columns: the driver's rows-only canonicalizer cannot
+    sort array cells, so a complex-typed column would make its check
+    order-dependent. agg_freq_items serializes its arrays to strings
+    (r06); agg_percentile_approx uses scalar percentages (array form of
+    percentile_approx would return array<double>). One documented idiom,
+    pinned here for both."""
+    from pyspark.sql.types import AtomicType
+
+    for name in ("agg_freq_items", "agg_percentile_approx"):
+        assert name not in plans.ORACLE, f"{name} grew an oracle; drop this pin?"
+        schema = plans.QUERIES[name](spark, sf_dir).schema
+        for field in schema.fields:
+            assert isinstance(field.dataType, AtomicType), (
+                f"{name}.{field.name} is {field.dataType.simpleString()} — "
+                "rows-only queries must serialize complex cells to scalars"
+            )
+
+
 def test_percentile_approx_within_accuracy_bound(spark, sf_dir):
     """percentile_approx(accuracy=10000) is a GK sketch with rank error at
     most eps*n (eps = 1/accuracy). It returns an ELEMENT of the group (no

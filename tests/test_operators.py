@@ -589,6 +589,39 @@ def test_asof_join_matches_pandas_merge_asof(spark, sf_dir):
     assert same.all()
 
 
+def test_asof_tolerance_exact_microsecond_boundary(spark):
+    """Tolerance freshness must compare EXACT timestamps (r06 ADVICE): an
+    age of 1800.5s (whole-second difference 1800 but true age > 1800)
+    nulls out, an age of exactly 1800.0s matches, and 1799.5s matches —
+    identical to DuckDB's ``c.ts >= p.ts - INTERVAL 30 MINUTE`` and
+    pd.merge_asof(tolerance=...). The pre-fix cast('long') truncation kept
+    the 1800.5s pair."""
+    import datetime as dt
+
+    from spark_streaming_kafka_example_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0, 500_000)  # left carries .5s frac
+    left = spark.createDataFrame(
+        [(k, base, k) for k in (1, 2, 3)], "user_id int, ts timestamp, event_id int"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, base - dt.timedelta(seconds=1800.5), 10.0),  # too old by .5s
+            (2, base - dt.timedelta(seconds=1800.0), 20.0),  # boundary: keeps
+            (3, base - dt.timedelta(seconds=1799.5), 30.0),  # fresh: keeps
+        ],
+        "user_id int, ts timestamp, value double",
+    )
+    out = {
+        r["user_id"]: r["value_right"]
+        for r in asof_join(
+            left, right, key="user_id", right_cols=("value",),
+            tolerance_seconds=1800,
+        ).collect()
+    }
+    assert out == {1: None, 2: 20.0, 3: 30.0}
+
+
 def test_multimodal_frame_sampling(spark, sf_dir):
     """One-to-many frame extraction keeps ids/order deterministic and
     frames slice the source bytes."""
@@ -1238,3 +1271,31 @@ def test_bench_headline_names_registered():
     plans.load_all()
     missing = [n for n in bench.HEADLINE if n not in plans.QUERIES]
     assert not missing, missing
+
+
+def test_pagerank_hand_computed_triangle(spark):
+    """pagerank on A->B, A->C, B->C must reproduce the hand-derived damped
+    ranks (2 iterations, round-8 at each step, dangling C leaks mass)."""
+    from spark_streaming_kafka_example_spark.operators.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], "src string, dst string"
+    )
+    out = {r["node"]: r["pr"] for r in pagerank(edges, iterations=2).collect()}
+
+    pr = dict.fromkeys("abc", round(1 / 3, 8))
+    for _ in range(2):
+        contrib = {
+            "b": round(pr["a"] / 2, 8),
+            "c": round(pr["a"] / 2 + pr["b"] / 1, 8),
+        }
+        pr = {
+            n: round(0.15 / 3 + 0.85 * contrib.get(n, 0.0), 8) for n in "abc"
+        }
+    # 1e-7 tolerance: Python round() (banker's on binary doubles) and
+    # Spark's HALF_UP BigDecimal round may differ in the 8th decimal; the
+    # bit-exact replay contract is driver-checked by the SQL oracle.
+    assert set(out) == set(pr)
+    for n in pr:
+        assert abs(out[n] - pr[n]) < 1e-7, (n, out[n], pr[n])
+    assert sum(out.values()) < 1.0  # dangling-mass leak: sum < 1

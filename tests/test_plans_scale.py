@@ -555,3 +555,78 @@ def test_gapfill_islands_langid_plan_shape(plan_of):
     assert "SinglePartition" not in il and "CartesianProduct" not in il
     la = plan_of("text_langid_accuracy")
     assert la.count("Exchange (") == 1
+
+
+def test_centroid_literal_array_rejects_unbounded(spark):
+    """stream_ann_probe's plan-literal centroid embedding is only legal for
+    a FIXED-K centroid relation: the guard must refuse a row set larger
+    than k (the r06 stride pick collected N/50 full vectors to the driver —
+    linear in the corpus — before the kmeans fix; r06 VERDICT task 2)."""
+    from spark_streaming_kafka_example_spark.plans.stream import (
+        _centroid_literal_array,
+    )
+
+    rows = [{"cent_id": i, "cv": [0.1, 0.2]} for i in range(3)]
+    arr = _centroid_literal_array(rows, k=3)  # bounded: fine
+    assert spark.range(1).select(arr.alias("a")).first()["a"][0]["cent_id"] == 0
+    with pytest.raises(ValueError, match="fixed-k"):
+        _centroid_literal_array(rows, k=2)
+
+
+def test_stride_centroids_bounded_at_any_corpus_size(spark):
+    """stride_centroids must return <= _STRIDE_K_CAP rows no matter how
+    large the corpus: it is broadcast (and in the oracle-parity configs,
+    plan-embedded), so a corpus-proportional row count is a scale-killer."""
+    import pyspark.sql.functions as F
+
+    from spark_streaming_kafka_example_spark.plans.llm import (
+        _STRIDE_K_CAP,
+        stride_centroids,
+    )
+
+    big = spark.range(500_000).select(
+        F.col("id").alias("vec_id"), F.array(F.lit(1.0)).alias("embedding")
+    )
+    assert stride_centroids(big).count() == _STRIDE_K_CAP
+
+
+def test_ivf_index_build_memoized_per_session(spark, sf_dir, monkeypatch):
+    """The materialized IVF index is built at most once per (session,
+    sf_dir): repeated constructions — plan enumerations, the probe-only
+    twin after the indexed query — must reuse the files instead of
+    re-running the write (r06 ADVICE)."""
+    from spark_streaming_kafka_example_spark.operators import similarity
+    from spark_streaming_kafka_example_spark.plans import llm
+
+    calls = {"n": 0}
+    real_build = similarity.build_ivf_index
+
+    def counting_build(*a, **kw):
+        calls["n"] += 1
+        return real_build(*a, **kw)
+
+    monkeypatch.setattr(similarity, "build_ivf_index", counting_build)
+    llm._IVF_INDEX_BUILT.clear()
+    p1 = llm._ensure_ivf_index(spark, sf_dir)
+    p2 = llm._ensure_ivf_index(spark, sf_dir)
+    assert p1 == p2 and calls["n"] == 1
+
+
+def test_r07_analytics_plan_shapes(plan_of):
+    """r07 additions: paths top-20 must be TakeOrderedAndProject over two
+    hash exchanges (user collect + path count); anomaly re-uses its
+    checkpointed minute rollup (one scan) and broadcasts the one-row
+    moments; stickiness and pagerank stay cartesian-free with the
+    checkpointed base relations hiding re-scans; quality-weighted sampling
+    is one exchange with the gate pushed below it."""
+    pp = plan_of("paths_event_trigrams")
+    assert "TakeOrderedAndProject" in pp and "CartesianProduct" not in pp
+    az = plan_of("anomaly_minute_zscore")
+    assert az.count("Scan parquet") <= 1  # rollup materialized once
+    assert "CartesianProduct" not in az
+    ds = plan_of("dau_stickiness_7d")
+    assert "CartesianProduct" not in ds and "SinglePartition" not in ds
+    pr = plan_of("graph_pagerank_2iter")
+    assert "CartesianProduct" not in pr
+    sq = plan_of("sample_quality_weighted")
+    assert sq.count("Exchange (") == 1 and "CartesianProduct" not in sq
