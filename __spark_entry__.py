@@ -177,6 +177,8 @@ ROTATION_PRIORITY = [
     "dau_stickiness_7d",
     "graph_pagerank_2iter",
     "sample_quality_weighted",
+    "text_perplexity_buckets",
+    "stream_anomaly_zscore",
 ]
 
 

@@ -81,6 +81,12 @@ HEADLINE = [
     "sim_quantize_int8",
     "cohort_daily_retention",
     "pipeline_rag_prep",
+    # r07-new heavy representatives: bigram-LM perplexity bucketing,
+    # iterative PageRank, path mining, the 7-day stickiness expansion
+    "text_perplexity_buckets",
+    "graph_pagerank_2iter",
+    "paths_event_trigrams",
+    "dau_stickiness_7d",
 ]
 
 

@@ -1367,10 +1367,11 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "text_bigram_logfreq",
-    """
-    WITH wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+# The ONE SQL definition of the corpus-trained bigram LM and its per-doc
+# mean log-probability — shared by text_bigram_logfreq and the CC-Net
+# perplexity bucketing below (weight/smoothing changes edit one place).
+_BIGRAM_LM_CTES = """
+    wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     bg AS (
         SELECT doc_id,
                unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
@@ -1378,23 +1379,25 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM wl
     ),
     freq AS (SELECT bigram, count(*) AS c FROM bg GROUP BY bigram),
-    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM freq)
-    SELECT b.doc_id,
-           count(*) AS n_bigrams,
-           round(avg(ln(f.c / t.t)), 4) AS lm_score
-    FROM bg b
-    JOIN freq f ON b.bigram = f.bigram
-    CROSS JOIN tot t
-    GROUP BY b.doc_id
-    """,
-)
-def text_bigram_logfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document mean bigram log-probability under the corpus-trained
-    bigram table. Natural log on doubles in both engines; round(4) absorbs
-    the last-ulp libm-vs-Math.log drift."""
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM freq),
+    lm AS (
+        SELECT b.doc_id,
+               count(*) AS n_bigrams,
+               round(avg(ln(f.c / t.t)), 4) AS lm_score
+        FROM bg b
+        JOIN freq f ON b.bigram = f.bigram
+        CROSS JOIN tot t
+        GROUP BY b.doc_id
+    )"""
+
+
+def doc_lm_scores(docs: DataFrame) -> DataFrame:
+    """Spark twin of _BIGRAM_LM_CTES' `lm` relation: (doc_id, n_bigrams,
+    lm_score) — per-document mean bigram log-probability under the
+    corpus-trained bigram table. Natural log on doubles in both engines;
+    round(4) absorbs the last-ulp libm-vs-Math.log drift."""
     from ..functions.text import shingles_from_words
 
-    docs = load_table(spark, sf_dir, "documents")
     bg = docs.select(
         "doc_id", F.split("text", " ").alias("_w")
     ).select("doc_id", F.explode(shingles_from_words("_w", 2)).alias("bigram"))
@@ -1408,6 +1411,58 @@ def text_bigram_logfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_bigrams"),
             F.round(F.avg(F.log(F.col("c") / F.col("t"))), 4).alias("lm_score"),
         )
+    )
+
+
+@register(
+    "text_bigram_logfreq",
+    f"""
+    WITH {_BIGRAM_LM_CTES.strip()}
+    SELECT doc_id, n_bigrams, lm_score FROM lm
+    """,
+)
+def text_bigram_logfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_lm_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_perplexity_buckets",
+    f"""
+    WITH {_BIGRAM_LM_CTES.strip()},
+    th AS (
+        SELECT round(quantile_cont(lm_score, 1.0/3), 4) AS t1,
+               round(quantile_cont(lm_score, 2.0/3), 4) AS t2
+        FROM lm
+    )
+    SELECT doc_id, lm_score,
+           CASE WHEN lm_score >= t2 THEN 'head'
+                WHEN lm_score >= t1 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM lm CROSS JOIN th
+    """,
+)
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CC-Net's perplexity bucketing: score every document under the
+    corpus bigram LM, split the corpus into head/middle/tail at the score
+    terciles (head = most-probable text; CC-Net trains its LM on a clean
+    reference corpus — same plan, different `freq` input). Scale: the LM
+    relation materializes once (checkpoint) and feeds both the exact
+    tercile agg (a one-row broadcast) and the map-side bucket projection;
+    higher lm_score == lower perplexity, so bucketing on lm_score avoids a
+    second exp() crossing."""
+    lm = doc_lm_scores(load_table(spark, sf_dir, "documents")).localCheckpoint(
+        eager=False
+    )
+    th = lm.agg(
+        F.round(F.expr("percentile(lm_score, 1.0/3)"), 4).alias("t1"),
+        F.round(F.expr("percentile(lm_score, 2.0/3)"), 4).alias("t2"),
+    )
+    return lm.crossJoin(F.broadcast(th)).select(
+        "doc_id", "lm_score",
+        F.when(F.col("lm_score") >= F.col("t2"), "head")
+        .when(F.col("lm_score") >= F.col("t1"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
     )
 
 

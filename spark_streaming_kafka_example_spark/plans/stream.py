@@ -927,3 +927,52 @@ def stream_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.collect_set("user_id")).cast("long").alias("n_active")
     )
     return run_to_table(spark, matrix, "complete")
+
+
+# ---------------------------------------------------------------------------
+# Streaming volume-anomaly monitor (r07): the at-ingest twin of
+# anomaly_minute_zscore. Per-minute counts/sums maintained as ONE
+# complete-mode streaming aggregation, z-scored against a STATIC baseline
+# (the batch minute-count moments — in production yesterday's materialized
+# moments; the stream_quality_drift pattern). Degenerate baselines fail
+# loudly instead of emitting null/inf z-scores. Drained availableNow
+# result == the batch query, so they share one oracle.
+# ---------------------------------------------------------------------------
+
+from .windows_stats import ANOMALY_ZSCORE_ORACLE  # noqa: E402
+
+
+@register("stream_anomaly_zscore", ANOMALY_ZSCORE_ORACLE)
+def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("minute", "ts").alias("minute"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .agg(
+            F.round(F.avg(F.col("n_events").cast("double")), 6).alias("mean_n"),
+            F.round(F.stddev_samp(F.col("n_events").cast("double")), 6).alias("sd_n"),
+        )
+        .first()
+    )
+    if base["mean_n"] is None or base["sd_n"] is None or base["sd_n"] == 0:
+        raise ValueError(
+            "stream_anomaly_zscore: degenerate volume baseline"
+            f" (mean_n={base['mean_n']}, sd_n={base['sd_n']}) — need >= 2"
+            " minutes with differing event counts to z-score against"
+        )
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.date_trunc("minute", "ts").alias("minute"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    z = F.round(
+        (F.col("n_events") - F.lit(base["mean_n"])) / F.lit(base["sd_n"]), 4
+    )
+    scored = agg.select(
+        "minute", "n_events", "sum_value",
+        z.alias("z"), (F.abs(z) >= 3.0).alias("is_anomaly"),
+    )
+    return run_to_table(spark, scored, "complete")

@@ -708,9 +708,10 @@ def paths_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "anomaly_minute_zscore",
-    """
+# Shared with the streaming twin (plans/stream.py stream_anomaly_zscore):
+# the drained stream result equals this batch flagging, so one oracle
+# covers both.
+ANOMALY_ZSCORE_ORACLE = """
     WITH m AS (
         SELECT date_trunc('minute', ts) AS minute,
                CAST(count(*) AS BIGINT) AS n_events,
@@ -726,8 +727,10 @@ def paths_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((n_events - mean_n) / sd_n, 4) + 0 AS z,
            (abs(round((n_events - mean_n) / sd_n, 4)) >= 3.0) AS is_anomaly
     FROM m CROSS JOIN mom
-    """,
-)
+    """
+
+
+@register("anomaly_minute_zscore", ANOMALY_ZSCORE_ORACLE)
 def anomaly_minute_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     # The minute rollup feeds BOTH the moments agg and the flagging pass;

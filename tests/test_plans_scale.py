@@ -630,3 +630,15 @@ def test_r07_analytics_plan_shapes(plan_of):
     assert "CartesianProduct" not in pr
     sq = plan_of("sample_quality_weighted")
     assert sq.count("Exchange (") == 1 and "CartesianProduct" not in sq
+
+
+def test_perplexity_buckets_reuses_lm_relation(plan_of):
+    """text_perplexity_buckets: the checkpointed LM relation feeds both
+    the tercile agg and the bucket projection — the executed plan must not
+    re-derive the bigram chain (no parquet scan survives past the
+    checkpoint) and the tercile thresholds join as a broadcast one-row
+    relation, never a distributed cartesian."""
+    plan = plan_of("text_perplexity_buckets")
+    assert plan.count("Scan parquet") == 0  # lm checkpoint cut the lineage
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the one-row threshold cross

@@ -688,3 +688,70 @@ def test_rollup_upsert_replay_is_idempotent(spark, tmp_path):
     assert table(target) == expect
     handler(batch1, 1)  # replay touches ONLY day 2; day 1 must survive
     assert table(target) == expect
+
+
+def test_stream_cohort_retention_accumulates_across_batches(spark, sf_dir, tmp_path):
+    """The cohort-retention streaming agg (stream-static cohort join +
+    size(collect_set) distinct counts) must accumulate its per-cell user
+    sets across MICRO-BATCHES, not just within one: split the events into
+    two files, force one file per trigger, and require the drained
+    complete-mode matrix to equal the batch query's. This is the
+    incremental-machinery guarantee the single-drain oracle row can't
+    see."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_kafka_example_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    src = str(tmp_path / "cohort_src")
+    for i, half in enumerate((ev.filter(F.col("event_id") % 2 == 0),
+                              ev.filter(F.col("event_id") % 2 == 1))):
+        half.coalesce(1).write.parquet(f"{src}/b{i}")
+    # one directory, two files, one file per trigger
+    import glob as _glob
+    import shutil
+
+    for i, f in enumerate(sorted(_glob.glob(f"{src}/b*/part-*.parquet"))):
+        shutil.copy(f, f"{src}/batch_{i}.parquet")
+
+    cohort_map = (
+        ev.groupBy("user_id")
+        .agg(F.date_trunc("day", F.min("ts")).alias("cohort_day"))
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "batch_*.parquet")
+        .parquet(src)
+    )
+    matrix = (
+        stream.select("user_id", F.date_trunc("day", "ts").alias("d"))
+        .join(F.broadcast(cohort_map), "user_id")
+        .select(
+            "user_id", "cohort_day",
+            F.datediff("d", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.size(F.collect_set("user_id")).cast("long").alias("n_active"))
+    )
+    q = (
+        matrix.writeStream.outputMode("complete").format("memory")
+        .queryName("t_cohort_mb")
+        .option("checkpointLocation", str(tmp_path / "cohort_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress is not None and q.recentProgress  # actually ran
+    got = {
+        (r.cohort_day, r.day_offset): r.n_active
+        for r in spark.table("t_cohort_mb").collect()
+    }
+    from spark_streaming_kafka_example_spark import plans
+
+    plans.load_all()
+    expected = {
+        (r.cohort_day, r.day_offset): r.n_active
+        for r in plans.QUERIES["cohort_daily_retention"](spark, sf_dir).collect()
+    }
+    assert got == expected
