@@ -45,6 +45,10 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # The (src, dst, deg) relation is ITERATION-INVARIANT — join it once
+    # and materialize, instead of re-running the edges->outdeg join (and
+    # its shuffle) inside every iteration.
+    e_deg = e.join(outdeg, "src").localCheckpoint(eager=False)
     # |V| as a broadcast one-row relation — never a driver fetch.
     n_rel = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
     pr = nodes.crossJoin(F.broadcast(n_rel)).select(
@@ -52,8 +56,7 @@ def pagerank(
     )
     for _ in range(iterations):
         contribs = (
-            e.join(outdeg, "src")
-            .join(pr, e.src == pr.node)
+            e_deg.join(pr, e_deg.src == pr.node)
             .groupBy("dst")
             .agg(F.round(F.sum(F.col("pr") / F.col("deg")), 8).alias("s"))
         )

@@ -4,6 +4,9 @@ The reference reads Kafka (S1), socket (S2/S3), CSV-with-declared-schema
 (S4) and writes (never re-reads) a parquet archive (S5). Connectivity is
 config, not logic (SURVEY §7 Phase 2): everything goes through this module so
 tests and the oracle harness can swap a bounded file source for Kafka.
+Beyond the reference's fixed formats, ``sources/jsonl.py`` shows the
+runtime-extension path: a custom byte-range-partitioned JSONL format via
+the Spark 4 Python DataSource API (``read_jsonl``).
 
 Scale notes: parquet reads are vectorized + predicate-pushdown + column-
 pruned by Catalyst for free as long as callers express filters/projections
@@ -32,6 +35,7 @@ TABLES = (
 
 __all__ = [
     "TABLES",
+    "read_jsonl",
     "load_table",
     "load_tables",
     "register_views",
@@ -167,3 +171,11 @@ def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
         .option("rowsPerSecond", str(rows_per_second))
         .load()
     )
+
+
+def read_jsonl(spark, path, schema=None, **options):
+    """Custom JSONL format via the Python DataSource API (sources/jsonl.py):
+    newline-aligned byte-range partitions, PERMISSIVE parsing."""
+    from .jsonl import read_jsonl as _impl
+
+    return _impl(spark, path, schema=schema, **options)
