@@ -179,6 +179,7 @@ ROTATION_PRIORITY = [
     "sample_quality_weighted",
     "text_perplexity_buckets",
     "stream_anomaly_zscore",
+    "train_quality_logreg",
 ]
 
 

@@ -1653,3 +1653,134 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.round(F.avg("quality_p"), 4).alias("mean_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed model training (r07): 2 full-batch gradient-descent steps of
+# a logistic-regression quality classifier, trained to imitate the fixed
+# scorer's labels (self-distillation — the setup for replacing a heuristic
+# with a learned filter). The third iterative-training operator after
+# kmeans_centroids and pagerank, same reproducibility discipline: fixed
+# iteration count, per-step gradients rounded to 6 decimals, so the SQL
+# oracle replays training EXACTLY. Scale: each step is ONE map-side
+# partial-aggregated gradient pass over the (checkpointed) feature
+# relation; only the 4 weight scalars ever reach the driver (the fixed-k
+# fetch class), and the weight update keeps every weight on the 1e-6
+# grid, so snapping is engine-independent.
+# ---------------------------------------------------------------------------
+
+_LR = 2.0  # full-batch learning rate; 2 steps reach ~0.9 train accuracy
+
+_LOGREG_FEATS_SQL = f"""feats AS (
+        SELECT doc_id,
+               round(len(list_filter(string_split(text, ' '),
+                         x -> list_contains({_QL_STOPS_SQL}, x)))
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS x1,
+               round((length(text)
+                     - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+                     / CAST(length(text) AS DOUBLE), 4) AS x2,
+               round(least(1.0, len(string_split(text, ' ')) / 100.0), 4) AS x3
+        FROM documents
+    )"""
+
+
+@register(
+    "train_quality_logreg",
+    f"""
+    WITH {_quality_cte_sql('documents').strip()},
+    {_LOGREG_FEATS_SQL.strip()},
+    d AS (
+        SELECT f.doc_id, f.x1, f.x2, f.x3,
+               CAST(q.quality_p >= 0.5 AS INT) AS y
+        FROM feats f JOIN quality q USING (doc_id)
+    ),
+    g1 AS (
+        SELECT round(avg(0.5 - y), 6) AS g0,
+               round(avg((0.5 - y) * x1), 6) AS ga,
+               round(avg((0.5 - y) * x2), 6) AS gb,
+               round(avg((0.5 - y) * x3), 6) AS gc
+        FROM d
+    ),
+    w1 AS (
+        SELECT round(-{_LR} * g0, 6) AS w0, round(-{_LR} * ga, 6) AS wa,
+               round(-{_LR} * gb, 6) AS wb, round(-{_LR} * gc, 6) AS wc
+        FROM g1
+    ),
+    s2 AS (
+        SELECT d.*, 1.0 / (1.0 + exp(-(w0 + wa*x1 + wb*x2 + wc*x3))) AS p
+        FROM d CROSS JOIN w1
+    ),
+    g2 AS (
+        SELECT round(avg(p - y), 6) AS g0,
+               round(avg((p - y) * x1), 6) AS ga,
+               round(avg((p - y) * x2), 6) AS gb,
+               round(avg((p - y) * x3), 6) AS gc
+        FROM s2
+    ),
+    w2 AS (
+        SELECT round(w1.w0 - {_LR} * g2.g0, 6) AS w0,
+               round(w1.wa - {_LR} * g2.ga, 6) AS wa,
+               round(w1.wb - {_LR} * g2.gb, 6) AS wb,
+               round(w1.wc - {_LR} * g2.gc, 6) AS wc
+        FROM w1 CROSS JOIN g2
+    ),
+    scored AS (
+        SELECT d.y, (w2.w0 + w2.wa*x1 + w2.wb*x2 + w2.wc*x3) AS z
+        FROM d CROSS JOIN w2
+    )
+    SELECT w2.w0 AS w_bias, w2.wa AS w_stop, w2.wb AS w_punct,
+           w2.wc AS w_len,
+           round(avg(CASE WHEN (scored.z >= 0) = (scored.y = 1)
+                          THEN 1.0 ELSE 0.0 END), 6) AS train_acc,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM scored CROSS JOIN w2
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def train_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import punct_ratio, stopword_ratio, token_count_ws
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        F.round(stopword_ratio(), 4).alias("x1"),
+        F.round(punct_ratio(), 4).alias("x2"),
+        F.round(F.least(F.lit(1.0), token_count_ws() / 100.0), 4).alias("x3"),
+        (quality_p_col() >= 0.5).cast("int").alias("y"),
+    ).localCheckpoint(eager=False)  # feeds 2 gradient passes + the acc pass
+
+    w = [0.0, 0.0, 0.0, 0.0]  # bias, stop, punct, len
+    for _ in range(2):
+        z = (
+            F.lit(w[0]) + F.lit(w[1]) * F.col("x1")
+            + F.lit(w[2]) * F.col("x2") + F.lit(w[3]) * F.col("x3")
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        err = p - F.col("y")
+        g = feats.agg(
+            F.round(F.avg(err), 6).alias("g0"),
+            F.round(F.avg(err * F.col("x1")), 6).alias("ga"),
+            F.round(F.avg(err * F.col("x2")), 6).alias("gb"),
+            F.round(F.avg(err * F.col("x3")), 6).alias("gc"),
+        ).first()  # 4 gradient scalars — the fixed-k driver-fetch class
+        # Both terms sit on the 1e-6 grid, so this snap is never at a
+        # rounding boundary — Python round() == SQL round() here.
+        w = [
+            round(w[j] - _LR * g[j], 6)
+            for j in range(4)
+        ]
+    z2 = (
+        F.lit(w[0]) + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2") + F.lit(w[3]) * F.col("x3")
+    )
+    return feats.agg(
+        F.lit(w[0]).alias("w_bias"),
+        F.lit(w[1]).alias("w_stop"),
+        F.lit(w[2]).alias("w_punct"),
+        F.lit(w[3]).alias("w_len"),
+        F.round(
+            F.avg(F.when((z2 >= 0) == (F.col("y") == 1), 1.0).otherwise(0.0)),
+            6,
+        ).alias("train_acc"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
