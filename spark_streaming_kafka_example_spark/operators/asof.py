@@ -26,7 +26,7 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: tuple[str, ...] = (),
     suffix: str = "_right",
-    tolerance_seconds: int | None = None,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """For each left row attach, per key, the most recent right row with
     ``right_ts <= left_ts`` (ties: the right row matches, i.e. DuckDB ASOF
@@ -78,8 +78,11 @@ def asof_join(
     out = filled.filter(F.col("_kind") == 1).drop("_kind")
     if tolerance_seconds is not None:
         rts = f"{right_ts}{suffix}"
+        # Microsecond interval: fractional tolerances (0.5 s) are honored
+        # exactly instead of silently truncating to whole seconds.
+        tol_us = round(float(tolerance_seconds) * 1_000_000)
         fresh = F.col(rts) >= F.col(left_ts) - F.expr(
-            f"INTERVAL {int(tolerance_seconds)} SECONDS"
+            f"INTERVAL {tol_us} MICROSECONDS"
         )
         out = out.select(
             key,

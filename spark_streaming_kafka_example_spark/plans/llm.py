@@ -775,16 +775,23 @@ def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the stride-centroid IVF index for ``sf_dir`` once per
     session; return its path (inside the app's own Spark temp dir: per-app
     unique, auto-deleted at shutdown — no stale /tmp accumulation)."""
+    import hashlib
     import os
 
     from pyspark import SparkFiles
 
     from ..operators.similarity import build_ivf_index
 
+    # Key on the FULL resolved sf_dir, not just its basename: two
+    # directories named alike (e.g. /a/sf0.1 and /b/sf0.1) must never
+    # share (and silently reuse) one index in a session (r07 review).
+    resolved = os.path.abspath(os.path.normpath(sf_dir))
     path = os.path.join(
         SparkFiles.getRootDirectory(),
         "spark_graft_ivf_index",
-        os.path.basename(os.path.normpath(sf_dir)),
+        os.path.basename(resolved)
+        + "-"
+        + hashlib.md5(resolved.encode()).hexdigest()[:10],
     )
     if path not in _IVF_INDEX_BUILT:
         emb = load_table(spark, sf_dir, "embeddings")

@@ -36,6 +36,21 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 __all__ = ["JsonlDataSource", "register_jsonl", "read_jsonl"]
 
 _DEFAULT_PARTITION_BYTES = 32 * 1024 * 1024
+_EXTS = (".jsonl", ".json", ".ndjson")
+
+
+def _list_files(path: str) -> list[str]:
+    """One definition of "which files belong to this source" — shared by
+    schema inference and the slice planner so they can never diverge."""
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith(_EXTS)
+        )
+        if not files:
+            raise ValueError(f"no JSONL files under {path}")
+        return files
+    return [path]
 
 
 class _Slice(InputPartition):
@@ -57,7 +72,17 @@ def _infer_field(value) -> T.DataType:
 
 
 class JsonlReader(DataSourceReader):
+    _SUPPORTED = (T.BooleanType, T.LongType, T.DoubleType, T.StringType)
+
     def __init__(self, schema: T.StructType, options: dict):
+        for f in schema.fields:
+            if not isinstance(f.dataType, self._SUPPORTED):
+                raise ValueError(
+                    f"jsonl field {f.name!r} has unsupported type "
+                    f"{f.dataType.simpleString()}; supported: boolean, "
+                    "bigint, double, string (parse richer types from a "
+                    "string column downstream)"
+                )
         self.schema = schema
         self.path = options.get("path")
         if not self.path:
@@ -65,15 +90,13 @@ class JsonlReader(DataSourceReader):
         self.partition_bytes = int(
             options.get("partition_bytes", _DEFAULT_PARTITION_BYTES)
         )
+        if self.partition_bytes <= 0:
+            raise ValueError(
+                f"partition_bytes must be positive, got {self.partition_bytes}"
+            )
 
     def _files(self) -> list[str]:
-        if os.path.isdir(self.path):
-            return sorted(
-                os.path.join(self.path, f)
-                for f in os.listdir(self.path)
-                if f.endswith((".jsonl", ".json", ".ndjson"))
-            )
-        return [self.path]
+        return _list_files(self.path)
 
     def partitions(self) -> list[_Slice]:
         slices = []
@@ -140,26 +163,28 @@ class JsonlDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("jsonl source requires a path")
-        probe = path
-        if os.path.isdir(path):
-            cands = sorted(
-                os.path.join(path, f)
-                for f in os.listdir(path)
-                if f.endswith((".jsonl", ".json", ".ndjson"))
-            )
-            if not cands:
-                raise ValueError(f"no JSONL files under {path}")
-            probe = cands[0]
+        probe = _list_files(path)[0]
         with open(probe, "rb") as fh:
-            for raw in fh:
+            for i, raw in enumerate(fh):
+                if i >= 100:  # bounded probe — don't scan a huge file
+                    break
                 raw = raw.strip()
-                if raw:
+                if not raw:
+                    continue
+                try:
                     first = json.loads(raw)
+                except json.JSONDecodeError:
+                    continue  # PERMISSIVE: a malformed head line is data,
+                    # not a planning failure — infer from the next line
+                if isinstance(first, dict) and first:
                     return T.StructType(
                         [T.StructField(k, _infer_field(v), True)
                          for k, v in first.items()]
                     )
-        raise ValueError(f"cannot infer schema from empty file {probe}")
+        raise ValueError(
+            f"cannot infer a schema from the first lines of {probe}; "
+            "declare one with .schema(...)"
+        )
 
     def reader(self, schema: T.StructType) -> JsonlReader:
         return JsonlReader(schema, dict(self.options))

@@ -97,3 +97,25 @@ def test_jsonl_directory_input_and_slice_plan(spark, tmp_path):
         spans.sort()
         assert spans[0][0] == 0 and spans[-1][1] == os.path.getsize(path)
         assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+
+
+def test_jsonl_option_and_schema_validation(spark, tmp_path):
+    """Invalid inputs fail loudly at plan time (r07 review): unsupported
+    declared types, non-positive partition_bytes; a malformed FIRST line
+    doesn't break inference (it's data, not a planning failure)."""
+    import pytest
+
+    p = str(tmp_path / "v.jsonl")
+    with open(p, "w") as fh:
+        fh.write("{not json\n")
+        fh.write(json.dumps({"id": 1, "name": "a"}) + "\n")
+    # inference skips the malformed head line
+    df = read_jsonl(spark, p)
+    assert set(df.columns) == {"id", "name"} and df.count() == 2
+    with pytest.raises(Exception, match="unsupported type"):
+        read_jsonl(
+            spark, p,
+            schema=T.StructType([T.StructField("ts", T.TimestampType())]),
+        ).collect()
+    with pytest.raises(Exception, match="partition_bytes"):
+        read_jsonl(spark, p, partition_bytes=0).collect()

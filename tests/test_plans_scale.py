@@ -642,3 +642,22 @@ def test_perplexity_buckets_reuses_lm_relation(plan_of):
     assert plan.count("Scan parquet") == 0  # lm checkpoint cut the lineage
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the one-row threshold cross
+
+
+def test_ivf_index_path_distinct_per_sf_dir(spark, sf_dir, tmp_path):
+    """Two sf_dirs with the SAME basename must never share one memoized
+    index path in a session (r07 review) — the key is the full resolved
+    directory, not its basename."""
+    import os
+    import shutil
+
+    from spark_streaming_kafka_example_spark.plans import llm
+
+    alias = tmp_path / "alias" / os.path.basename(os.path.normpath(sf_dir))
+    alias.parent.mkdir(parents=True)
+    os.makedirs(alias)
+    shutil.copy(os.path.join(sf_dir, "embeddings.parquet"),
+                alias / "embeddings.parquet")
+    p1 = llm._ensure_ivf_index(spark, sf_dir)
+    p2 = llm._ensure_ivf_index(spark, str(alias))
+    assert p1 != p2
