@@ -288,3 +288,86 @@ def test_event_schemas_agree_across_ts_layouts(spark, tmp_path, unit):
     assert isinstance(batch.schema["ts"].dataType, T.TimestampType)
     got = [r.ts for r in batch.orderBy("event_id").collect()]
     assert [int(t.timestamp() * 1_000_000) for t in got] == [micros, micros + 7]
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_paths_trigrams_property_random(spark, seed):
+    """The distributed trigram-path pipeline (ordered collect -> sliding
+    trigram transform -> count) must agree with a direct Python derivation
+    on random event logs, including ts ties broken by event_id."""
+    import collections
+
+    rng = random.Random(seed)
+    pdf = _random_events(rng, 400, 12)
+    pdf["event_type"] = [rng.choice("abc") for _ in range(len(pdf))]
+    # force ts collisions so the event_id tie-break actually fires
+    pdf["ts"] = pd.to_datetime(
+        [1_700_000_000 + rng.randrange(0, 30) for _ in range(len(pdf))],
+        unit="s",
+    )
+    sdf = spark.createDataFrame(pdf[["user_id", "ts", "event_id", "event_type"]])
+
+    from pyspark.sql import functions as F
+
+    seqs = (
+        sdf.select("user_id", F.struct("ts", "event_id", "event_type").alias("s"))
+        .groupBy("user_id")
+        .agg(F.transform(F.array_sort(F.collect_list("s")),
+                         lambda s: s["event_type"]).alias("t"))
+    )
+    got = collections.Counter()
+    for r in (
+        seqs.filter(F.size("t") >= 3)
+        .select(F.explode(F.expr(
+            "transform(sequence(1, size(t) - 2),"
+            " i -> concat_ws('>', t[i-1], t[i], t[i+1]))")).alias("path"))
+        .groupBy("path").agg(F.count(F.lit(1)).alias("n")).collect()
+    ):
+        got[r.path] = r.n
+
+    exp = collections.Counter()
+    for _, grp in pdf.sort_values(["ts", "event_id"]).groupby("user_id"):
+        t = list(grp.event_type)
+        for i in range(len(t) - 2):
+            exp[f"{t[i]}>{t[i+1]}>{t[i+2]}"] += 1
+    assert got == exp, f"seed {seed}"
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_stickiness_window_expansion_property_random(spark, seed):
+    """The explode(sequence) trailing-window expansion must equal the
+    direct 'distinct users active in [d-6, d]' derivation for every day
+    that has activity — the composition replaces a windowed
+    count(DISTINCT) that neither engine supports."""
+    rng = random.Random(seed)
+    pdf = _random_events(rng, 500, 15)
+    sdf = spark.createDataFrame(pdf[["user_id", "ts"]])
+
+    from pyspark.sql import functions as F
+
+    ud = (
+        sdf.select("user_id", F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+    )
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("n_dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.expr("sequence(d, d + interval 6 days, interval 1 day)"))
+            .alias("rday"),
+    ).distinct()
+    wau = contrib.groupBy("rday").agg(F.count(F.lit(1)).alias("n_wau7"))
+    got = {
+        r.d: (r.n_dau, r.n_wau7)
+        for r in dau.join(wau, dau.d == wau.rday).collect()
+    }
+
+    pdf["day"] = pdf.ts.dt.floor("D")
+    days = sorted(pdf.day.unique())
+    for d in days:
+        active = set(pdf[pdf.day == d].user_id)
+        window = set(
+            pdf[(pdf.day <= d) & (pdf.day >= d - pd.Timedelta(days=6))].user_id
+        )
+        assert got[d.to_pydatetime()] == (len(active), len(window)), (
+            f"seed {seed} day {d}"
+        )
