@@ -180,6 +180,8 @@ ROTATION_PRIORITY = [
     "text_perplexity_buckets",
     "stream_anomaly_zscore",
     "train_quality_logreg",
+    "latency_percentile_bands",
+    "timeseries_rolling_corr_intraday",
 ]
 
 

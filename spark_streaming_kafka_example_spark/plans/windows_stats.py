@@ -861,3 +861,115 @@ def graph_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
     )
     return pagerank(edges, iterations=2, damping=0.85)
+
+
+# ---------------------------------------------------------------------------
+# Latency-style percentile bands (r07): the P50/P95/P99-by-dimension
+# dashboard query — exact interpolated percentiles per (event_type,
+# hour-of-day) cell. Scale: one hash exchange on the (small) group key;
+# the per-group sort is bounded by the cell size. The sketch-based
+# replacement at extreme scale is agg_percentile_approx (same shape,
+# mergeable GK partials).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "latency_percentile_bands",
+    """
+    SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+           CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type, hod
+    """,
+)
+def latency_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Intraday rolling correlation (r07): per day, the trailing-7-hour
+# correlation between hourly view and click value sums — the
+# "are these series coupling right now" monitor. The window partitions by
+# DAY (never a global single-partition sort); frames are ROWS-bounded so
+# state per partition is constant. Zero-variance frames (a series flat so
+# far) are masked to NULL explicitly: Spark's corr yields NaN there while
+# DuckDB yields NULL, so the mask is the cross-engine (and
+# cross-consumer) contract, with an epsilon guard because a flat frame's
+# var_samp may compute as ~1e-18 rather than exact 0.
+# ---------------------------------------------------------------------------
+
+_RCORR_EPS = 1e-9
+
+
+@register(
+    "timeseries_rolling_corr_intraday",
+    f"""
+    WITH buckets AS (
+        SELECT date_trunc('day', ts) AS d, date_trunc('hour', ts) AS h,
+               round(sum(CASE WHEN event_type = 'view' THEN value ELSE 0 END), 4)
+                   AS views,
+               round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END), 4)
+                   AS clicks
+        FROM events WHERE event_type IN ('view', 'click')
+        GROUP BY 1, 2
+    )
+    SELECT d, h,
+           CASE WHEN vv > {_RCORR_EPS} AND vc > {_RCORR_EPS}
+                THEN round(cv / sqrt(vv * vc), 4) + 0 END AS roll_corr
+    FROM (
+        SELECT d, h,
+               var_samp(views) OVER w AS vv,
+               var_samp(clicks) OVER w AS vc,
+               covar_samp(views, clicks) OVER w AS cv
+        FROM buckets
+        WINDOW w AS (PARTITION BY d ORDER BY h
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    """,
+)
+def timeseries_rolling_corr_intraday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    buckets = ev.groupBy(
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("hour", "ts").alias("h"),
+    ).agg(
+        F.round(
+            F.sum(F.when(F.col("event_type") == "view", F.col("value"))
+                  .otherwise(0.0)), 4
+        ).alias("views"),
+        F.round(
+            F.sum(F.when(F.col("event_type") == "click", F.col("value"))
+                  .otherwise(0.0)), 4
+        ).alias("clicks"),
+    )
+    w = (
+        Window.partitionBy("d").orderBy("h").rowsBetween(-6, Window.currentRow)
+    )
+    # The window COMPONENTS (variances, covariance) are null-safe on tiny
+    # frames; the division lives in the lazily-evaluated CASE projection.
+    # Builtin corr can't be used here: Spark computes window exprs BEFORE
+    # the mask, and corr on a 1-row frame raises DIVIDE_BY_ZERO under
+    # ANSI mode (the first hour of every day is such a frame).
+    comp = buckets.select(
+        "d", "h",
+        F.var_samp("views").over(w).alias("vv"),
+        F.var_samp("clicks").over(w).alias("vc"),
+        F.covar_samp("views", "clicks").over(w).alias("cv"),
+    )
+    masked = F.when(
+        (F.col("vv") > _RCORR_EPS) & (F.col("vc") > _RCORR_EPS),
+        F.round(F.col("cv") / F.sqrt(F.col("vv") * F.col("vc")), 4),
+    )
+    return comp.select("d", "h", masked.alias("roll_corr"))
