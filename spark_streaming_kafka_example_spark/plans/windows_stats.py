@@ -656,6 +656,30 @@ def islands_user_daily_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def trigram_path_counts(ev: DataFrame) -> DataFrame:
+    """(path, n) trigram-path counts over any (user_id, ts, event_id,
+    event_type) relation — the registered query's pipeline, exported so
+    property tests exercise THIS code on random inputs, not a copy."""
+    seqs = (
+        ev.select("user_id", F.struct("ts", "event_id", "event_type").alias("s"))
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("s")), lambda s: s["event_type"]
+            ).alias("t")
+        )
+    )
+    tris = seqs.filter(F.size("t") >= 3).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 2),"
+                " i -> concat_ws('>', t[i-1], t[i], t[i+1]))"
+            )
+        ).alias("path")
+    )
+    return tris.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+
+
 @register(
     "paths_event_trigrams",
     """
@@ -674,26 +698,8 @@ def islands_user_daily_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def paths_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    seqs = (
-        ev.select("user_id", F.struct("ts", "event_id", "event_type").alias("s"))
-        .groupBy("user_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list("s")), lambda s: s["event_type"]
-            ).alias("t")
-        )
-    )
-    tris = seqs.filter(F.size("t") >= 3).select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(t) - 2),"
-                " i -> concat_ws('>', t[i-1], t[i], t[i+1]))"
-            )
-        ).alias("path")
-    )
     return (
-        tris.groupBy("path")
-        .agg(F.count(F.lit(1)).alias("n"))
+        trigram_path_counts(ev)
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(20)
     )
@@ -767,9 +773,7 @@ def anomaly_minute_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "dau_stickiness_7d",
-    """
+DAU_STICKINESS_ORACLE = """
     WITH ud AS (
         SELECT DISTINCT user_id, date_trunc('day', ts) AS d
         FROM events WHERE user_id IS NOT NULL
@@ -787,10 +791,13 @@ def anomaly_minute_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT dau.d, n_dau, n_wau7,
            round(CAST(n_dau AS DOUBLE) / n_wau7, 4) AS stickiness
     FROM dau JOIN wau ON dau.d = wau.rday
-    """,
-)
-def dau_stickiness_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    """
+
+
+def stickiness_7d(ev: DataFrame) -> DataFrame:
+    """The DAU / trailing-7-day matrix over any (user_id, ts) relation —
+    exported so property tests exercise THIS composition on random
+    inputs, not a copy."""
     # ud feeds both the DAU agg and the 7-day expansion; materialize the
     # (much smaller) distinct user-day relation once (the cohort idiom).
     ud = (
@@ -811,6 +818,12 @@ def dau_stickiness_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_dau").cast("double") / F.col("n_wau7"), 4)
             .alias("stickiness"),
     )
+
+
+@register("dau_stickiness_7d", DAU_STICKINESS_ORACLE)
+def dau_stickiness_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return stickiness_7d(ev)
 
 
 # ---------------------------------------------------------------------------
@@ -886,19 +899,29 @@ def graph_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def latency_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy(
+    # ONE percentile buffer per cell (array-argument form), not three:
+    # each separate percentile(value, p) aggregate would accumulate and
+    # sort the cell's values independently (r07 review).
+    agg = ev.groupBy(
         "event_type", F.hour("ts").cast("int").alias("hod")
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
-        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        F.expr("percentile(value, array(0.5, 0.95, 0.99))").alias("ps"),
+    )
+    return agg.select(
+        "event_type", "hod", "n",
+        F.round(F.element_at("ps", 1), 4).alias("p50"),
+        F.round(F.element_at("ps", 2), 4).alias("p95"),
+        F.round(F.element_at("ps", 3), 4).alias("p99"),
     )
 
 
 # ---------------------------------------------------------------------------
-# Intraday rolling correlation (r07): per day, the trailing-7-hour
-# correlation between hourly view and click value sums — the
+# Intraday rolling correlation (r07): per day, the correlation between
+# hourly view and click value sums over the trailing 7 OBSERVED hourly
+# buckets (hours with no view/click rows are absent from the series, so
+# the ROWS frame skips them — gap-fill the grid upstream if a strict
+# wall-clock horizon is needed) — the
 # "are these series coupling right now" monitor. The window partitions by
 # DAY (never a global single-partition sort); frames are ROWS-bounded so
 # state per partition is constant. Zero-variance frames (a series flat so

@@ -307,23 +307,13 @@ def test_paths_trigrams_property_random(spark, seed):
     )
     sdf = spark.createDataFrame(pdf[["user_id", "ts", "event_id", "event_type"]])
 
-    from pyspark.sql import functions as F
-
-    seqs = (
-        sdf.select("user_id", F.struct("ts", "event_id", "event_type").alias("s"))
-        .groupBy("user_id")
-        .agg(F.transform(F.array_sort(F.collect_list("s")),
-                         lambda s: s["event_type"]).alias("t"))
+    from spark_streaming_kafka_example_spark.plans.windows_stats import (
+        trigram_path_counts,
     )
-    got = collections.Counter()
-    for r in (
-        seqs.filter(F.size("t") >= 3)
-        .select(F.explode(F.expr(
-            "transform(sequence(1, size(t) - 2),"
-            " i -> concat_ws('>', t[i-1], t[i], t[i+1]))")).alias("path"))
-        .groupBy("path").agg(F.count(F.lit(1)).alias("n")).collect()
-    ):
-        got[r.path] = r.n
+
+    got = collections.Counter(
+        {r.path: r.n for r in trigram_path_counts(sdf).collect()}
+    )
 
     exp = collections.Counter()
     for _, grp in pdf.sort_values(["ts", "event_id"]).groupby("user_id"):
@@ -343,23 +333,11 @@ def test_stickiness_window_expansion_property_random(spark, seed):
     pdf = _random_events(rng, 500, 15)
     sdf = spark.createDataFrame(pdf[["user_id", "ts"]])
 
-    from pyspark.sql import functions as F
-
-    ud = (
-        sdf.select("user_id", F.date_trunc("day", "ts").alias("d"))
-        .distinct()
+    from spark_streaming_kafka_example_spark.plans.windows_stats import (
+        stickiness_7d,
     )
-    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("n_dau"))
-    contrib = ud.select(
-        "user_id",
-        F.explode(F.expr("sequence(d, d + interval 6 days, interval 1 day)"))
-            .alias("rday"),
-    ).distinct()
-    wau = contrib.groupBy("rday").agg(F.count(F.lit(1)).alias("n_wau7"))
-    got = {
-        r.d: (r.n_dau, r.n_wau7)
-        for r in dau.join(wau, dau.d == wau.rday).collect()
-    }
+
+    got = {r.d: (r.n_dau, r.n_wau7) for r in stickiness_7d(sdf).collect()}
 
     pdf["day"] = pdf.ts.dt.floor("D")
     days = sorted(pdf.day.unique())
