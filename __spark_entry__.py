@@ -182,6 +182,9 @@ ROTATION_PRIORITY = [
     "train_quality_logreg",
     "latency_percentile_bands",
     "timeseries_rolling_corr_intraday",
+    "sim_matryoshka_recall",
+    "paths_markov_transitions",
+    "split_leakage_audit",
 ]
 
 

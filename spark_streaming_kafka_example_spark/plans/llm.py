@@ -2173,3 +2173,75 @@ def dq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tok").cast("long").alias("max_tok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka-style dimension truncation (r07): how much ANN quality
+# survives scoring on only the first _MRL_DIMS of the 64-dim embeddings —
+# the "shorten the vectors, keep the index cheap" trade every
+# MRL-trained embedding deployment measures. recall@k of truncated-dim
+# brute force vs full-dim brute force, per query; the quality twin of
+# sim_quantize_int8's storage cut (truncation shrinks COMPUTE and
+# memory 4x here, quantization shrinks bytes). Both rank chains are the
+# already-benched broadcast-query scans; the recall join is |queries|*k.
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = 16
+_MRL_K = 5
+
+
+@register(
+    "sim_matryoshka_recall",
+    f"""
+    WITH {_EMB_D},
+    et AS (SELECT vec_id, v, v[1:{_MRL_DIMS}] AS vt FROM e),
+    tscored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+               round({_DOT.format(a='q.vt', b='c.vt')}
+                     / ({_NORM.format(a='q.vt')} * {_NORM.format(a='c.vt')}), 4) AS cos
+        FROM et q, et c
+        WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+    ),
+    trunc AS (
+        SELECT q_id, n_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+                                         ORDER BY cos DESC, n_id) AS rnk
+            FROM tscored)
+        WHERE rnk <= {_MRL_K}
+    ),
+    bscored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id, {_COS_QC} AS cos
+        FROM e q, e c
+        WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+    ),
+    brute AS (
+        SELECT q_id, n_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+                                         ORDER BY cos DESC, n_id) AS rnk
+            FROM bscored)
+        WHERE rnk <= {_MRL_K}
+    )
+    SELECT b.q_id, CAST(count(t.n_id) AS BIGINT) AS hits,
+           round(count(t.n_id) / {_MRL_K}.0, 4) AS recall
+    FROM brute b LEFT JOIN trunc t ON b.q_id = t.q_id AND b.n_id = t.n_id
+    GROUP BY b.q_id
+    """,
+)
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    trunc_emb = emb.select(
+        "vec_id", F.slice("embedding", 1, _MRL_DIMS).alias("embedding")
+    )
+    trunc = brute_force_topk(
+        trunc_emb, trunc_emb.filter(F.col("vec_id") < 5), k=_MRL_K
+    ).select("q_id", "n_id", F.lit(1).alias("hit"))
+    brute = brute_force_topk(emb, queries, k=_MRL_K).select("q_id", "n_id")
+    return (
+        brute.join(trunc, ["q_id", "n_id"], "left_outer")
+        .groupBy("q_id")
+        .agg(
+            F.count("hit").alias("hits"),
+            F.round(F.count("hit") / float(_MRL_K), 4).alias("recall"),
+        )
+    )

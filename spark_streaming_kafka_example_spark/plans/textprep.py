@@ -1784,3 +1784,71 @@ def train_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("train_acc"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-leakage audit (r07): do any eval-split documents share an exact
+# content fingerprint with the train split? The QA gate every pipeline
+# runs after splitting — the fixtures plant exact duplicate docs, and
+# hash-gated splits assign copies INDEPENDENTLY (different doc_ids ->
+# different gates), so a nonzero rate here is the expected, observable
+# failure mode that content-aware splitting (split on fp, not doc_id)
+# would fix. Scale: one fingerprint projection, one distinct, one
+# fp-keyed equi-join — the dedup_exact shuffle profile.
+# ---------------------------------------------------------------------------
+
+_FP_SQL = (
+    "md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))"
+)
+
+
+@register(
+    "split_leakage_audit",
+    f"""
+    WITH s AS (
+        SELECT doc_id,
+               CASE WHEN {_SPLIT_HASH_SQL} < {_SPLIT_VALID_LT} THEN 'valid'
+                    WHEN {_SPLIT_HASH_SQL} < {_SPLIT_TEST_LT} THEN 'test'
+                    ELSE 'train' END AS split,
+               {_FP_SQL} AS fp
+        FROM documents
+    ),
+    train_fp AS (SELECT DISTINCT fp FROM s WHERE split = 'train'),
+    ev AS (SELECT split, s.fp, (t.fp IS NOT NULL) AS leaked
+           FROM s LEFT JOIN train_fp t ON s.fp = t.fp
+           WHERE split <> 'train')
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN leaked THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+           round(sum(CASE WHEN leaked THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS contamination_rate
+    FROM ev GROUP BY split
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    gate = _split_gate()
+    s = docs.select(
+        "doc_id",
+        F.when(gate < _SPLIT_VALID_LT, F.lit("valid"))
+        .when(gate < _SPLIT_TEST_LT, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+        fingerprint("text").alias("fp"),
+    ).localCheckpoint(eager=False)  # feeds the train set AND the eval side
+    train_fp = s.filter(F.col("split") == "train").select("fp").distinct()
+    ev = (
+        s.filter(F.col("split") != "train")
+        .join(train_fp.withColumn("leaked", F.lit(True)), "fp", "left_outer")
+    )
+    return ev.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("leaked"), 1).otherwise(0)).alias("n_contaminated"),
+        F.round(
+            F.sum(F.when(F.col("leaked"), 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("contamination_rate"),
+    )

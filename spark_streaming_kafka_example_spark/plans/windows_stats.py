@@ -656,11 +656,10 @@ def islands_user_daily_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def trigram_path_counts(ev: DataFrame) -> DataFrame:
-    """(path, n) trigram-path counts over any (user_id, ts, event_id,
-    event_type) relation — the registered query's pipeline, exported so
-    property tests exercise THIS code on random inputs, not a copy."""
-    seqs = (
+def ordered_type_sequences(ev: DataFrame) -> DataFrame:
+    """(user_id, t): each user's event types ordered by (ts, event_id) —
+    the one exchange shared by the trigram miner and the Markov matrix."""
+    return (
         ev.select("user_id", F.struct("ts", "event_id", "event_type").alias("s"))
         .groupBy("user_id")
         .agg(
@@ -669,6 +668,13 @@ def trigram_path_counts(ev: DataFrame) -> DataFrame:
             ).alias("t")
         )
     )
+
+
+def trigram_path_counts(ev: DataFrame) -> DataFrame:
+    """(path, n) trigram-path counts over any (user_id, ts, event_id,
+    event_type) relation — the registered query's pipeline, exported so
+    property tests exercise THIS code on random inputs, not a copy."""
+    seqs = ordered_type_sequences(ev)
     tris = seqs.filter(F.size("t") >= 3).select(
         F.explode(
             F.expr(
@@ -996,3 +1002,51 @@ def timeseries_rolling_corr_intraday(spark: SparkSession, sf_dir: str) -> DataFr
         F.round(F.col("cv") / F.sqrt(F.col("vv") * F.col("vc")), 4),
     )
     return comp.select("d", "h", masked.alias("roll_corr"))
+
+
+# ---------------------------------------------------------------------------
+# First-order Markov transition matrix over event journeys (r07): per
+# (src, dst) event-type pair, the transition count and conditional
+# probability P(dst | src) — the sequence model behind next-event
+# prediction and journey simulation. Shares the per-user ordered-collect
+# with the trigram miner (one user_id exchange, state bounded per user);
+# the matrix itself is |types|^2 rows, so the normalizing window is tiny.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "paths_markov_transitions",
+    """
+    WITH seqs AS (
+        SELECT user_id, list(event_type ORDER BY ts, event_id) AS t
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(range(2, len(t) + 1),
+                      i -> {'src': t[i-1], 'dst': t[i]})) AS pr
+        FROM seqs WHERE len(t) >= 2
+    ),
+    c AS (SELECT pr.src AS src, pr.dst AS dst, count(*) AS n
+          FROM pairs GROUP BY 1, 2)
+    SELECT src, dst, CAST(n AS BIGINT) AS n,
+           round(n / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE), 4) AS p
+    FROM c
+    """,
+)
+def paths_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    seqs = ordered_type_sequences(ev)
+    pairs = seqs.filter(F.size("t") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(t[i-1] AS src, t[i] AS dst))"
+            )
+        ).alias("pr")
+    ).select("pr.src", "pr.dst")
+    c = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    wsrc = Window.partitionBy("src")
+    return c.select(
+        "src", "dst", "n",
+        F.round(F.col("n") / F.sum("n").over(wsrc).cast("double"), 4).alias("p"),
+    )
