@@ -649,6 +649,14 @@ _SPLIT_VALID_LT, _SPLIT_TEST_LT = 3, 6  # h<3 valid, 3<=h<6 test, else train
 
 _SPLIT_HASH_SQL = _gate_sql(f"md5('{_SPLIT_SALT}' || CAST(doc_id AS VARCHAR))")
 
+# The ONE split-assignment definition, both sides: every query that needs
+# the split (assignment, export shards, leakage audit) derives from these
+# two, so thresholds/gate changes can never diverge between them (r07
+# review).
+_SPLIT_CASE_SQL = f"""CASE WHEN {_SPLIT_HASH_SQL} < {_SPLIT_VALID_LT} THEN 'valid'
+                WHEN {_SPLIT_HASH_SQL} < {_SPLIT_TEST_LT} THEN 'test'
+                ELSE 'train' END"""
+
 
 def _split_gate():
     """The salted split gate as a Spark Column — single definition shared
@@ -658,27 +666,26 @@ def _split_gate():
     )
 
 
-@register(
-    "split_train_valid_test",
-    f"""
-    SELECT doc_id, source,
-           CASE WHEN {_SPLIT_HASH_SQL} < {_SPLIT_VALID_LT} THEN 'valid'
-                WHEN {_SPLIT_HASH_SQL} < {_SPLIT_TEST_LT} THEN 'test'
-                ELSE 'train' END AS split
+SPLIT_TVT_ORACLE = f"""
+    SELECT doc_id, source, {_SPLIT_CASE_SQL} AS split
     FROM documents
-    """,
-)
-def split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    """
+
+
+def split_column():
+    """Spark twin of _SPLIT_CASE_SQL: the split label Column."""
     gate = _split_gate()
-    return docs.select(
-        "doc_id",
-        "source",
+    return (
         F.when(gate < _SPLIT_VALID_LT, F.lit("valid"))
         .when(gate < _SPLIT_TEST_LT, F.lit("test"))
         .otherwise(F.lit("train"))
-        .alias("split"),
     )
+
+
+@register("split_train_valid_test", SPLIT_TVT_ORACLE)
+def split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "source", split_column().alias("split"))
 
 
 # ---------------------------------------------------------------------------
@@ -1797,9 +1804,7 @@ def train_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fp-keyed equi-join — the dedup_exact shuffle profile.
 # ---------------------------------------------------------------------------
 
-_FP_SQL = (
-    "md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))"
-)
+from .llm import _FP_SQL as _LLM_FP_SQL  # noqa: E402  (one fp definition)
 
 
 @register(
@@ -1807,10 +1812,8 @@ _FP_SQL = (
     f"""
     WITH s AS (
         SELECT doc_id,
-               CASE WHEN {_SPLIT_HASH_SQL} < {_SPLIT_VALID_LT} THEN 'valid'
-                    WHEN {_SPLIT_HASH_SQL} < {_SPLIT_TEST_LT} THEN 'test'
-                    ELSE 'train' END AS split,
-               {_FP_SQL} AS fp
+               {_SPLIT_CASE_SQL} AS split,
+               {_LLM_FP_SQL.format(t='text')} AS fp
         FROM documents
     ),
     train_fp AS (SELECT DISTINCT fp FROM s WHERE split = 'train'),
@@ -1829,13 +1832,9 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import fingerprint
 
     docs = load_table(spark, sf_dir, "documents")
-    gate = _split_gate()
     s = docs.select(
         "doc_id",
-        F.when(gate < _SPLIT_VALID_LT, F.lit("valid"))
-        .when(gate < _SPLIT_TEST_LT, F.lit("test"))
-        .otherwise(F.lit("train"))
-        .alias("split"),
+        split_column().alias("split"),
         fingerprint("text").alias("fp"),
     ).localCheckpoint(eager=False)  # feeds the train set AND the eval side
     train_fp = s.filter(F.col("split") == "train").select("fp").distinct()

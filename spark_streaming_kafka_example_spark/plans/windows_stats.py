@@ -1014,9 +1014,7 @@ def timeseries_rolling_corr_intraday(spark: SparkSession, sf_dir: str) -> DataFr
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "paths_markov_transitions",
-    """
+MARKOV_ORACLE = """
     WITH seqs AS (
         SELECT user_id, list(event_type ORDER BY ts, event_id) AS t
         FROM events WHERE user_id IS NOT NULL GROUP BY user_id
@@ -1031,10 +1029,13 @@ def timeseries_rolling_corr_intraday(spark: SparkSession, sf_dir: str) -> DataFr
     SELECT src, dst, CAST(n AS BIGINT) AS n,
            round(n / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE), 4) AS p
     FROM c
-    """,
-)
-def paths_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    """
+
+
+def markov_transition_counts(ev: DataFrame) -> DataFrame:
+    """(src, dst, n, p) transition matrix over any (user_id, ts, event_id,
+    event_type) relation — exported (like trigram_path_counts) so property
+    tests exercise THIS index arithmetic on random inputs."""
     seqs = ordered_type_sequences(ev)
     pairs = seqs.filter(F.size("t") >= 2).select(
         F.explode(
@@ -1050,3 +1051,9 @@ def paths_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src", "dst", "n",
         F.round(F.col("n") / F.sum("n").over(wsrc).cast("double"), 4).alias("p"),
     )
+
+
+@register("paths_markov_transitions", MARKOV_ORACLE)
+def paths_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return markov_transition_counts(ev)

@@ -349,3 +349,41 @@ def test_stickiness_window_expansion_property_random(spark, seed):
         assert got[d.to_pydatetime()] == (len(active), len(window)), (
             f"seed {seed} day {d}"
         )
+
+
+@pytest.mark.parametrize("seed", [41])
+def test_markov_transitions_property_random(spark, seed):
+    """The transition-matrix pipeline (shared ordered-sequence exchange ->
+    adjacent-pair transform -> per-src normalization) must agree with a
+    direct Python derivation on random event logs with forced ts ties."""
+    import collections
+
+    rng = random.Random(seed)
+    pdf = _random_events(rng, 400, 12)
+    pdf["event_type"] = [rng.choice("abc") for _ in range(len(pdf))]
+    pdf["ts"] = pd.to_datetime(
+        [1_700_000_000 + rng.randrange(0, 30) for _ in range(len(pdf))],
+        unit="s",
+    )
+    sdf = spark.createDataFrame(pdf[["user_id", "ts", "event_id", "event_type"]])
+
+    from spark_streaming_kafka_example_spark.plans.windows_stats import (
+        markov_transition_counts,
+    )
+
+    got = {(r.src, r.dst): (r.n, r.p)
+           for r in markov_transition_counts(sdf).collect()}
+
+    exp_n = collections.Counter()
+    for _, grp in pdf.sort_values(["ts", "event_id"]).groupby("user_id"):
+        t = list(grp.event_type)
+        for i in range(len(t) - 1):
+            exp_n[(t[i], t[i + 1])] += 1
+    totals = collections.Counter()
+    for (src, _), n in exp_n.items():
+        totals[src] += n
+    exp = {k: (n, round(n / totals[k[0]], 4)) for k, n in exp_n.items()}
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0], k
+        assert abs(got[k][1] - exp[k][1]) < 1e-9, k
