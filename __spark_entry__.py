@@ -185,6 +185,7 @@ ROTATION_PRIORITY = [
     "sim_matryoshka_recall",
     "paths_markov_transitions",
     "split_leakage_audit",
+    "stream_funnel",
 ]
 
 

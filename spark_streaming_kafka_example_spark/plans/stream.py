@@ -976,3 +976,67 @@ def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"), (F.abs(z) >= 3.0).alias("is_anomaly"),
     )
     return run_to_table(spark, scored, "complete")
+
+
+# ---------------------------------------------------------------------------
+# Streaming funnel (r07, the r06 VERDICT task-7 pair): the live
+# final-stage monitor of funnel_view_click_purchase. The earlier stages'
+# entry times (first view, first qualifying click) are MATERIALIZED
+# dimensions — in production yesterday's stage tables, here derived once
+# from the static batch relation (the cohort/quality-drift baseline
+# pattern), with the two stage counts driver-fetched as fixed-size
+# scalars. The STREAM side is the business end: purchase events
+# stream-static join the click map, keep those at/after the user's click
+# entry, and ONE streaming aggregation (size(collect_set)) maintains the
+# exact distinct purchase-stage count. Drained complete-mode result ==
+# the batch one-row summary, so they share one oracle.
+# ---------------------------------------------------------------------------
+
+from .windows_stats import FUNNEL_ORACLE  # noqa: E402
+
+
+@register("stream_funnel", FUNNEL_ORACLE)
+def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+        .localCheckpoint(eager=False)
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+        .localCheckpoint(eager=False)
+    )
+    n_view = v.count()  # two fixed-size stage scalars (materialized dims)
+    n_click = c.count()
+    if n_view == 0 or n_click == 0:
+        raise ValueError(
+            "stream_funnel: degenerate stage tables"
+            f" (n_view={n_view}, n_click={n_click}) — upstream stages must"
+            " be non-empty for conversion ratios to exist"
+        )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(
+            F.col("user_id").isNotNull() & (F.col("event_type") == "purchase")
+        )
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+    )
+    agg = purchases.groupBy().agg(
+        F.size(F.collect_set("user_id")).cast("long").alias("n_purchase")
+    )
+    summary = agg.select(
+        F.lit(n_view).cast("long").alias("n_view"),
+        F.lit(n_click).cast("long").alias("n_click"),
+        "n_purchase",
+        F.round(F.lit(float(n_click)) / n_view, 4).alias("view_to_click"),
+        F.round(F.col("n_purchase").cast("double") / n_click, 4)
+            .alias("click_to_purchase"),
+    )
+    return run_to_table(spark, summary, "complete")

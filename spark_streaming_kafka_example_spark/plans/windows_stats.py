@@ -378,9 +378,10 @@ def agg_bitwise_tour(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "funnel_view_click_purchase",
-    """
+# Shared with the streaming twin (plans/stream.py stream_funnel): the
+# drained stream result equals this one-row summary, so one oracle covers
+# both.
+FUNNEL_ORACLE = """
     WITH v AS (
         SELECT user_id, min(ts) AS t_view FROM events
         WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY user_id
@@ -402,8 +403,10 @@ def agg_bitwise_tour(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / (SELECT count(*) FROM v), 4) AS view_to_click,
            round(CAST((SELECT count(*) FROM p) AS DOUBLE)
                  / (SELECT count(*) FROM c), 4) AS click_to_purchase
-    """,
-)
+    """
+
+
+@register("funnel_view_click_purchase", FUNNEL_ORACLE)
 def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row funnel summary: users entering each ordered stage plus
     stage-to-stage conversion. Three pushed-filter scans, per-user min
