@@ -1709,8 +1709,12 @@ _LOGREG_FEATS_SQL = f"""feats AS (
         FROM d
     ),
     w1 AS (
-        SELECT round(-{_LR} * g0, 6) AS w0, round(-{_LR} * ga, 6) AS wa,
-               round(-{_LR} * gb, 6) AS wb, round(-{_LR} * gc, 6) AS wc
+        -- "+ 0" per the -0.0 convention (plans/__init__.py): a weight that
+        -- rounds to zero must not keep DuckDB's IEEE sign bit.
+        SELECT round(-{_LR} * g0, 6) + 0 AS w0,
+               round(-{_LR} * ga, 6) + 0 AS wa,
+               round(-{_LR} * gb, 6) + 0 AS wb,
+               round(-{_LR} * gc, 6) + 0 AS wc
         FROM g1
     ),
     s2 AS (
@@ -1725,10 +1729,12 @@ _LOGREG_FEATS_SQL = f"""feats AS (
         FROM s2
     ),
     w2 AS (
-        SELECT round(w1.w0 - {_LR} * g2.g0, 6) AS w0,
-               round(w1.wa - {_LR} * g2.ga, 6) AS wa,
-               round(w1.wb - {_LR} * g2.gb, 6) AS wb,
-               round(w1.wc - {_LR} * g2.gc, 6) AS wc
+        -- "+ 0" again: at sf0.01 w_punct rounds to exactly zero here and
+        -- DuckDB emitted -0.0 (the r07 hash-fail); Spark never does.
+        SELECT round(w1.w0 - {_LR} * g2.g0, 6) + 0 AS w0,
+               round(w1.wa - {_LR} * g2.ga, 6) + 0 AS wa,
+               round(w1.wb - {_LR} * g2.gb, 6) + 0 AS wb,
+               round(w1.wc - {_LR} * g2.gc, 6) + 0 AS wc
         FROM w1 CROSS JOIN g2
     ),
     scored AS (
@@ -1771,9 +1777,11 @@ def train_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(err * F.col("x3")), 6).alias("gc"),
         ).first()  # 4 gradient scalars — the fixed-k driver-fetch class
         # Both terms sit on the 1e-6 grid, so this snap is never at a
-        # rounding boundary — Python round() == SQL round() here.
+        # rounding boundary — Python round() == SQL round() here. The
+        # "+ 0.0" kills IEEE -0.0 (Python round keeps the sign bit, and a
+        # F.lit(-0.0) would leak it into the result; r07 hash-fail class).
         w = [
-            round(w[j] - _LR * g[j], 6)
+            round(w[j] - _LR * g[j], 6) + 0.0
             for j in range(4)
         ]
     z2 = (

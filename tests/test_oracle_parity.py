@@ -25,6 +25,44 @@ def test_query_matches_oracle(spark, sf_dir, oracle_con, name):
     compare(df, oracle_con, plans.ORACLE[name], name=name)
 
 
+def _any_negative_zero(v) -> bool:
+    """True if v (a cell, possibly a list/array/struct-dict) holds IEEE -0.0."""
+    import math
+
+    if isinstance(v, float):  # numpy float64 subclasses float
+        return v == 0.0 and math.copysign(1.0, v) < 0
+    if isinstance(v, dict):
+        return any(_any_negative_zero(x) for x in v.values())
+    if hasattr(v, "__iter__") and not isinstance(v, (str, bytes)):
+        return any(_any_negative_zero(x) for x in v)
+    return False
+
+
+@pytest.mark.parametrize("name", sorted(plans.ORACLE))
+def test_oracle_no_negative_zero(oracle_con, name):
+    """Lint the -0.0 bug class out of every oracle (r07 VERDICT task 2).
+
+    DuckDB's round() keeps the IEEE sign bit on a tiny-negative expression
+    that rounds to zero; Spark's BigDecimal round never emits -0.0, so the
+    driver's strict value-hash fails even though both answers are "zero".
+    This slipped through twice (r03 vector_normalize, r07
+    train_quality_logreg) because the pytest harness canonicalizes -0.0 ==
+    0.0. The house rule (plans/__init__.py docstring) is to append "+ 0"
+    to any rounded possibly-negative output; this test enforces it by
+    running the oracle side alone and failing on any -0.0 result cell.
+    """
+    df = oracle_con.execute(plans.ORACLE[name]).df()
+    bad = [
+        col
+        for col in df.columns
+        if any(_any_negative_zero(v) for v in df[col])
+    ]
+    assert not bad, (
+        f"{name}: oracle emits IEEE -0.0 in column(s) {bad}; append '+ 0' "
+        "to the rounded expression (see plans/__init__.py docstring)"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(set(plans.QUERIES) - set(plans.ORACLE)))
 def test_rows_only_queries_run(spark, sf_dir, name):
     df = plans.QUERIES[name](spark, sf_dir)
