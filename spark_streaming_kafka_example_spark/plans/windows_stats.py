@@ -656,14 +656,52 @@ def islands_user_daily_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # expansion is a map-side higher-order function, the count is a partial-
 # aggregated hash shuffle, and the top-20 is TakeOrderedAndProject — no
 # global sort, nothing quadratic.
+#
+# r08 (r07 VERDICT task 4): the per-user collect is CAPPED at the most
+# recent _PATH_MAX_EVENTS events. At 100 TB one bot/power user would
+# otherwise materialize an unbounded array in a single aggregation buffer
+# (straggler/OOM); the rank prefilter bounds it while the row_number
+# window itself runs through Spark's spillable external sort. 10k never
+# binds at any test SF (max 99 events/user at sf0.1), so prior driver
+# rows keep their values; the oracles mirror the same rank filter so the
+# contract is explicit at any scale.
 # ---------------------------------------------------------------------------
 
+_PATH_MAX_EVENTS = 10_000
 
-def ordered_type_sequences(ev: DataFrame) -> DataFrame:
-    """(user_id, t): each user's event types ordered by (ts, event_id) —
-    the one exchange shared by the trigram miner and the Markov matrix."""
+_PATH_SEQS_SQL = f"""ranked AS (
+        SELECT user_id, ts, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    seqs AS (
+        SELECT user_id, list(event_type ORDER BY ts, event_id) AS t
+        FROM ranked WHERE rn <= {_PATH_MAX_EVENTS} GROUP BY user_id
+    )"""
+
+
+def ordered_type_sequences(
+    ev: DataFrame, max_events: int = _PATH_MAX_EVENTS
+) -> DataFrame:
+    """(user_id, t): each user's most recent ``max_events`` event types
+    ordered by (ts, event_id) — the one exchange shared by the trigram
+    miner and the Markov matrix. The rank prefilter bounds the collected
+    array per user; keeping the MOST RECENT slice (not the oldest) is the
+    behavior a monitoring pipeline wants when the cap binds."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    capped = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_events)
+        .drop("_rn")
+    )
     return (
-        ev.select("user_id", F.struct("ts", "event_id", "event_type").alias("s"))
+        capped.select(
+            "user_id", F.struct("ts", "event_id", "event_type").alias("s")
+        )
         .groupBy("user_id")
         .agg(
             F.transform(
@@ -673,11 +711,13 @@ def ordered_type_sequences(ev: DataFrame) -> DataFrame:
     )
 
 
-def trigram_path_counts(ev: DataFrame) -> DataFrame:
+def trigram_path_counts(
+    ev: DataFrame, max_events: int = _PATH_MAX_EVENTS
+) -> DataFrame:
     """(path, n) trigram-path counts over any (user_id, ts, event_id,
     event_type) relation — the registered query's pipeline, exported so
     property tests exercise THIS code on random inputs, not a copy."""
-    seqs = ordered_type_sequences(ev)
+    seqs = ordered_type_sequences(ev, max_events=max_events)
     tris = seqs.filter(F.size("t") >= 3).select(
         F.explode(
             F.expr(
@@ -691,11 +731,8 @@ def trigram_path_counts(ev: DataFrame) -> DataFrame:
 
 @register(
     "paths_event_trigrams",
-    """
-    WITH seqs AS (
-        SELECT user_id, list(event_type ORDER BY ts, event_id) AS t
-        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
-    ),
+    f"""
+    WITH {_PATH_SEQS_SQL},
     tris AS (
         SELECT unnest(list_transform(range(2, len(t)),
                       i -> t[i-1] || '>' || t[i] || '>' || t[i+1])) AS path
@@ -1017,14 +1054,11 @@ def timeseries_rolling_corr_intraday(spark: SparkSession, sf_dir: str) -> DataFr
 # ---------------------------------------------------------------------------
 
 
-MARKOV_ORACLE = """
-    WITH seqs AS (
-        SELECT user_id, list(event_type ORDER BY ts, event_id) AS t
-        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
-    ),
+MARKOV_ORACLE = f"""
+    WITH {_PATH_SEQS_SQL},
     pairs AS (
         SELECT unnest(list_transform(range(2, len(t) + 1),
-                      i -> {'src': t[i-1], 'dst': t[i]})) AS pr
+                      i -> {{'src': t[i-1], 'dst': t[i]}})) AS pr
         FROM seqs WHERE len(t) >= 2
     ),
     c AS (SELECT pr.src AS src, pr.dst AS dst, count(*) AS n
@@ -1035,11 +1069,13 @@ MARKOV_ORACLE = """
     """
 
 
-def markov_transition_counts(ev: DataFrame) -> DataFrame:
+def markov_transition_counts(
+    ev: DataFrame, max_events: int = _PATH_MAX_EVENTS
+) -> DataFrame:
     """(src, dst, n, p) transition matrix over any (user_id, ts, event_id,
     event_type) relation — exported (like trigram_path_counts) so property
     tests exercise THIS index arithmetic on random inputs."""
-    seqs = ordered_type_sequences(ev)
+    seqs = ordered_type_sequences(ev, max_events=max_events)
     pairs = seqs.filter(F.size("t") >= 2).select(
         F.explode(
             F.expr(

@@ -323,6 +323,51 @@ def test_paths_trigrams_property_random(spark, seed):
     assert got == exp, f"seed {seed}"
 
 
+@pytest.mark.parametrize("seed", [13])
+def test_paths_cap_keeps_most_recent_events(spark, seed):
+    """The _PATH_MAX_EVENTS bound (r07 VERDICT task 4): when a user has
+    more events than the cap, the sequence pipeline must mine only the
+    MOST RECENT ``max_events`` of them (ties broken by event_id, matching
+    the ordered collect). Run with a tiny cap so the bound actually binds
+    — at the shipped 10k it never does on test data."""
+    import collections
+
+    rng = random.Random(seed)
+    pdf = _random_events(rng, 300, 4)  # few users => long per-user histories
+    pdf["event_type"] = [rng.choice("abc") for _ in range(len(pdf))]
+    pdf["ts"] = pd.to_datetime(
+        [1_700_000_000 + rng.randrange(0, 30) for _ in range(len(pdf))],
+        unit="s",
+    )
+    sdf = spark.createDataFrame(pdf[["user_id", "ts", "event_id", "event_type"]])
+
+    from spark_streaming_kafka_example_spark.plans.windows_stats import (
+        markov_transition_counts,
+        trigram_path_counts,
+    )
+
+    cap = 7
+    got_tri = collections.Counter(
+        {r.path: r.n for r in trigram_path_counts(sdf, max_events=cap).collect()}
+    )
+    got_mkv = {
+        (r.src, r.dst): r.n
+        for r in markov_transition_counts(sdf, max_events=cap).collect()
+    }
+
+    exp_tri: collections.Counter = collections.Counter()
+    exp_mkv: collections.Counter = collections.Counter()
+    for _, grp in pdf.sort_values(["ts", "event_id"]).groupby("user_id"):
+        assert len(grp) > cap  # the bound must actually bind
+        t = list(grp.event_type)[-cap:]  # most recent slice
+        for i in range(len(t) - 2):
+            exp_tri[f"{t[i]}>{t[i+1]}>{t[i+2]}"] += 1
+        for i in range(len(t) - 1):
+            exp_mkv[(t[i], t[i + 1])] += 1
+    assert got_tri == exp_tri, f"seed {seed}"
+    assert got_mkv == dict(exp_mkv), f"seed {seed}"
+
+
 @pytest.mark.parametrize("seed", [21, 22])
 def test_stickiness_window_expansion_property_random(spark, seed):
     """The explode(sequence) trailing-window expansion must equal the
