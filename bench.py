@@ -87,6 +87,12 @@ HEADLINE = [
     "graph_pagerank_2iter",
     "paths_event_trigrams",
     "dau_stickiness_7d",
+    # r08 (r07 VERDICT task 6): the window-function analytics families get
+    # bench history; plus the new perceptual-hash image dedup pipeline
+    # (synthesize -> real decode -> aHash -> Hamming-band LSH).
+    "latency_percentile_bands",
+    "timeseries_rolling_corr_intraday",
+    "dedup_image_phash",
 ]
 
 

@@ -27,6 +27,8 @@ __all__ = [
     "encode_ppm",
     "resize_nearest",
     "intensity_histogram",
+    "average_hash",
+    "difference_hash",
 ]
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -194,6 +196,45 @@ def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     ys = np.minimum((np.arange(height) * h) // max(height, 1), h - 1)
     xs = np.minimum((np.arange(width) * w) // max(width, 1), w - 1)
     return arr[ys][:, xs]
+
+
+def _luminance(arr: np.ndarray) -> np.ndarray:
+    """Mean-channel luminance as float64 (H, W) — shared by the histogram
+    feature and the perceptual hashes so 'same content' means the same
+    thing across all image operators."""
+    return arr.astype(np.float64).mean(axis=2) if arr.ndim == 3 else arr.astype(np.float64)
+
+
+def _pack_bits_hex(bits: np.ndarray) -> str:
+    """Pack a flat 0/1 array (length divisible by 4) into a hex string in
+    reading order: nibble j = bits[4j]*8 + bits[4j+1]*4 + bits[4j+2]*2 +
+    bits[4j+3]. This layout makes hamming(hash_a, hash_b) equal the sum of
+    bit_count over per-nibble XORs — the form both Spark (instr nibble
+    arithmetic + bit_count) and DuckDB (strpos + xor + bit_count) replay
+    exactly, so perceptual-hash dedup stays oracle-checkable."""
+    nib = bits.reshape(-1, 4) @ np.array([8, 4, 2, 1])
+    return "".join("0123456789abcdef"[int(v)] for v in nib)
+
+
+def average_hash(arr: np.ndarray, hash_size: int = 8) -> str:
+    """aHash perceptual fingerprint as a hex string of hash_size^2 bits:
+    luminance -> nearest-resample to (hash_size, hash_size) -> bit i set
+    iff pixel i (row-major) is STRICTLY above the mean of the resampled
+    grid. Strict '>' is the cross-engine contract (a pixel equal to the
+    mean is 0 in numpy, Spark, and DuckDB alike)."""
+    small = resize_nearest(_luminance(arr), hash_size, hash_size)
+    bits = (small > small.mean()).astype(np.int64).ravel()
+    return _pack_bits_hex(bits)
+
+
+def difference_hash(arr: np.ndarray, hash_size: int = 8) -> str:
+    """dHash perceptual fingerprint as a hex string of hash_size^2 bits:
+    luminance -> nearest-resample to (hash_size+1, hash_size) -> bit
+    (r, c) set iff pixel[r, c+1] > pixel[r, c] (horizontal gradient sign).
+    More robust than aHash to global brightness shifts."""
+    small = resize_nearest(_luminance(arr), hash_size + 1, hash_size)
+    bits = (small[:, 1:] > small[:, :-1]).astype(np.int64).ravel()
+    return _pack_bits_hex(bits)
 
 
 def intensity_histogram(arr: np.ndarray, bins: int) -> list[float]:

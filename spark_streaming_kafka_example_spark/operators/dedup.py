@@ -37,6 +37,8 @@ __all__ = [
     "levenshtein_pairs",
     "simhash_fingerprints",
     "simhash_near_pairs",
+    "image_phash_fingerprints",
+    "phash_near_pairs",
     "embedding_near_pairs",
     "semdedup_pairs",
 ]
@@ -432,6 +434,132 @@ def simhash_near_pairs(
             F.bit_count(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+# --- Perceptual-hash image dedup (r08) -------------------------------------
+# aHash/dHash fingerprints over REALLY-decoded pixels (functions.imaging:
+# PNG/PPM -> luminance -> resample -> threshold bits), packed as hex in
+# reading order so hamming = sum of per-nibble bit_count(xor) — replayable
+# in both engines. Candidate pairs reuse the simhash pigeonhole idea
+# generalized to hex strings: hamming <= k with k+1 substring chunks
+# forces >= 1 identical chunk, so the join is bucket-bounded, never
+# all-pairs. This makes multimodal columns a first-class dedup family
+# (r07 VERDICT task 5), not feature-extraction-only.
+
+
+def image_phash_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    hash_size: int = 8,
+    kind: str = "ahash",
+) -> DataFrame:
+    """(id, phash): perceptual fingerprint per image blob via the REAL
+    decode path (mapInPandas, Arrow batches — no per-row Python outside
+    the batch loop). ``kind``: "ahash" (mean threshold) or "dhash"
+    (horizontal gradient sign). Output hex length = hash_size^2 / 4.
+
+    Scale: decode cost is the dominant term and runs map-side before any
+    shuffle; only (id, 16-char hash) rows ever move. Set
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` down when blobs are
+    MBs (same guidance as decode_features)."""
+    from ..functions.imaging import average_hash, decode_image, difference_hash
+
+    if kind not in ("ahash", "dhash"):
+        raise ValueError(f"unknown phash kind {kind!r} (ahash|dhash)")
+    hasher = average_hash if kind == "ahash" else difference_hash
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("phash", T.StringType()),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "phash": pdf[content_col].map(
+                        lambda b: hasher(decode_image(bytes(b)), hash_size)
+                    ),
+                }
+            )
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def _hex_nibble(col, i: int):
+    # value of hex char i (0-based) — same strpos trick as the oracle side
+    return F.instr(F.lit("0123456789abcdef"), F.substring(col, i + 1, 1)) - 1
+
+
+def phash_near_pairs(
+    fp: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    hex_len: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup image pairs with hamming(phash) <= max_hamming, blocked on
+    max_hamming+1 substring chunks of the hex fingerprint: <= k differing
+    BITS spread over k+1 chunks leave >= 1 chunk identical (pigeonhole),
+    so candidate generation is an equi-join on (chunk_id, chunk_val) —
+    bounded by bucket occupancy, never all-pairs. Output:
+    (id_a, id_b, hamming) with id_a < id_b, complete w.r.t. the all-pairs
+    filter by construction."""
+    n_chunks = max_hamming + 1
+    base, extra = divmod(hex_len, n_chunks)
+    if base == 0:
+        raise ValueError(f"hex_len {hex_len} shorter than {n_chunks} chunks")
+    bounds, start = [], 0
+    for c in range(n_chunks):
+        width = base + (1 if c < extra else 0)
+        bounds.append((start, width))
+        start += width
+    chunked = fp.select(
+        F.col(id_col),
+        F.col(hash_col),
+        *[
+            F.substring(hash_col, s + 1, w).alias(f"chunk_{c}")
+            for c, (s, w) in enumerate(bounds)
+        ],
+    )
+    stack_expr = ", ".join(f"{c}, chunk_{c}" for c in range(n_chunks))
+    melted = chunked.selectExpr(
+        id_col,
+        hash_col,
+        f"stack({n_chunks}, {stack_expr}) AS (chunk_id, chunk_val)",
+    )
+    # One materialization of the (decode-expensive) fingerprints; the
+    # self-join would otherwise run the whole image-decode pass per side
+    # (the blocked-self-join idiom shared with simhash/minhash).
+    melted = melted.localCheckpoint()
+    a, b = melted.alias("a"), melted.alias("b")
+    hamming = None
+    for i in range(hex_len):
+        term = F.bit_count(
+            _hex_nibble(F.col(f"a.{hash_col}"), i).bitwiseXOR(
+                _hex_nibble(F.col(f"b.{hash_col}"), i)
+            )
+        )
+        hamming = term if hamming is None else hamming + term
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.cast("int").alias("hamming"),
         )
         .distinct()
     )

@@ -32,6 +32,7 @@ from pyspark.sql import types as T
 __all__ = [
     "MEDIA_META_SCHEMA",
     "attach_blob",
+    "attach_synthetic_image",
     "decode_features",
     "decode_features_arrow",
     "resize_media",
@@ -69,6 +70,45 @@ def attach_blob(
             (F.length(F.col(payload_col)) * 10).cast("long").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+def attach_synthetic_image(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "text",
+    size: int = 8,
+) -> DataFrame:
+    """(id, content): a REAL grayscale PPM (P5) image per row whose size^2
+    pixel bytes are md5-derived from the payload — md5(payload || 'px0') ||
+    md5(payload || 'px1') || ... hex pairs, reading order. Identical
+    payloads produce identical images, so downstream perceptual-hash dedup
+    has genuine planted duplicates; the derivation is plain md5 string
+    arithmetic, so a SQL oracle reproduces the pixels exactly while the
+    Spark path still exercises the real encode -> decode -> hash stack.
+    Arrow-batched (pandas_udf); size^2 must be a multiple of 16 pixels
+    (one md5 digest = 16 bytes)."""
+    import numpy as np
+
+    from ..functions.imaging import encode_ppm
+
+    n_px = size * size
+    if n_px % 16:
+        raise ValueError(f"size^2 = {n_px} not a multiple of 16 (md5 bytes)")
+    n_digests = n_px // 16
+
+    @F.pandas_udf(T.BinaryType())
+    def _img(payload: pd.Series) -> pd.Series:
+        def synth(s: str) -> bytes:
+            hx = "".join(
+                hashlib.md5(f"{s}px{k}".encode()).hexdigest()
+                for k in range(n_digests)
+            )
+            px = np.frombuffer(bytes.fromhex(hx), dtype=np.uint8)
+            return encode_ppm(px.reshape(size, size))
+
+        return payload.map(synth)
+
+    return df.select(F.col(id_col), _img(F.col(payload_col)).alias("content"))
 
 
 def _fake_feature(content: bytes) -> list[float]:

@@ -1299,3 +1299,61 @@ def test_pagerank_hand_computed_triangle(spark):
     for n in pr:
         assert abs(out[n] - pr[n]) < 1e-7, (n, out[n], pr[n])
     assert sum(out.values()) < 1.0  # dangling-mass leak: sum < 1
+
+
+def test_phash_real_images_behavior(spark):
+    """Perceptual hashing on REAL decoded images (r08): identical content
+    collides at hamming 0 across codecs, a lightly-perturbed copy stays
+    within the near-dup threshold, an unrelated image does not, and dHash
+    is exactly invariant to a global brightness shift."""
+    import numpy as np
+
+    from spark_streaming_kafka_example_spark.functions.imaging import (
+        average_hash,
+        decode_image,
+        difference_hash,
+        encode_png,
+        encode_ppm,
+    )
+    from spark_streaming_kafka_example_spark.operators.dedup import (
+        image_phash_fingerprints,
+        phash_near_pairs,
+    )
+
+    def hamming(a: str, b: str) -> int:
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(30, 200, size=(32, 32, 3), dtype=np.int64).astype(np.uint8)
+    near = base.copy()
+    near[:2, :2] = 255  # a small corner stamp: same image to a human
+    far = rng.integers(0, 256, size=(32, 32, 3), dtype=np.int64).astype(np.uint8)
+
+    a_base = average_hash(base)
+    assert len(a_base) == 16  # 64 bits as 16 hex chars
+    # codec-independence: PNG and PPM round-trips hash identically
+    assert average_hash(decode_image(encode_png(base))) == a_base
+    assert average_hash(decode_image(encode_ppm(base))) == a_base
+    assert hamming(a_base, average_hash(near)) <= 3
+    assert hamming(a_base, average_hash(far)) > 10
+    # dHash: gradient signs ignore a global brightness shift entirely
+    shifted = (base.astype(np.int16) + 10).clip(0, 255).astype(np.uint8)
+    assert difference_hash(shifted) == difference_hash(base)
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_png(base))),
+            (2, bytearray(encode_ppm(base))),   # exact dup, other codec
+            (3, bytearray(encode_png(near))),   # near dup
+            (4, bytearray(encode_png(far))),    # unrelated
+        ],
+        "doc_id long, content binary",
+    )
+    fp = image_phash_fingerprints(df)
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_near_pairs(fp, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0          # cross-codec exact duplicate
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 3
+    assert not any(4 in p for p in pairs)  # the unrelated image pairs with nothing

@@ -104,6 +104,15 @@ def test_embedding_cosine_no_cartesian(plan_of):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_image_phash_no_cartesian(plan_of):
+    """Perceptual-hash image dedup (r08) must equi-join on
+    (chunk_id, chunk_val) Hamming-band buckets — the simhash pigeonhole
+    generalized to hex fingerprints — never an all-pairs image join."""
+    plan = plan_of("dedup_image_phash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_levenshtein_lsh_no_cartesian(plan_of):
     """The at-scale edit-distance path: candidates from LSH banding, scored
     via key-lookup equi-joins — never the all-pairs fallback self-join."""
