@@ -1040,3 +1040,37 @@ def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("click_to_purchase"),
     )
     return run_to_table(spark, summary, "complete")
+
+
+# ---------------------------------------------------------------------------
+# Streaming Markov transition monitor (r08, r07 VERDICT task 8): the
+# at-ingest twin of paths_markov_transitions. The pair mining runs through
+# applyInPandasWithState holding ONLY each user's last event — O(1) per-key
+# state, the bounded-state alternative to the batch collect (which needs
+# the _PATH_MAX_EVENTS cap precisely because it accumulates history). The
+# drained pair stream is then counted/normalized batch-side; on a bounded
+# single-batch drain the pairs equal the batch derivation exactly (and the
+# 10k cap never binds on test data), so both twins share MARKOV_ORACLE.
+# ---------------------------------------------------------------------------
+
+from ..streaming.stateful import stateful_transition_pairs  # noqa: E402
+from .windows_stats import MARKOV_ORACLE  # noqa: E402
+
+
+@register("stream_markov_transitions", MARKOV_ORACLE)
+def stream_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    pairs = stateful_transition_pairs(ev)
+    drained = run_to_table(spark, pairs, "append", require_single_batch=True)
+    c = drained.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    wsrc = Window.partitionBy("src")
+    return c.select(
+        "src", "dst", "n",
+        F.round(F.col("n") / F.sum("n").over(wsrc).cast("double"), 4).alias("p"),
+    )

@@ -21,7 +21,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
-__all__ = ["stateful_running_count", "stateful_sessionizer", "stateful_greedy_packer"]
+__all__ = [
+    "stateful_running_count",
+    "stateful_sessionizer",
+    "stateful_greedy_packer",
+    "stateful_transition_pairs",
+]
 
 _OUTPUT_SCHEMA = T.StructType(
     [
@@ -237,6 +242,82 @@ def stateful_greedy_packer(
         update,
         outputStructType=out_schema,
         stateStructType=_PACK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# state: the user's last-seen event = (ts, event_id, event_type) — O(1)
+# per key regardless of stream length, the bounded-state alternative to
+# the batch sequence miner's capped collect (plans/windows_stats.py
+# _PATH_MAX_EVENTS).
+_TRANSITION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts", T.TimestampType()),
+        T.StructField("last_id", T.LongType()),
+        T.StructField("last_type", T.StringType()),
+    ]
+)
+
+
+def stateful_transition_pairs(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """At-ingest event-type transition miner: per key, emit one
+    (key, src, dst) row for every consecutive event pair, holding ONLY the
+    last-seen event as state. The streaming twin of the batch Markov
+    pipeline (plans/windows_stats.markov_transition_counts) with O(1)
+    instead of O(history) per-key state — no cap needed because nothing
+    accumulates.
+
+    Within a micro-batch rows are ordered by (ts, event_id) — the batch
+    tie-break — and the stored last event bridges batch boundaries, so a
+    single-batch bounded drain equals the batch derivation exactly. Across
+    micro-batches pairs form in ARRIVAL order (the greedy-packer caveat):
+    that is what an at-ingest monitor wants, but oracle comparisons must
+    run single-batch (run_to_table(..., require_single_batch=True)).
+    """
+    out_schema = T.StructType(
+        [
+            events.schema[key_col],
+            T.StructField("src", T.StringType()),
+            T.StructField("dst", T.StringType()),
+        ]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            [ts_col, id_col]
+        )
+        types = list(rows[type_col])
+        if state.exists:
+            _last_ts, _last_id, last_type = state.get
+            types = [last_type, *types]
+        out = [
+            (key[0], types[i], types[i + 1]) for i in range(len(types) - 1)
+        ]
+        tail = rows.iloc[-1]
+        ts = tail[ts_col]
+        state.update(
+            (
+                ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts,
+                int(tail[id_col]),
+                tail[type_col],
+            )
+        )
+        if out:
+            yield pd.DataFrame(out, columns=[key_col, "src", "dst"])
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=_TRANSITION_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

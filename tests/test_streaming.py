@@ -755,3 +755,52 @@ def test_stream_cohort_retention_accumulates_across_batches(spark, sf_dir, tmp_p
         for r in plans.QUERIES["cohort_daily_retention"](spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_stateful_transition_pairs_bridge_across_batches(spark, tmp_path):
+    """The O(1)-state transition miner must bridge micro-batch boundaries:
+    the last event stored in state pairs with the first event of the next
+    batch, single-event batches emit nothing but still update state, and
+    within a batch ts ties break by event_id (the batch-pipeline order)."""
+    import datetime as dt
+
+    from spark_streaming_kafka_example_spark.streaming.stateful import (
+        stateful_transition_pairs,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    src = str(tmp_path / "trans_src")
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    batches = [
+        # user 1: a then b (tie on ts -> event_id order); user 2: lone x
+        [(1, ts(0), 100, "a"), (1, ts(0), 101, "b"), (2, ts(1), 102, "x")],
+        # user 1 bridges b->c; user 2 bridges x->y
+        [(1, ts(5), 103, "c"), (2, ts(6), 104, "y")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        stateful_transition_pairs(stream)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("t_trans_mb")
+        .option("checkpointLocation", str(tmp_path / "trans_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.src, r.dst)
+        for r in spark.table("t_trans_mb").collect()
+    }
+    assert got == {(1, "a", "b"), (1, "b", "c"), (2, "x", "y")}, got
