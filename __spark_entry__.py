@@ -74,15 +74,22 @@ CORE_WINDOW = [
 ]
 
 
-def _driver_checked_names() -> set[str]:
-    """Names that already have a green driver row in any past round's
-    CORRECTNESS_r*.json (hash match, or a rows-only row that produced rows)."""
+def _last_green_round() -> dict[str, int]:
+    """name -> latest round number with a green driver row in
+    CORRECTNESS_r*.json (hash match, or a rows-only row that produced
+    rows). Doubles as the driver-checked set (keys) and the freshness
+    ordering for re-pins (values): with zero unchecked queries the window's
+    tail re-checks the LONGEST-unverified families first (r07 VERDICT
+    task 3), so every family's driver confirmation keeps cycling."""
     import glob
     import json
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    seen: set[str] = set()
+    seen: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -91,11 +98,24 @@ def _driver_checked_names() -> set[str]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("hash_match") is True:
-                seen.add(name)
-            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
-                seen.add(name)
+            green = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if green:
+                seen[name] = max(seen.get(name, 0), rnd)
     return seen
+
+
+# Queries whose ORACLE TEXT changed this round even though their green
+# rows' values still hold (r08: the _PATH_MAX_EVENTS rank filter was added
+# to both path-mining oracles; it never binds at driver SFs, so results
+# are identical). Treated as unchecked so the driver re-proves the new
+# oracle text immediately instead of on freshness rotation.
+FORCE_RECHECK = [
+    "paths_event_trigrams",
+    "paths_markov_transitions",
+]
 
 
 # Unchecked queries enter the window in this order first, then registration
@@ -186,20 +206,35 @@ ROTATION_PRIORITY = [
     "paths_markov_transitions",
     "split_leakage_audit",
     "stream_funnel",
+    # r08-new: the logreg re-land leads (the only never-green query), then
+    # the perceptual-hash image dedup pipeline and the O(1)-state
+    # streaming Markov twin, then the two force-rechecked path oracles.
+    "train_quality_logreg",
+    "dedup_image_phash",
+    "stream_markov_transitions",
+    "paths_event_trigrams",
 ]
 
 
 def _ordered_names() -> list[str]:
     """CORE window first, then queries the driver has never green-checked
-    (rotating them into the window over rounds), then the already-green rest."""
+    under their current oracle (rotating them into the window over
+    rounds), then the already-green rest ordered stalest-first by last
+    green round — so window slack always re-verifies what has gone
+    longest unchecked."""
     all_names = list(plans.QUERIES)
     core = [n for n in CORE_WINDOW if n in plans.QUERIES]
     core_set = set(core)
-    checked = _driver_checked_names()
-    unchecked = [n for n in all_names if n not in core_set and n not in checked]
+    last_green = _last_green_round()
+    for name in FORCE_RECHECK:
+        last_green.pop(name, None)
+    unchecked = [
+        n for n in all_names if n not in core_set and n not in last_green
+    ]
     prio = {n: i for i, n in enumerate(ROTATION_PRIORITY)}
     unchecked.sort(key=lambda n: (prio.get(n, len(prio)), all_names.index(n)))
-    rest = [n for n in all_names if n not in core_set and n in checked]
+    rest = [n for n in all_names if n not in core_set and n in last_green]
+    rest.sort(key=lambda n: (last_green[n], all_names.index(n)))
     return core + unchecked + rest
 
 
