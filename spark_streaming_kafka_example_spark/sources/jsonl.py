@@ -22,6 +22,14 @@ Scale design (the part that matters at 100 TB):
 Batch-only by design: streaming JSONL ingestion goes through the file
 stream source on a directory (``sources.file_stream``), which already
 handles discovery/exactly-once.
+
+Filesystem contract (r07 ADVICE): listing, sizing, and reads go through
+local ``os``/``open`` calls, so driver and executors must share a POSIX
+view of ``path`` (local disk in tests, NFS/FUSE-mounted object storage on
+a cluster). Native object-store URLs (s3://, hdfs://) are NOT resolved —
+that needs a filesystem layer (fsspec/pyarrow.fs) swapped in for the
+``os.path.getsize``/``open`` calls in ``partitions()``/``read()``; the
+byte-range slicing itself is already storage-agnostic.
 """
 
 from __future__ import annotations
@@ -71,6 +79,31 @@ def _infer_field(value) -> T.DataType:
     return T.StringType()
 
 
+def _merge_types(a: T.DataType | None, b: T.DataType | None) -> T.DataType | None:
+    """Widening merge across probe lines (the spark.read.json sampling
+    contract, r07 ADVICE): equal types keep, long+double widens to double,
+    any other conflict widens to string; None (only nulls seen so far)
+    defers to whichever side has evidence."""
+    if a is None:
+        return b
+    if b is None or a == b:
+        return a
+    if {type(a), type(b)} == {T.LongType, T.DoubleType}:
+        return T.DoubleType()
+    return T.StringType()
+
+
+def _json_text(v) -> str:
+    """Render a non-string JSON value the way spark.read.json casts it to
+    a string column: JSON text (compact separators, true/false booleans),
+    never the Python repr (r07 ADVICE — str({'a': 1}) gave "{'a': 1}")."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (dict, list)):
+        return json.dumps(v, separators=(",", ":"))
+    return str(v)
+
+
 class JsonlReader(DataSourceReader):
     _SUPPORTED = (T.BooleanType, T.LongType, T.DoubleType, T.StringType)
 
@@ -117,7 +150,7 @@ class JsonlReader(DataSourceReader):
             f.name: (bool if isinstance(f.dataType, T.BooleanType)
                      else int if isinstance(f.dataType, T.LongType)
                      else float if isinstance(f.dataType, T.DoubleType)
-                     else str)
+                     else _json_text)
             for f in self.schema.fields
         }
         with open(partition.path, "rb") as fh:
@@ -157,13 +190,20 @@ class JsonlDataSource(DataSource):
         return "jsonl"
 
     def schema(self) -> T.StructType:
-        """Infer from the first non-empty line when the caller declared no
-        schema (S4's declared-schema path is ``.schema(...)`` on the
-        reader, which bypasses this)."""
+        """Infer by MERGING keys and types across the whole bounded probe
+        window (first 100 lines of the first file), the spark.read.json
+        sampling contract in miniature (r07 ADVICE — the old first-line
+        return dropped keys that only appear later and typed
+        first-value-null fields as string): field order is first
+        appearance, long+double widens to double, other conflicts widen
+        to string, a field seen only as null types as string. Callers
+        with a known layout use the S4 declared-schema path
+        (``.schema(...)`` on the reader), which bypasses this."""
         path = self.options.get("path")
         if not path:
             raise ValueError("jsonl source requires a path")
         probe = _list_files(path)[0]
+        merged: dict[str, T.DataType | None] = {}
         with open(probe, "rb") as fh:
             for i, raw in enumerate(fh):
                 if i >= 100:  # bounded probe — don't scan a huge file
@@ -172,15 +212,20 @@ class JsonlDataSource(DataSource):
                 if not raw:
                     continue
                 try:
-                    first = json.loads(raw)
+                    obj = json.loads(raw)
                 except json.JSONDecodeError:
                     continue  # PERMISSIVE: a malformed head line is data,
-                    # not a planning failure — infer from the next line
-                if isinstance(first, dict) and first:
-                    return T.StructType(
-                        [T.StructField(k, _infer_field(v), True)
-                         for k, v in first.items()]
-                    )
+                    # not a planning failure — infer from the other lines
+                if not isinstance(obj, dict):
+                    continue
+                for k, v in obj.items():
+                    t = None if v is None else _infer_field(v)
+                    merged[k] = _merge_types(merged.get(k), t)
+        if merged:
+            return T.StructType(
+                [T.StructField(k, t if t is not None else T.StringType(), True)
+                 for k, t in merged.items()]
+            )
         raise ValueError(
             f"cannot infer a schema from the first lines of {probe}; "
             "declare one with .schema(...)"
