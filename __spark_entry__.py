@@ -212,6 +212,8 @@ ROTATION_PRIORITY = [
     "train_quality_logreg",
     "dedup_image_phash",
     "stream_markov_transitions",
+    "dedup_image_clusters",
+    "dedup_audio_envelope",
     "paths_event_trigrams",
 ]
 

@@ -21,7 +21,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["decode_wav", "encode_wav", "band_energies"]
+__all__ = ["decode_wav", "encode_wav", "band_energies", "envelope_hash"]
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
@@ -92,3 +92,30 @@ def band_energies(samples: np.ndarray, bins: int = 8) -> list[float]:
     )
     total = bands.sum()
     return list(bands / total) if total > 0 else [0.0] * bins
+
+
+def envelope_hash(samples: np.ndarray, hash_size: int = 8) -> str:
+    """Amplitude-envelope perceptual fingerprint as a hex string of
+    hash_size^2 bits: channel-mean signal -> split into hash_size^2 equal
+    windows (trailing remainder dropped) -> mean |amplitude| per window ->
+    bit j set iff window j's envelope is STRICTLY above the mean of all
+    window envelopes. The audio sibling of imaging.average_hash — loudness-
+    contour-based, so trimming-free re-encodes and codec round-trips hash
+    identically, and every step is plain arithmetic an SQL oracle can
+    replay (unlike the FFT band features). Packed with the shared
+    reading-order nibble layout, so hamming distance works through the
+    same per-nibble bit_count(xor) machinery as the image hashes.
+    """
+    from .imaging import _pack_bits_hex
+
+    mono = samples.mean(axis=1) if samples.ndim == 2 else samples
+    n_win = hash_size * hash_size
+    wlen = len(mono) // n_win
+    if wlen == 0:
+        raise ValueError(
+            f"audio too short for a {n_win}-window envelope hash "
+            f"({len(mono)} samples)"
+        )
+    env = np.abs(mono[: n_win * wlen]).reshape(n_win, wlen).mean(axis=1)
+    bits = (env > env.mean()).astype(np.int64)
+    return _pack_bits_hex(bits)

@@ -38,6 +38,7 @@ __all__ = [
     "simhash_fingerprints",
     "simhash_near_pairs",
     "image_phash_fingerprints",
+    "audio_envelope_fingerprints",
     "phash_near_pairs",
     "embedding_near_pairs",
     "semdedup_pairs",
@@ -487,6 +488,41 @@ def image_phash_fingerprints(
                     id_col: pdf[id_col],
                     "phash": pdf[content_col].map(
                         lambda b: hasher(decode_image(bytes(b)), hash_size)
+                    ),
+                }
+            )
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def audio_envelope_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    hash_size: int = 8,
+) -> DataFrame:
+    """(id, phash): amplitude-envelope fingerprint per audio blob via the
+    REAL WAV decode path (mapInPandas, Arrow batches) — the audio entry
+    into the same Hamming-band dedup machinery as the image hashes
+    (``phash_near_pairs`` consumes either; same hex packing, same chunk
+    pigeonhole). Output column is named phash so the pair operator needs
+    no per-modality configuration."""
+    from ..functions.audio import decode_wav, envelope_hash
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("phash", T.StringType()),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "phash": pdf[content_col].map(
+                        lambda b: envelope_hash(decode_wav(bytes(b))[0], hash_size)
                     ),
                 }
             )

@@ -32,6 +32,7 @@ from pyspark.sql import types as T
 __all__ = [
     "MEDIA_META_SCHEMA",
     "attach_blob",
+    "attach_synthetic_audio",
     "attach_synthetic_image",
     "decode_features",
     "decode_features_arrow",
@@ -109,6 +110,48 @@ def attach_synthetic_image(
         return payload.map(synth)
 
     return df.select(F.col(id_col), _img(F.col(payload_col)).alias("content"))
+
+
+def attach_synthetic_audio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "text",
+    n_samples: int = 256,
+    rate: int = 8000,
+) -> DataFrame:
+    """(id, content): a REAL 16-bit PCM RIFF/WAVE clip per row whose
+    ``n_samples`` mono samples are md5-derived from the payload —
+    md5(payload || 'au0') || md5(payload || 'au1') || ... hex pairs,
+    byte b -> PCM value (b - 128) * 256, which decode_wav surfaces as
+    exactly (b - 128) / 128. Identical payloads produce identical clips
+    (planted audio duplicates) and the sample derivation is md5 string
+    arithmetic, so an SQL oracle replays the decoded amplitudes while the
+    Spark path exercises the real encode -> decode -> fingerprint stack.
+    n_samples must be a multiple of 16 (one md5 digest = 16 bytes)."""
+    import numpy as np
+
+    from ..functions.audio import encode_wav
+
+    if n_samples % 16:
+        raise ValueError(f"n_samples = {n_samples} not a multiple of 16")
+    n_digests = n_samples // 16
+
+    @F.pandas_udf(T.BinaryType())
+    def _wav(payload: pd.Series) -> pd.Series:
+        def synth(s: str) -> bytes:
+            hx = "".join(
+                hashlib.md5(f"{s}au{k}".encode()).hexdigest()
+                for k in range(n_digests)
+            )
+            b = np.frombuffer(bytes.fromhex(hx), dtype=np.uint8)
+            # float value whose round(x * 32767) is exactly (b-128)*256,
+            # so the decoded sample is exactly (b-128)/128
+            samples = (b.astype(np.float64) - 128.0) * 256.0 / 32767.0
+            return encode_wav(samples, rate)
+
+        return payload.map(synth)
+
+    return df.select(F.col(id_col), _wav(F.col(payload_col)).alias("content"))
 
 
 def _fake_feature(content: bytes) -> list[float]:

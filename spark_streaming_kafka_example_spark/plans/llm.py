@@ -1886,29 +1886,110 @@ _PHASH_NIBS_CTE = """
     )"""
 
 
+# hamming<=3 pair relation over the aHash nibbles — shared by the pair
+# query and the image-cluster assignment so the edge semantics can't drift.
+_PHASH_SCORED_CTE = """
+    scored AS (
+        SELECT id_a, id_b, hamming FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(list_sum(list_transform(range(1, 17),
+                        j -> bit_count(xor(a.nb[j], b.nb[j])))) AS INT)
+                       AS hamming
+            FROM nibs a JOIN nibs b ON a.doc_id < b.doc_id
+        ) WHERE hamming <= 3
+    )"""
+
+
+def _image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hamming<=3 aHash pair graph over the planted exact corpus —
+    shared by the pair query and the cluster assignment."""
+    from ..operators.multimodal import attach_synthetic_image
+
+    corpus = _exact_corpus(spark, sf_dir)
+    imgs = attach_synthetic_image(corpus)
+    fp = DD.image_phash_fingerprints(imgs, hash_size=8, kind="ahash")
+    return DD.phash_near_pairs(fp, hex_len=16, max_hamming=3)
+
+
 @register(
     "dedup_image_phash",
     f"""
     WITH {EXACT_CORPUS_CTE.strip()},
     {_PHASH_NIBS_CTE.strip()},
-    pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(list_sum(list_transform(range(1, 17),
-                    j -> bit_count(xor(a.nb[j], b.nb[j])))) AS INT) AS hamming
-        FROM nibs a JOIN nibs b ON a.doc_id < b.doc_id
-    )
-    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+    {_PHASH_SCORED_CTE.strip()}
+    SELECT id_a, id_b, hamming FROM scored
     """,
 )
 def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate image pairs by aHash hamming <= 3 over the planted
     exact corpus — content -> real PPM decode -> perceptual hash ->
     Hamming-band LSH."""
-    from ..operators.multimodal import attach_synthetic_image
+    return _image_phash_pairs(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Audio-envelope dedup (r08): the audio sibling of dedup_image_phash. The
+# exact corpus is rendered to REAL 16-bit PCM WAV clips (md5-derived
+# samples, attach_synthetic_audio), fingerprinted through the genuine
+# decode -> amplitude-envelope -> threshold-bits path (functions/audio.py
+# envelope_hash), and paired with the SAME Hamming-band machinery as
+# images (phash_near_pairs). Oracle replays decoded amplitudes as
+# (byte - 128) / 128 plus the envelope/threshold arithmetic — every term
+# is a dyadic rational, so float equality is exact cross-engine.
+# ---------------------------------------------------------------------------
+
+_AUDIO_NIBS_CTE = """
+    px AS (
+        SELECT doc_id,
+               """ + " ||\n               ".join(
+    f"md5(text || 'au{k}')" for k in range(16)
+) + """ AS h
+        FROM corpus
+    ),
+    sample_bytes AS (
+        SELECT doc_id,
+               list_transform(range(0, 256),
+                   i -> (strpos('0123456789abcdef', substring(h, 2*i+1, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef', substring(h, 2*i+2, 1)) - 1)) AS p
+        FROM px
+    ),
+    env AS (
+        SELECT doc_id,
+               list_transform(range(0, 64),
+                   j -> list_sum(list_transform(range(1, 5),
+                            k -> abs(p[4*j + k] - 128))) / 512.0) AS e
+        FROM sample_bytes
+    ),
+    stat AS (SELECT doc_id, e, list_sum(e) / 64.0 AS m FROM env),
+    nibs AS (
+        SELECT doc_id,
+               list_transform(range(0, 16),
+                   j -> (CASE WHEN e[4*j+1] > m THEN 8 ELSE 0 END)
+                      + (CASE WHEN e[4*j+2] > m THEN 4 ELSE 0 END)
+                      + (CASE WHEN e[4*j+3] > m THEN 2 ELSE 0 END)
+                      + (CASE WHEN e[4*j+4] > m THEN 1 ELSE 0 END)) AS nb
+        FROM stat
+    )"""
+
+
+@register(
+    "dedup_audio_envelope",
+    f"""
+    WITH {EXACT_CORPUS_CTE.strip()},
+    {_AUDIO_NIBS_CTE.strip()},
+    {_PHASH_SCORED_CTE.strip()}
+    SELECT id_a, id_b, hamming FROM scored
+    """,
+)
+def dedup_audio_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate audio pairs by envelope-hash hamming <= 3 over the
+    planted exact corpus — content -> real WAV decode -> amplitude
+    envelope fingerprint -> Hamming-band LSH."""
+    from ..operators.multimodal import attach_synthetic_audio
 
     corpus = _exact_corpus(spark, sf_dir)
-    imgs = attach_synthetic_image(corpus)
-    fp = DD.image_phash_fingerprints(imgs, hash_size=8, kind="ahash")
+    clips = attach_synthetic_audio(corpus)
+    fp = DD.audio_envelope_fingerprints(clips, hash_size=8)
     return DD.phash_near_pairs(fp, hex_len=16, max_hamming=3)
 
 
@@ -1988,6 +2069,29 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import connected_components_star
 
     cc = connected_components_star(jaccard_pair_graph(spark, sf_dir))
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+@register(
+    "dedup_image_clusters",
+    f"""
+    WITH RECURSIVE {EXACT_CORPUS_CTE.strip()},
+    {_PHASH_NIBS_CTE.strip()},
+    {_PHASH_SCORED_CTE.strip()},
+    {_EDGES_REACH_CLUSTERS_CTE.strip()}
+    SELECT doc_id, cluster_id FROM clusters
+    """,
+)
+def dedup_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image duplicate CLUSTERS (r08): connected components over the
+    hamming<=3 aHash pair graph — the image pipeline gets the same
+    pairs -> transitive-cluster -> canonical-representative story as text
+    dedup, reusing the min-label propagation engine and the reachability-
+    fixpoint oracle. Every image in the pair graph is labeled with its
+    component's minimum doc_id."""
+    from ..operators.components import connected_components
+
+    cc = connected_components(_image_phash_pairs(spark, sf_dir).select("id_a", "id_b"))
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
 
 

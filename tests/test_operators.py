@@ -1357,3 +1357,55 @@ def test_phash_real_images_behavior(spark):
     assert pairs[(1, 2)] == 0          # cross-codec exact duplicate
     assert (1, 3) in pairs and pairs[(1, 3)] <= 3
     assert not any(4 in p for p in pairs)  # the unrelated image pairs with nothing
+
+
+def test_audio_envelope_hash_behavior(spark):
+    """Envelope hashing on REAL decoded WAV (r08): identical clips collide
+    at hamming 0, the hash is volume-invariant (envelope and threshold
+    scale together), a lightly-edited clip stays near, and unrelated audio
+    does not; the Spark pipeline finds exactly the planted pairs."""
+    import numpy as np
+
+    from spark_streaming_kafka_example_spark.functions.audio import (
+        decode_wav,
+        encode_wav,
+        envelope_hash,
+    )
+    from spark_streaming_kafka_example_spark.operators.dedup import (
+        audio_envelope_fingerprints,
+        phash_near_pairs,
+    )
+
+    def hamming(a: str, b: str) -> int:
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+    rng = np.random.default_rng(9)
+    base = rng.uniform(-0.9, 0.9, size=1024)
+    near = base.copy()
+    near[:16] = 0.0  # clip the first window's content: tiny edit
+    far = rng.uniform(-0.9, 0.9, size=1024)
+
+    h_base = envelope_hash(decode_wav(encode_wav(base, 8000))[0])
+    assert len(h_base) == 16
+    # volume invariance: a quiet re-encode (x0.3) hashes identically
+    h_quiet = envelope_hash(decode_wav(encode_wav(base * 0.3, 8000))[0])
+    assert h_quiet == h_base
+    assert hamming(h_base, envelope_hash(decode_wav(encode_wav(near, 8000))[0])) <= 3
+    assert hamming(h_base, envelope_hash(decode_wav(encode_wav(far, 8000))[0])) > 10
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav(base, 8000))),
+            (2, bytearray(encode_wav(base, 8000))),      # exact dup
+            (3, bytearray(encode_wav(near, 8000))),      # near dup
+            (4, bytearray(encode_wav(far, 8000))),       # unrelated
+        ],
+        "doc_id long, content binary",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_near_pairs(audio_envelope_fingerprints(df)).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 3
+    assert not any(4 in p for p in pairs)

@@ -104,11 +104,15 @@ def test_embedding_cosine_no_cartesian(plan_of):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_image_phash_no_cartesian(plan_of):
-    """Perceptual-hash image dedup (r08) must equi-join on
+@pytest.mark.parametrize("name", ["dedup_image_phash", "dedup_audio_envelope"])
+def test_media_hash_dedup_no_cartesian(plan_of, name):
+    """Perceptual-hash media dedup (r08) must equi-join on
     (chunk_id, chunk_val) Hamming-band buckets — the simhash pigeonhole
-    generalized to hex fingerprints — never an all-pairs image join."""
-    plan = plan_of("dedup_image_phash")
+    generalized to hex fingerprints — never an all-pairs blob join. Covers
+    the image (aHash) and audio (envelope-hash) entries; the image
+    CLUSTER query consumes the same pair relation before its eager
+    component loop, so this pins its edge-generation plan too."""
+    plan = plan_of(name)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
