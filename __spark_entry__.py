@@ -214,6 +214,9 @@ ROTATION_PRIORITY = [
     "stream_markov_transitions",
     "dedup_image_clusters",
     "dedup_audio_envelope",
+    "funnel_within_24h",
+    "text_vocab_coverage",
+    "train_feature_binning",
     "paths_event_trigrams",
 ]
 

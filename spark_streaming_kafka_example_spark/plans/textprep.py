@@ -1859,3 +1859,146 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("contamination_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage / OOV reporting (r08): build the top-V token
+# vocabulary by corpus frequency (the tokenizer-building precursor) and
+# report per-source out-of-vocabulary rates — the go/no-go check before
+# committing a tokenizer to a data mixture. Scale: token counts are one
+# partial-aggregated hash shuffle; the vocabulary is TakeOrderedAndProject
+# top-V (fixed-size by construction — the broadcast-dim class), so the
+# coverage pass is a map-side broadcast join + one small per-source agg.
+# Ties at the frequency boundary break by token text, so top-V is a total
+# order and both engines pick the same vocabulary.
+# ---------------------------------------------------------------------------
+
+_VOCAB_V = 1000
+
+
+@register(
+    "text_vocab_coverage",
+    f"""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    vocab AS (
+        SELECT tok FROM counts ORDER BY cnt DESC, tok LIMIT {_VOCAB_V}
+    )
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           round(avg(CASE WHEN v.tok IS NULL THEN 1.0 ELSE 0.0 END), 4)
+               AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.source
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(_VOCAB_V)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    # toks feeds the count agg and the coverage join; re-deriving it is one
+    # extra documents scan — cheaper at scale than materializing the full
+    # token stream, so deliberately NOT checkpointed.
+    cov = toks.join(F.broadcast(vocab), "tok", "left")
+    return cov.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .alias("n_oov"),
+        F.round(
+            F.avg(F.when(F.col("in_vocab").isNull(), 1.0).otherwise(0.0)), 4
+        ).alias("oov_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile feature binning (r08): the distributed QuantileDiscretizer —
+# assign every document to a quality-score decile and profile each bin.
+# The scalable shape: per-VALUE counts (one hash shuffle over a relation
+# bounded by the score's 1e-4 rounding grid, so <= ~10k rows regardless of
+# corpus size), a cumulative sum over that tiny relation, discrete
+# (type-1 / inverse-ECDF) boundaries at integer ranks — pure ordering +
+# integer arithmetic, NO float interpolation, so both engines derive
+# bit-identical bounds — then a map-side broadcast bucket assignment.
+# ntile() would need a single global sort; interpolated percentile() would
+# race engine ulp differences at bucket edges. Ranks use (b*n + 9) div 10
+# = ceil(b*n/10) in integer math.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "train_feature_binning",
+    f"""
+    WITH {_quality_cte_sql('documents').strip()},
+    counts AS (
+        SELECT quality_p AS q, CAST(count(*) AS BIGINT) AS c
+        FROM quality GROUP BY quality_p
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM quality),
+    cum AS (SELECT q, sum(c) OVER (ORDER BY q) AS cumc FROM counts),
+    bounds AS (
+        SELECT t.b, min(cum.q) AS bound
+        FROM range(1, 10) t(b) CROSS JOIN nn JOIN cum
+          ON cum.cumc >= (t.b * nn.n + 9) // 10
+        GROUP BY t.b
+    ),
+    blist AS (SELECT list(bound ORDER BY b) AS bs FROM bounds),
+    assigned AS (
+        SELECT quality_p,
+               CAST(1 + len(list_filter(blist.bs, x -> quality_p > x)) AS INT)
+                   AS bucket
+        FROM quality CROSS JOIN blist
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           round(min(quality_p), 4) AS q_min,
+           round(max(quality_p), 4) AS q_max,
+           round(avg(quality_p), 6) AS q_avg
+    FROM assigned GROUP BY bucket
+    """,
+)
+def train_feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(quality_p_col().alias("q")).localCheckpoint(eager=False)
+    counts = q.groupBy("q").agg(F.count(F.lit(1)).alias("c"))
+    nn = counts.agg(F.sum("c").alias("n"))
+    # The unpartitioned running sum is over the per-VALUE relation, which
+    # the 1e-4 score grid bounds at ~10k rows — the documented fixed-size
+    # exception to the no-global-window rule.
+    from pyspark.sql.window import Window as W
+
+    cum = counts.select(
+        "q", F.sum("c").over(W.orderBy("q")).alias("cumc")
+    )
+    bounds = (
+        cum.crossJoin(F.broadcast(nn))
+        .select("q", "cumc", "n", F.explode(F.expr("sequence(1, 9)")).alias("b"))
+        .filter(F.col("cumc") >= F.expr("(b * n + 9) div 10"))
+        .groupBy("b")
+        .agg(F.min("q").alias("bound"))
+    )
+    blist = bounds.agg(
+        F.expr("transform(array_sort(collect_list(struct(b, bound))), s -> s.bound)")
+            .alias("bs")
+    )
+    assigned = q.crossJoin(F.broadcast(blist)).select(
+        "q",
+        (
+            F.lit(1)
+            + F.expr("aggregate(bs, 0, (acc, x) -> acc + CASE WHEN q > x THEN 1 ELSE 0 END)")
+        ).cast("int").alias("bucket"),
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.min("q"), 4).alias("q_min"),
+        F.round(F.max("q"), 4).alias("q_max"),
+        F.round(F.avg("q"), 6).alias("q_avg"),
+    )

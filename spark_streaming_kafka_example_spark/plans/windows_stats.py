@@ -406,25 +406,32 @@ FUNNEL_ORACLE = """
     """
 
 
-@register("funnel_view_click_purchase", FUNNEL_ORACLE)
-def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-row funnel summary: users entering each ordered stage plus
-    stage-to-stage conversion. Three pushed-filter scans, per-user min
-    aggs, user_id-keyed joins — no window over the event stream. Each
-    stage relation is lazily checkpointed (the kmeans_centroids idiom):
-    it feeds both the NEXT stage's join and its own count, and without the
-    cut every consumer re-derives the chain from the raw scan (a 12-scan
-    plan, caught by r06 review; the plan test pins <= 3 scans)."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+def funnel_summary(ev: DataFrame, within_hours: int | None = None) -> DataFrame:
+    """One-row view->click->purchase funnel over any (user_id, ts,
+    event_type) relation. ``within_hours`` bounds each stage transition
+    (click within N hours of first view, purchase within N hours of first
+    click — the attribution-window variant); None keeps the unbounded
+    ordered funnel. Three pushed-filter scans, per-user min aggs,
+    user_id-keyed joins — no window over the event stream. Each stage
+    relation is lazily checkpointed (the kmeans_centroids idiom): it feeds
+    both the NEXT stage's join and its own count, and without the cut
+    every consumer re-derives the chain from the raw scan (a 12-scan plan,
+    caught by r06 review; the plan test pins <= 3 scans)."""
 
     def first_at_or_after(etype: str, prev: DataFrame, prev_t: str, out: str) -> DataFrame:
         e = ev.filter(F.col("event_type") == etype).select("user_id", "ts")
         if prev is None:
             staged = e.groupBy("user_id").agg(F.min("ts").alias(out))
         else:
+            cond = F.col("ts") >= F.col(prev_t)
+            if within_hours is not None:
+                cond = cond & (
+                    F.col("ts")
+                    <= F.col(prev_t) + F.expr(f"INTERVAL {within_hours} HOURS")
+                )
             staged = (
                 e.join(prev, "user_id")
-                .filter(F.col("ts") >= F.col(prev_t))
+                .filter(cond)
                 .groupBy("user_id")
                 .agg(F.min("ts").alias(out))
             )
@@ -443,6 +450,53 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_purchase").cast("double") / F.col("n_click"), 4)
             .alias("click_to_purchase"),
     )
+
+
+@register("funnel_view_click_purchase", FUNNEL_ORACLE)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row funnel summary: users entering each ordered stage plus
+    stage-to-stage conversion (see funnel_summary for the plan shape)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return funnel_summary(ev)
+
+
+# The attribution-window twin: each stage only counts if it happens within
+# 24 hours of the previous stage's entry — the marketing-attribution
+# semantics ("conversions credited to the session"). Same plan shape as
+# the unbounded funnel; only the join predicate gains the upper bound.
+FUNNEL_24H_ORACLE = """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+            AND e.ts >= v.t_view AND e.ts <= v.t_view + INTERVAL 24 HOURS
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+            AND e.ts >= c.t_click AND e.ts <= c.t_click + INTERVAL 24 HOURS
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase,
+           round(CAST((SELECT count(*) FROM c) AS DOUBLE)
+                 / (SELECT count(*) FROM v), 4) AS view_to_click,
+           round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+                 / (SELECT count(*) FROM c), 4) AS click_to_purchase
+    """
+
+
+@register("funnel_within_24h", FUNNEL_24H_ORACLE)
+def funnel_within_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-window funnel (r08): click within 24h of first view,
+    purchase within 24h of first click."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return funnel_summary(ev, within_hours=24)
 
 
 # ---------------------------------------------------------------------------

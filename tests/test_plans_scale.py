@@ -117,6 +117,28 @@ def test_media_hash_dedup_no_cartesian(plan_of, name):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_vocab_coverage_topv_and_broadcast(plan_of):
+    """Vocabulary building (r08) must pick the top-V via
+    TakeOrderedAndProject (fixed-size, no global sort) and run the
+    coverage pass as a map-side BROADCAST join of that vocabulary —
+    shuffling the full token stream for the membership check would be the
+    100 TB killer."""
+    plan = plan_of("text_vocab_coverage")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_feature_binning_broadcast_bounds(plan_of):
+    """Quantile binning (r08): the decile bounds must reach the
+    assignment pass as a broadcast one-row relation; the only window runs
+    over the per-VALUE counts (bounded by the 1e-4 score grid), never the
+    corpus."""
+    plan = plan_of("train_feature_binning")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_levenshtein_lsh_no_cartesian(plan_of):
     """The at-scale edit-distance path: candidates from LSH banding, scored
     via key-lookup equi-joins — never the all-pairs fallback self-join."""
