@@ -217,6 +217,7 @@ ROTATION_PRIORITY = [
     "funnel_within_24h",
     "text_vocab_coverage",
     "train_feature_binning",
+    "stream_image_phash",
     "paths_event_trigrams",
 ]
 

@@ -39,6 +39,8 @@ __all__ = [
     "simhash_near_pairs",
     "image_phash_fingerprints",
     "audio_envelope_fingerprints",
+    "phash_chunks",
+    "phash_hamming",
     "phash_near_pairs",
     "embedding_near_pairs",
     "semdedup_pairs",
@@ -535,20 +537,33 @@ def _hex_nibble(col, i: int):
     return F.instr(F.lit("0123456789abcdef"), F.substring(col, i + 1, 1)) - 1
 
 
-def phash_near_pairs(
+def phash_hamming(col_a, col_b, hex_len: int = 16):
+    """Hamming distance between two equal-length hex fingerprints as a
+    codegen-only column: sum over nibble positions of
+    bit_count(nib_a XOR nib_b). Shared by the batch self-join and the
+    stream-static catalog probe."""
+    hamming = None
+    for i in range(hex_len):
+        term = F.bit_count(
+            _hex_nibble(col_a, i).bitwiseXOR(_hex_nibble(col_b, i))
+        )
+        hamming = term if hamming is None else hamming + term
+    return hamming.cast("int")
+
+
+def phash_chunks(
     fp: DataFrame,
     id_col: str = "doc_id",
     hash_col: str = "phash",
     hex_len: int = 16,
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup image pairs with hamming(phash) <= max_hamming, blocked on
-    max_hamming+1 substring chunks of the hex fingerprint: <= k differing
-    BITS spread over k+1 chunks leave >= 1 chunk identical (pigeonhole),
-    so candidate generation is an equi-join on (chunk_id, chunk_val) —
-    bounded by bucket occupancy, never all-pairs. Output:
-    (id_a, id_b, hamming) with id_a < id_b, complete w.r.t. the all-pairs
-    filter by construction."""
+    """(id, phash, chunk_id, chunk_val): the fingerprint melted into
+    max_hamming+1 substring chunks — the Hamming-band LSH key relation.
+    <= k differing BITS spread over k+1 chunks leave >= 1 chunk identical
+    (pigeonhole), so an equi-join on (chunk_id, chunk_val) is a COMPLETE
+    candidate generator for hamming <= k. Works on batch and streaming
+    DataFrames alike (stack is a plain projection)."""
     n_chunks = max_hamming + 1
     base, extra = divmod(hex_len, n_chunks)
     if base == 0:
@@ -567,24 +582,34 @@ def phash_near_pairs(
         ],
     )
     stack_expr = ", ".join(f"{c}, chunk_{c}" for c in range(n_chunks))
-    melted = chunked.selectExpr(
+    return chunked.selectExpr(
         id_col,
         hash_col,
         f"stack({n_chunks}, {stack_expr}) AS (chunk_id, chunk_val)",
     )
+
+
+def phash_near_pairs(
+    fp: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    hex_len: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup media pairs with hamming(phash) <= max_hamming, blocked on
+    the phash_chunks bands — candidate generation is an equi-join on
+    (chunk_id, chunk_val), bounded by bucket occupancy, never all-pairs.
+    Output: (id_a, id_b, hamming) with id_a < id_b, complete w.r.t. the
+    all-pairs filter by pigeonhole."""
+    melted = phash_chunks(fp, id_col, hash_col, hex_len, max_hamming)
     # One materialization of the (decode-expensive) fingerprints; the
-    # self-join would otherwise run the whole image-decode pass per side
+    # self-join would otherwise run the whole media-decode pass per side
     # (the blocked-self-join idiom shared with simhash/minhash).
     melted = melted.localCheckpoint()
     a, b = melted.alias("a"), melted.alias("b")
-    hamming = None
-    for i in range(hex_len):
-        term = F.bit_count(
-            _hex_nibble(F.col(f"a.{hash_col}"), i).bitwiseXOR(
-                _hex_nibble(F.col(f"b.{hash_col}"), i)
-            )
-        )
-        hamming = term if hamming is None else hamming + term
+    hamming = phash_hamming(
+        F.col(f"a.{hash_col}"), F.col(f"b.{hash_col}"), hex_len
+    )
     pairs = (
         a.join(
             b,
@@ -595,7 +620,7 @@ def phash_near_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            hamming.cast("int").alias("hamming"),
+            hamming.alias("hamming"),
         )
         .distinct()
     )

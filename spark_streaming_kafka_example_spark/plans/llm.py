@@ -1911,15 +1911,18 @@ def _image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.phash_near_pairs(fp, hex_len=16, max_hamming=3)
 
 
-@register(
-    "dedup_image_phash",
-    f"""
+# Shared with the streaming twin (plans/stream.py stream_image_phash):
+# the drained stream-static probe equals this batch self-join, so one
+# oracle covers both.
+IMAGE_PHASH_PAIRS_ORACLE = f"""
     WITH {EXACT_CORPUS_CTE.strip()},
     {_PHASH_NIBS_CTE.strip()},
     {_PHASH_SCORED_CTE.strip()}
     SELECT id_a, id_b, hamming FROM scored
-    """,
-)
+    """
+
+
+@register("dedup_image_phash", IMAGE_PHASH_PAIRS_ORACLE)
 def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate image pairs by aHash hamming <= 3 over the planted
     exact corpus — content -> real PPM decode -> perceptual hash ->

@@ -1074,3 +1074,64 @@ def stream_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src", "dst", "n",
         F.round(F.col("n") / F.sum("n").over(wsrc).cast("double"), 4).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming image-dedup probe (r08): the at-ingest NEAR-dup complement of
+# stream_dedup_fingerprint's exact check — every arriving image is
+# fingerprinted (real decode -> aHash, mapInPandas works unchanged on a
+# stream) and probed against a STATIC fingerprint catalog via the
+# Hamming-band chunks: a stream-static BROADCAST equi-join on
+# (chunk_id, chunk_val), hamming computed in codegen, append mode, no
+# stream-side state at all. Here the catalog is the same corpus the
+# stream delivers, so the drained pairs equal the batch self-join and
+# share dedup_image_phash's oracle; in production the catalog is
+# yesterday's index (broadcast while dim-sized, shuffle join beyond).
+# Multi-chunk matches dedupe batch-side after the drain.
+# ---------------------------------------------------------------------------
+
+
+from .llm import IMAGE_PHASH_PAIRS_ORACLE  # noqa: E402
+
+
+@register("stream_image_phash", IMAGE_PHASH_PAIRS_ORACLE)
+def stream_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (
+        image_phash_fingerprints,
+        phash_chunks,
+        phash_hamming,
+    )
+    from ..operators.multimodal import attach_synthetic_image
+    from .llm import _exact_corpus
+
+    catalog = phash_chunks(
+        image_phash_fingerprints(
+            attach_synthetic_image(_exact_corpus(spark, sf_dir))
+        )
+    ).localCheckpoint()
+
+    ds = documents_stream(spark, sf_dir).select("doc_id", "text")
+    plants = ds.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    stream_fp = image_phash_fingerprints(
+        attach_synthetic_image(ds.unionByName(plants))
+    )
+    probe = phash_chunks(stream_fp).alias("s")
+    cat = catalog.alias("c")
+    pairs = (
+        probe.join(
+            F.broadcast(cat),
+            (F.col("s.chunk_id") == F.col("c.chunk_id"))
+            & (F.col("s.chunk_val") == F.col("c.chunk_val"))
+            & (F.col("s.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("s.doc_id").alias("id_a"),
+            F.col("c.doc_id").alias("id_b"),
+            phash_hamming(F.col("s.phash"), F.col("c.phash")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+    drained = run_to_table(spark, pairs, "append")
+    return drained.distinct()
