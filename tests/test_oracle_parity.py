@@ -77,6 +77,26 @@ def test_entry_smoke(spark):
     assert df.count() > 0
 
 
+def test_driver_window_covers_all_unchecked():
+    """Rotation invariant (CLAUDE.md): the driver runs only the FIRST 50
+    of queries(), so every query with no green driver row under its
+    current oracle (including FORCE_RECHECK re-entries) must sort inside
+    that window — an unchecked query past the cut would never earn a
+    correctness row. Fails loudly when a round registers more new queries
+    than the window has slack."""
+    import __spark_entry__ as m
+
+    last_green = m._last_green_round()
+    for name in m.FORCE_RECHECK:
+        last_green.pop(name, None)
+    names = m._ordered_names()
+    past_cut = [n for n in names[50:] if n not in last_green]
+    assert not past_cut, (
+        f"{len(past_cut)} unchecked queries past the 50-query driver "
+        f"window: {past_cut}"
+    )
+
+
 def test_mixture_source_cardinality(spark, sf_dir):
     """sample_domain_mixture's residual weight splits over exactly
     _MIX_RESIDUAL_SHARDS = 20 - 2 unnamed shards; if the fixture's source

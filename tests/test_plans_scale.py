@@ -33,6 +33,25 @@ def plan_of(spark, sf_dir):
     return _get
 
 
+def test_no_query_plans_a_cartesian_product(spark, sf_dir):
+    """Repo-wide 100 TB contract (r08): NO registered batch query may plan
+    a CartesianProduct — every cross-relation composition must either
+    equi-join (possibly on LSH/band/bucket keys) or crossJoin a BROADCAST
+    fixed-size relation (which plans as BroadcastNestedLoopJoin over a
+    one-row/fixed-k side — the moments/bounds/centroids idiom). A true
+    CartesianProduct shuffles both sides all-to-all and is always a scale
+    bug here. Streaming queries are excluded (building their plan runs
+    the bounded drain); their batch twins cover the shapes."""
+    offenders = []
+    for name, fn in sorted(plans.QUERIES.items()):
+        if name.startswith("stream_"):
+            continue
+        plan = formatted_plan(fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"CartesianProduct planned by: {offenders}"
+
+
 def test_q1_filter_pushdown_and_pruning(plan_of):
     plan = plan_of("q1_pricing_summary")
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
