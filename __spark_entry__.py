@@ -218,6 +218,8 @@ ROTATION_PRIORITY = [
     "text_vocab_coverage",
     "train_feature_binning",
     "stream_image_phash",
+    "multimodal_frame_sample",
+    "funnel_time_to_convert",
     "paths_event_trigrams",
 ]
 

@@ -1847,6 +1847,38 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id,
+           CAST(fno AS INT) AS frame_no,
+           md5(substring(text, fno * 16 + 1, 16)) AS frame_md5
+    FROM documents,
+         unnest(generate_series(0, length(text) // 16 - 1, 4)) AS t(fno)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over the blob table (r08): every 4th
+    16-byte frame of each payload, one output row per kept frame —
+    promotes sample_frames' one-to-many mapInPandas contract from
+    pytest-only to a driver-checked row. The fake frame slicer is
+    deterministic byte windows, so md5(frame) cross-checks in SQL
+    (documents text is ASCII: char offsets == byte offsets, the
+    multimodal_resize precedent). Real container decode stays honestly
+    ffmpeg-gated."""
+    from ..operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(
+        attach_blob(docs), every_nth=4, frame_bytes=16, fake=True
+    )
+    return frames.select(
+        "doc_id",
+        F.col("frame_no").cast("int").alias("frame_no"),
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Perceptual-hash image dedup (r08, r07 VERDICT task 5): the exact corpus
 # is rendered to REAL 8x8 grayscale PPM images (md5-derived pixels,

@@ -500,6 +500,82 @@ def funnel_within_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Time-to-convert distribution (r08): for users who complete the funnel,
+# how long did view -> purchase take — bucketed by whole days. A bucketed
+# histogram instead of a percentile agg on purpose: an exact percentile
+# buffer would hold every converting user's latency in one aggregation
+# state, while the day-bucket groupBy is a plain partial-aggregated hash
+# shuffle with output bounded by the time horizon. Latency math is
+# integer epoch seconds (exact cross-engine); only the reported mean is
+# floating point.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_time_to_convert",
+    """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.t_view
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.t_click
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    lat AS (
+        -- integer micros + floor-div: epoch() is fractional and DuckDB's
+        -- double->BIGINT CAST rounds while Spark's unix_timestamp floors
+        SELECT p.user_id,
+               epoch_us(p.t_purchase) // 1000000
+             - epoch_us(v.t_view) // 1000000 AS secs
+        FROM p JOIN v ON p.user_id = v.user_id
+    )
+    SELECT CAST(secs // 86400 AS INT) AS days_to_convert,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(CAST(sum(secs) AS DOUBLE) / count(*) / 3600.0, 4) AS avg_hours
+    FROM lat GROUP BY 1
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+
+    def first_stage(etype: str, prev: DataFrame | None, prev_t: str, out: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype).select("user_id", "ts")
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias(out))
+        return (
+            e.join(prev, "user_id")
+            .filter(F.col("ts") >= F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    v = first_stage("view", None, "", "t_view").localCheckpoint(eager=False)
+    c = first_stage("click", v, "t_view", "t_click")
+    p = first_stage("purchase", c, "t_click", "t_purchase")
+    secs = (
+        F.unix_timestamp("t_purchase") - F.unix_timestamp("t_view")
+    ).cast("long")
+    lat = p.join(v, "user_id").select(secs.alias("secs"))
+    return lat.groupBy(
+        F.expr("secs div 86400").cast("int").alias("days_to_convert")
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        # exact integer sum, ONE division each — avg(secs/3600.0) would
+        # sum partition-ordered doubles and drift in the last ulp
+        F.round(
+            F.sum("secs").cast("double") / F.count(F.lit(1)) / 3600.0, 4
+        ).alias("avg_hours"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cohort retention (r06): users grouped by first-seen day; per (cohort,
 # day-offset), how many came back. Two user_id-keyed aggregations + one
 # join, then a tiny (cohort, offset) agg — the canonical retention matrix
