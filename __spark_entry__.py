@@ -220,6 +220,7 @@ ROTATION_PRIORITY = [
     "stream_image_phash",
     "multimodal_frame_sample",
     "funnel_time_to_convert",
+    "layout_zorder_key",
     "paths_event_trigrams",
 ]
 

@@ -1235,3 +1235,68 @@ def markov_transition_counts(
 def paths_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     return markov_transition_counts(ev)
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout key (r08): driver-checked oracle row for the Morton-code
+# machinery behind operators/zorder.py (zorder_layout itself stays
+# pytest-verified — repartitionByRange samples boundaries, so file
+# assignment is not oracle-deterministic, but the z-VALUE is pure bit
+# arithmetic). Normalization here is exact integer math — (x - lo) * top
+# div (hi - lo) over a broadcast one-row bounds relation — so both
+# engines derive identical 24-bit Morton codes; value joins the curve on
+# a fixed milli-unit grid.
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 12
+_Z_TOP = (1 << _Z_BITS) - 1
+
+
+@register(
+    "layout_zorder_key",
+    f"""
+    WITH src AS (
+        SELECT event_id, user_id,
+               CAST(floor(value * 1000) AS BIGINT) AS iv
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    bounds AS (
+        SELECT min(user_id) AS lo_u, max(user_id) AS hi_u,
+               min(iv) AS lo_v, max(iv) AS hi_v
+        FROM src
+    ),
+    scaled AS (
+        SELECT event_id,
+               (user_id - lo_u) * {_Z_TOP} // greatest(hi_u - lo_u, 1) AS su,
+               (iv - lo_v) * {_Z_TOP} // greatest(hi_v - lo_v, 1) AS sv
+        FROM src CROSS JOIN bounds
+    )
+    SELECT event_id,
+           CAST(list_sum(list_transform(range(0, {_Z_BITS}), b ->
+               (((su >> b) & 1) << (2*b)) + (((sv >> b) & 1) << (2*b + 1))
+           )) AS BIGINT) AS zval
+    FROM scaled
+    """,
+)
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.zorder import z_value
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    src = ev.select(
+        "event_id", "user_id",
+        F.floor(F.col("value") * 1000).cast("long").alias("iv"),
+    )
+    bounds = src.agg(
+        F.min("user_id").alias("lo_u"), F.max("user_id").alias("hi_u"),
+        F.min("iv").alias("lo_v"), F.max("iv").alias("hi_v"),
+    )
+    scaled = src.crossJoin(F.broadcast(bounds)).select(
+        "event_id",
+        F.expr(f"(user_id - lo_u) * {_Z_TOP} div greatest(hi_u - lo_u, 1)")
+            .alias("su"),
+        F.expr(f"(iv - lo_v) * {_Z_TOP} div greatest(hi_v - lo_v, 1)")
+            .alias("sv"),
+    )
+    return scaled.select(
+        "event_id", z_value(["su", "sv"], bits=_Z_BITS).alias("zval")
+    )
