@@ -107,15 +107,17 @@ def _last_green_round() -> dict[str, int]:
     return seen
 
 
-# Queries whose ORACLE TEXT changed this round even though their green
-# rows' values still hold (r08: the _PATH_MAX_EVENTS rank filter was added
-# to both path-mining oracles; it never binds at driver SFs, so results
-# are identical). Treated as unchecked so the driver re-proves the new
-# oracle text immediately instead of on freshness rotation.
-FORCE_RECHECK = [
-    "paths_event_trigrams",
-    "paths_markov_transitions",
-]
+# Queries whose ORACLE TEXT changed even though their green rows' values
+# still hold (r08: the _PATH_MAX_EVENTS rank filter was added to both
+# path-mining oracles; it never binds at driver SFs, so results are
+# identical). name -> round the change landed: the entry is treated as
+# unchecked until a green row from that round or later exists, then
+# EXPIRES AUTOMATICALLY (r08 review: a plain list burned window slots
+# forever if nobody deleted it after the re-proof landed).
+FORCE_RECHECK: dict[str, int] = {
+    "paths_event_trigrams": 8,
+    "paths_markov_transitions": 8,
+}
 
 
 # Unchecked queries enter the window in this order first, then registration
@@ -206,10 +208,10 @@ ROTATION_PRIORITY = [
     "paths_markov_transitions",
     "split_leakage_audit",
     "stream_funnel",
-    # r08-new: the logreg re-land leads (the only never-green query), then
-    # the perceptual-hash image dedup pipeline and the O(1)-state
-    # streaming Markov twin, then the two force-rechecked path oracles.
-    "train_quality_logreg",
+    # r08-new registrations. train_quality_logreg (the -0.0 re-land) and
+    # the two FORCE_RECHECK path oracles keep their r07-block positions
+    # above — names must appear ONCE here (duplicates would silently take
+    # the last index).
     "dedup_image_phash",
     "stream_markov_transitions",
     "dedup_image_clusters",
@@ -221,7 +223,6 @@ ROTATION_PRIORITY = [
     "multimodal_frame_sample",
     "funnel_time_to_convert",
     "layout_zorder_key",
-    "paths_event_trigrams",
 ]
 
 
@@ -235,8 +236,9 @@ def _ordered_names() -> list[str]:
     core = [n for n in CORE_WINDOW if n in plans.QUERIES]
     core_set = set(core)
     last_green = _last_green_round()
-    for name in FORCE_RECHECK:
-        last_green.pop(name, None)
+    for name, since_round in FORCE_RECHECK.items():
+        if last_green.get(name, 0) < since_round:
+            last_green.pop(name, None)  # not yet re-proven: force back in
     unchecked = [
         n for n in all_names if n not in core_set and n not in last_green
     ]

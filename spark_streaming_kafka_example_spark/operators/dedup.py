@@ -532,20 +532,18 @@ def audio_envelope_fingerprints(
     return df.mapInPandas(batches, out_schema)
 
 
-def _hex_nibble(col, i: int):
-    # value of hex char i (0-based) — same strpos trick as the oracle side
-    return F.instr(F.lit("0123456789abcdef"), F.substring(col, i + 1, 1)) - 1
-
-
 def phash_hamming(col_a, col_b, hex_len: int = 16):
     """Hamming distance between two equal-length hex fingerprints as a
     codegen-only column: sum over nibble positions of
-    bit_count(nib_a XOR nib_b). Shared by the batch self-join and the
-    stream-static catalog probe."""
+    bit_count(nib_a XOR nib_b) (the shared _nibble decode). Used by the
+    batch self-join and the stream-static catalog probe. hex_len MUST
+    match the fingerprints' actual length — phash_chunks guards that at
+    runtime; positions past a too-short string would decode as zero
+    nibbles and silently understate distances."""
     hamming = None
     for i in range(hex_len):
         term = F.bit_count(
-            _hex_nibble(col_a, i).bitwiseXOR(_hex_nibble(col_b, i))
+            _nibble(col_a, i).bitwiseXOR(_nibble(col_b, i))
         )
         hamming = term if hamming is None else hamming + term
     return hamming.cast("int")
@@ -573,11 +571,25 @@ def phash_chunks(
         width = base + (1 if c < extra else 0)
         bounds.append((start, width))
         start += width
+    # Loud runtime guard (r08 review): a fingerprint whose length doesn't
+    # match hex_len would otherwise produce empty trailing chunks (ALL
+    # rows bucket together — candidate explosion) and zero-padded hamming
+    # positions — silently wrong in both directions. assert_true stays in
+    # codegen and fails the task with the offending length.
+    len_ok = F.assert_true(
+        F.length(hash_col) == hex_len,
+        F.concat(
+            F.lit(f"phash length != hex_len {hex_len} (got "),
+            F.length(hash_col).cast("string"),
+            F.lit(f"); pass hex_len=hash_size^2/4 matching the fingerprints"),
+        ),
+    )
     chunked = fp.select(
         F.col(id_col),
         F.col(hash_col),
         *[
-            F.substring(hash_col, s + 1, w).alias(f"chunk_{c}")
+            F.when(len_ok.isNull(), F.substring(hash_col, s + 1, w))
+            .alias(f"chunk_{c}")
             for c, (s, w) in enumerate(bounds)
         ],
     )

@@ -406,19 +406,24 @@ FUNNEL_ORACLE = """
     """
 
 
-def funnel_summary(ev: DataFrame, within_hours: int | None = None) -> DataFrame:
-    """One-row view->click->purchase funnel over any (user_id, ts,
-    event_type) relation. ``within_hours`` bounds each stage transition
-    (click within N hours of first view, purchase within N hours of first
-    click — the attribution-window variant); None keeps the unbounded
-    ordered funnel. Three pushed-filter scans, per-user min aggs,
-    user_id-keyed joins — no window over the event stream. Each stage
-    relation is lazily checkpointed (the kmeans_centroids idiom): it feeds
-    both the NEXT stage's join and its own count, and without the cut
-    every consumer re-derives the chain from the raw scan (a 12-scan plan,
-    caught by r06 review; the plan test pins <= 3 scans)."""
+def funnel_stage_tables(
+    ev: DataFrame, within_hours: int | None = None
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(v, c, p): per-user first-entry times for the ordered
+    view -> click -> purchase stages over any (user_id, ts, event_type)
+    relation. ``within_hours`` bounds each transition (click within N
+    hours of first view, etc. — the attribution-window variant); None
+    keeps the unbounded ordered funnel. Three pushed-filter scans,
+    per-user min aggs, user_id-keyed joins — no window over the event
+    stream. Each stage relation is lazily checkpointed (the
+    kmeans_centroids idiom): it feeds both the NEXT stage's join and its
+    own consumer, and without the cut every consumer re-derives the chain
+    from the raw scan (a 12-scan plan, caught by r06 review; the plan
+    test pins <= 3 scans). ONE stage-builder shared by the summary,
+    attribution, and time-to-convert queries so the staged-join semantics
+    cannot drift between them (r08 review)."""
 
-    def first_at_or_after(etype: str, prev: DataFrame, prev_t: str, out: str) -> DataFrame:
+    def first_at_or_after(etype: str, prev: DataFrame | None, prev_t: str, out: str) -> DataFrame:
         e = ev.filter(F.col("event_type") == etype).select("user_id", "ts")
         if prev is None:
             staged = e.groupBy("user_id").agg(F.min("ts").alias(out))
@@ -440,6 +445,13 @@ def funnel_summary(ev: DataFrame, within_hours: int | None = None) -> DataFrame:
     v = first_at_or_after("view", None, "", "t_view")
     c = first_at_or_after("click", v, "t_view", "t_click")
     p = first_at_or_after("purchase", c, "t_click", "t_purchase")
+    return v, c, p
+
+
+def funnel_summary(ev: DataFrame, within_hours: int | None = None) -> DataFrame:
+    """One-row view->click->purchase funnel (stage counts + conversion
+    ratios) over the shared funnel_stage_tables relations."""
+    v, c, p = funnel_stage_tables(ev, within_hours=within_hours)
     counts = [df.agg(F.count(F.lit(1)).alias(n)) for df, n in
               [(v, "n_view"), (c, "n_click"), (p, "n_purchase")]]
     row = counts[0].crossJoin(counts[1]).crossJoin(counts[2])
@@ -544,21 +556,7 @@ def funnel_within_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-
-    def first_stage(etype: str, prev: DataFrame | None, prev_t: str, out: str) -> DataFrame:
-        e = ev.filter(F.col("event_type") == etype).select("user_id", "ts")
-        if prev is None:
-            return e.groupBy("user_id").agg(F.min("ts").alias(out))
-        return (
-            e.join(prev, "user_id")
-            .filter(F.col("ts") >= F.col(prev_t))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias(out))
-        )
-
-    v = first_stage("view", None, "", "t_view").localCheckpoint(eager=False)
-    c = first_stage("click", v, "t_view", "t_click")
-    p = first_stage("purchase", c, "t_click", "t_purchase")
+    v, _c, p = funnel_stage_tables(ev)
     secs = (
         F.unix_timestamp("t_purchase") - F.unix_timestamp("t_view")
     ).cast("long")

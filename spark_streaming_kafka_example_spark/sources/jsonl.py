@@ -94,13 +94,20 @@ def _merge_types(a: T.DataType | None, b: T.DataType | None) -> T.DataType | Non
 
 
 def _json_text(v) -> str:
-    """Render a non-string JSON value the way spark.read.json casts it to
-    a string column: JSON text (compact separators, true/false booleans),
-    never the Python repr (r07 ADVICE — str({'a': 1}) gave "{'a': 1}")."""
+    """Render a non-string JSON value cast into a string column as JSON
+    text (compact separators, true/false booleans, raw UTF-8), never the
+    Python repr (r07 ADVICE — str({'a': 1}) gave "{'a': 1}").
+
+    Documented divergence from spark.read.json, which returns the RAW
+    input substring: values here are RE-RENDERED from the parsed object,
+    so nested whitespace is normalized and numeric lexemes canonicalize
+    ("0.10" -> "0.1", "1E5" -> "100000.0"). Parsed-value equality holds;
+    byte-for-byte lexeme equality does not — preserving raw spans would
+    require a position-tracking parser."""
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, (dict, list)):
-        return json.dumps(v, separators=(",", ":"))
+        return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
     return str(v)
 
 

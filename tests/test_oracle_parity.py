@@ -87,8 +87,9 @@ def test_driver_window_covers_all_unchecked():
     import __spark_entry__ as m
 
     last_green = m._last_green_round()
-    for name in m.FORCE_RECHECK:
-        last_green.pop(name, None)
+    for name, since_round in m.FORCE_RECHECK.items():
+        if last_green.get(name, 0) < since_round:
+            last_green.pop(name, None)
     names = m._ordered_names()
     past_cut = [n for n in names[50:] if n not in last_green]
     assert not past_cut, (

@@ -25,15 +25,24 @@ def formatted_plan(df) -> str:
     )
 
 
+_PLAN_CACHE: dict[str, str] = {}
+
+
 @pytest.fixture(scope="module")
 def plan_of(spark, sf_dir):
     def _get(name: str) -> str:
-        return formatted_plan(plans.QUERIES[name](spark, sf_dir))
+        # Building a plan executes any eager parts of the query (phash
+        # decode checkpoints, gradient .first()s, component loops); cache
+        # per name so the repo-wide cartesian sweep and the per-family
+        # shape tests share one build (r08 review).
+        if name not in _PLAN_CACHE:
+            _PLAN_CACHE[name] = formatted_plan(plans.QUERIES[name](spark, sf_dir))
+        return _PLAN_CACHE[name]
 
     return _get
 
 
-def test_no_query_plans_a_cartesian_product(spark, sf_dir):
+def test_no_query_plans_a_cartesian_product(plan_of):
     """Repo-wide 100 TB contract (r08): NO registered batch query may plan
     a CartesianProduct — every cross-relation composition must either
     equi-join (possibly on LSH/band/bucket keys) or crossJoin a BROADCAST
@@ -43,11 +52,10 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
     bug here. Streaming queries are excluded (building their plan runs
     the bounded drain); their batch twins cover the shapes."""
     offenders = []
-    for name, fn in sorted(plans.QUERIES.items()):
+    for name in sorted(plans.QUERIES):
         if name.startswith("stream_"):
             continue
-        plan = formatted_plan(fn(spark, sf_dir))
-        if "CartesianProduct" in plan:
+        if "CartesianProduct" in plan_of(name):
             offenders.append(name)
     assert not offenders, f"CartesianProduct planned by: {offenders}"
 
