@@ -223,6 +223,9 @@ ROTATION_PRIORITY = [
     "multimodal_frame_sample",
     "funnel_time_to_convert",
     "layout_zorder_key",
+    "s4_csv_declared_schema",
+    "k4_parquet_sink_roundtrip",
+    "k6_foreach_batch_roundtrip",
 ]
 
 

@@ -669,3 +669,42 @@ def cogroup_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(purchases.groupBy("user_id"))
         .applyInPandas(lag, "user_id long, lag_us long")
     )
+
+
+# ---------------------------------------------------------------------------
+# S4 driver-proven (r08): the CSV-with-declared-schema source over the
+# repo's static sensor_field.csv fixture — promotes S4 from
+# pytest-local to a hash-checked driver row. Both engines read the SAME
+# shipped file (Spark: read_csv_master with SENSOR_MASTER_SCHEMA, header
+# consumed; DuckDB: read_csv with explicit columns), so the oracle
+# verifies the declared-schema parse itself, not a re-modeled relation.
+# ---------------------------------------------------------------------------
+
+import os as _os  # noqa: E402
+
+_CSV_FIXTURE = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "data",
+    "sensor_field.csv",
+)
+
+
+@register(
+    "s4_csv_declared_schema",
+    f"""
+    SELECT sensor_id, field_id, upper(field_id) AS field_uc
+    FROM read_csv('{_CSV_FIXTURE}', header=true,
+                  columns={{'sensor_id': 'BIGINT', 'field_id': 'VARCHAR'}})
+    """,
+)
+def s4_csv_declared_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY S4 (reference UdfRegister.scala:17-20 / StreamingWithKafka
+    JoinedData.scala:41-44): CSV batch read with a DECLARED schema and a
+    consumed header, never inference. sf_dir is unused — the source under
+    test is the shipped fixture file itself."""
+    from ..sources import read_csv_master
+
+    df = read_csv_master(spark, _CSV_FIXTURE)
+    return df.select(
+        "sensor_id", "field_id", F.upper("field_id").alias("field_uc")
+    )

@@ -1135,3 +1135,80 @@ def stream_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drained = run_to_table(spark, pairs, "append")
     return drained.distinct()
+
+
+# ---------------------------------------------------------------------------
+# K4/K6 driver-proven (r08): the file-sink rows graduate from pytest-local
+# to hash-checked driver rows by ROUND-TRIPPING through the real sink
+# machinery — stream events through the checkpointed parquet sink (K4,
+# month-partitioned like the reference's ParquetOutput) / the
+# foreachBatch idempotent writer (K6, batch_id dynamic-partition
+# overwrite), read the produced files back, and aggregate; the oracle is
+# the equivalent batch SQL over events, so a bug anywhere in the
+# write-read path breaks the hash. Sink dirs are fresh tempdirs per call
+# (exactly-once RESTART semantics stay pytest-verified —
+# test_checkpoint_recovery_exactly_once needs two runs over one
+# checkpoint, which a single driver call can't express).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "k4_parquet_sink_roundtrip",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def k4_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.sinks import parquet_sink
+
+    base = tempfile.mkdtemp(prefix="k4_sink_")
+    ev = events_stream(spark, sf_dir).select(
+        "event_id", "ts", "event_type", "value",
+        F.date_format("ts", "yyyy-MM").alias("month"),
+    )
+    q = parquet_sink(
+        ev, os.path.join(base, "data"), os.path.join(base, "ckpt"),
+        partition_by="month",
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(os.path.join(base, "data"))
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "k6_foreach_batch_roundtrip",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(event_id) AS BIGINT) AS min_event_id,
+           CAST(max(event_id) AS BIGINT) AS max_event_id
+    FROM events GROUP BY event_type
+    """,
+)
+def k6_foreach_batch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.sinks import foreach_batch_sink, idempotent_parquet_handler
+
+    base = tempfile.mkdtemp(prefix="k6_sink_")
+    out = os.path.join(base, "data")
+    ev = events_stream(spark, sf_dir).select("event_id", "event_type")
+    q = foreach_batch_sink(
+        ev,
+        idempotent_parquet_handler(out),
+        checkpoint=os.path.join(base, "ckpt"),
+        mode="append",
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)  # batch_id partition column rides along
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
