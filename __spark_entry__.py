@@ -226,6 +226,8 @@ ROTATION_PRIORITY = [
     "s4_csv_declared_schema",
     "k4_parquet_sink_roundtrip",
     "k6_foreach_batch_roundtrip",
+    "jsonl_source_parity",
+    "k8_multi_sink_fanout",
 ]
 
 

@@ -708,3 +708,40 @@ def s4_csv_declared_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "sensor_id", "field_id", F.upper("field_id").alias("field_uc")
     )
+
+
+_JSONL_FIXTURE = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "data",
+    "sample.jsonl",
+)
+
+
+@register(
+    "jsonl_source_parity",
+    f"""
+    SELECT id, name, score, active
+    FROM read_json('{_JSONL_FIXTURE}', format='newline_delimited',
+                   columns={{'id': 'BIGINT', 'name': 'VARCHAR',
+                             'score': 'DOUBLE', 'active': 'BOOLEAN'}})
+    """,
+)
+def jsonl_source_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python DataSource (sources/jsonl.py) graduates to a
+    driver-checked row (r08): read the shipped sample.jsonl through the
+    registered "jsonl" format with a DECLARED schema and a tiny
+    partition_bytes so the fixture fans out over several newline-aligned
+    byte-range slices — the slicing, per-slice reads, and missing-key ->
+    NULL handling are all inside the hash. Oracle reads the SAME file via
+    DuckDB's read_json with matching columns."""
+    from ..sources.jsonl import read_jsonl
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("active", T.BooleanType()),
+        ]
+    )
+    return read_jsonl(spark, _JSONL_FIXTURE, schema=schema, partition_bytes=257)

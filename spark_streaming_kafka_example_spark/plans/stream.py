@@ -1212,3 +1212,44 @@ def k6_foreach_batch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("min_event_id"),
         F.max("event_id").alias("max_event_id"),
     )
+
+
+@register(
+    "k8_multi_sink_fanout",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+    """,
+)
+def k8_multi_sink_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8 driver-proven (r08): TWO streaming queries off one lineage — the
+    same projection drains simultaneously into the checkpointed parquet
+    sink AND a memory sink (the reference's console+parquet fan-out
+    shape). The returned relation aggregates the parquet read-back; a
+    loud equality check pins that both sinks saw the same row count, so
+    the fan-out itself (not just one arm) is inside the verified path."""
+    import tempfile
+
+    from ..streaming.sinks import memory_sink, parquet_sink
+
+    base = tempfile.mkdtemp(prefix="k8_fanout_")
+    out = os.path.join(base, "data")
+    ev = events_stream(spark, sf_dir).filter(F.col("user_id").isNotNull()).select(
+        "event_id", "user_id", "event_type"
+    )
+    mem_name = f"k8_mem_{uuid.uuid4().hex[:8]}"
+    q1 = parquet_sink(ev, out, os.path.join(base, "ckpt"))
+    q2 = memory_sink(ev, mem_name, mode="append")
+    q1.awaitTermination()
+    q2.awaitTermination()
+    back = spark.read.parquet(out)
+    n_parquet, n_mem = back.count(), spark.table(mem_name).count()
+    if n_parquet != n_mem:
+        raise AssertionError(
+            f"fan-out sinks disagree: parquet={n_parquet} memory={n_mem}"
+        )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
