@@ -228,6 +228,8 @@ ROTATION_PRIORITY = [
     "k6_foreach_batch_roundtrip",
     "jsonl_source_parity",
     "k8_multi_sink_fanout",
+    "t2_checkpoint_restart_roundtrip",
+    "t3_default_checkpoint_roundtrip",
 ]
 
 

@@ -1253,3 +1253,79 @@ def k8_multi_sink_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "t2_checkpoint_restart_roundtrip",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def t2_checkpoint_restart_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 driver-proven (r08): per-query checkpoint EXACTLY-ONCE across a
+    restart, in one call — drain the bounded source into the parquet sink,
+    then start a SECOND query on the SAME checkpoint + path. The restarted
+    query finds the source fully committed and must write NOTHING; any
+    offset-tracking bug duplicates rows and breaks the hash against plain
+    batch SQL. (The crash-mid-batch variant needs fault injection and
+    stays pytest: test_checkpoint_recovery_exactly_once.)"""
+    import tempfile
+
+    from ..streaming.sinks import parquet_sink
+
+    base = tempfile.mkdtemp(prefix="t2_restart_")
+    out, ckpt = os.path.join(base, "data"), os.path.join(base, "ckpt")
+    ev = events_stream(spark, sf_dir).select("event_id", "event_type")
+    parquet_sink(ev, out, ckpt).awaitTermination()
+    # restart on the same checkpoint: must be a no-op, not a re-ingest
+    ev2 = events_stream(spark, sf_dir).select("event_id", "event_type")
+    parquet_sink(ev2, out, ckpt).awaitTermination()
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@register(
+    "t3_default_checkpoint_roundtrip",
+    """
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+    """,
+)
+def t3_default_checkpoint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 driver-proven (r08): the SESSION-DEFAULT checkpoint location
+    (reference Basic.scala's spark.sql.streaming.checkpointLocation
+    conf) — the sink declares NO checkpointLocation of its own, the query
+    checkpoints under the session conf dir (loudly verified non-empty),
+    and the read-back aggregates against batch SQL."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="t3_default_")
+    out, ckpt_root = os.path.join(base, "data"), os.path.join(base, "ckpt_root")
+    prev = spark.conf.get("spark.sql.streaming.checkpointLocation", None)
+    spark.conf.set("spark.sql.streaming.checkpointLocation", ckpt_root)
+    try:
+        ev = events_stream(spark, sf_dir).filter(
+            F.col("user_id").isNotNull()
+        ).select("user_id", "event_type")
+        q = (
+            ev.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)  # no checkpointLocation: session default
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.checkpointLocation")
+        else:
+            spark.conf.set("spark.sql.streaming.checkpointLocation", prev)
+    if not any(os.scandir(ckpt_root)):
+        raise AssertionError(
+            f"session-default checkpoint dir {ckpt_root} unused"
+        )
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
