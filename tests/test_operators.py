@@ -1409,3 +1409,49 @@ def test_audio_envelope_hash_behavior(spark):
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs and pairs[(1, 3)] <= 3
     assert not any(4 in p for p in pairs)
+
+
+@pytest.mark.parametrize("seed,hex_len,max_hamming", [(17, 16, 3), (18, 13, 2)])
+def test_phash_banding_is_pigeonhole_complete(spark, seed, hex_len, max_hamming):
+    """The Hamming-band candidate join must be COMPLETE: for random hex
+    fingerprints (including planted near pairs), phash_near_pairs equals
+    the brute-force all-pairs hamming filter exactly — no pair within the
+    threshold may be lost to banding, including when hex_len doesn't
+    divide evenly into max_hamming+1 chunks (uneven widths still
+    partition the bits, so <= k differing bits leave >= 1 chunk clean)."""
+    import random
+
+    rng = random.Random(seed)
+    fps = [(i, "".join(rng.choice("0123456789abcdef") for _ in range(hex_len)))
+           for i in range(60)]
+    # plant near-duplicates: flip <= max_hamming bits of some fingerprints
+    for j in range(8):
+        base_id, base = fps[j]
+        bits = list(bin(int(base, 16))[2:].zfill(hex_len * 4))
+        for pos in rng.sample(range(hex_len * 4), rng.randint(0, max_hamming)):
+            bits[pos] = "1" if bits[pos] == "0" else "0"
+        mutated = format(int("".join(bits), 2), f"0{hex_len}x")
+        fps.append((100 + j, mutated))
+
+    from spark_streaming_kafka_example_spark.operators.dedup import (
+        phash_near_pairs,
+    )
+
+    df = spark.createDataFrame(fps, "doc_id long, phash string")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_near_pairs(
+            df, hex_len=hex_len, max_hamming=max_hamming
+        ).collect()
+    }
+
+    def hamming(a, b):
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+    exp = {
+        (ia, ib): hamming(ha, hb)
+        for ia, ha in fps
+        for ib, hb in fps
+        if ia < ib and hamming(ha, hb) <= max_hamming
+    }
+    assert got == exp, f"seed {seed}: banding lost/invented pairs"
