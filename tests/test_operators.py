@@ -1455,3 +1455,31 @@ def test_phash_banding_is_pigeonhole_complete(spark, seed, hex_len, max_hamming)
         if ia < ib and hamming(ha, hb) <= max_hamming
     }
     assert got == exp, f"seed {seed}: banding lost/invented pairs"
+
+
+def test_audio_envelope_stereo_and_short_clip(spark):
+    """Channel handling + the too-short guard: a stereo clip hashes by its
+    channel-mean signal (decode keeps (frames, 2), envelope_hash folds
+    channels), a mono mixdown of the same content hashes IDENTICALLY, and
+    a clip shorter than 64 windows raises instead of degrading."""
+    import numpy as np
+    import pytest as _pytest
+
+    from spark_streaming_kafka_example_spark.functions.audio import (
+        decode_wav,
+        encode_wav,
+        envelope_hash,
+    )
+
+    rng = np.random.default_rng(23)
+    left = rng.uniform(-0.8, 0.8, size=512)
+    right = rng.uniform(-0.8, 0.8, size=512)
+    stereo = np.stack([left, right], axis=1)
+    dec_stereo, rate = decode_wav(encode_wav(stereo, 8000))
+    assert dec_stereo.shape == (512, 2) and rate == 8000
+    # mixdown computed from the DECODED (quantized) samples, so the
+    # channel-mean fold is the only difference under test
+    mono = dec_stereo.mean(axis=1)
+    assert envelope_hash(dec_stereo) == envelope_hash(mono)
+    with _pytest.raises(ValueError, match="too short"):
+        envelope_hash(np.zeros(63))
