@@ -93,6 +93,12 @@ HEADLINE = [
     "latency_percentile_bands",
     "timeseries_rolling_corr_intraday",
     "dedup_image_phash",
+    # r08 new-family representatives: audio-modality dedup, O(1)-state
+    # streaming sequence mining, vocabulary building, quantile binning.
+    "dedup_audio_envelope",
+    "stream_markov_transitions",
+    "text_vocab_coverage",
+    "train_feature_binning",
 ]
 
 
