@@ -230,6 +230,14 @@ ROTATION_PRIORITY = [
     "k8_multi_sink_fanout",
     "t2_checkpoint_restart_roundtrip",
     "t3_default_checkpoint_roundtrip",
+    # r09-new registrations (r08 VERDICT tasks 3-6): at-ingest audio probe,
+    # spectral fingerprint twin, multimodal pretrain capstone, z-ordered
+    # write read-back.
+    "stream_audio_envelope",
+    "dedup_audio_spectral",
+    "stream_audio_spectral",
+    "pipeline_pretrain_v3",
+    "layout_zorder_readback",
 ]
 
 

@@ -99,6 +99,17 @@ HEADLINE = [
     "stream_markov_transitions",
     "text_vocab_coverage",
     "train_feature_binning",
+    # r09 (r08 VERDICT task 8): the r08 round-trip rows get bench history —
+    # file-sink machinery, the at-ingest image probe, funnel latency; plus
+    # the r09-new families (audio at-ingest probe, spectral fingerprint,
+    # multimodal pretrain capstone, z-order read-back).
+    "k4_parquet_sink_roundtrip",
+    "stream_image_phash",
+    "funnel_time_to_convert",
+    "stream_audio_envelope",
+    "dedup_audio_spectral",
+    "pipeline_pretrain_v3",
+    "layout_zorder_readback",
 ]
 
 

@@ -2007,15 +2007,18 @@ _AUDIO_NIBS_CTE = """
     )"""
 
 
-@register(
-    "dedup_audio_envelope",
-    f"""
+# Named so the streaming at-ingest probe (plans/stream.py
+# stream_audio_envelope) shares the IDENTICAL oracle text — same idiom as
+# IMAGE_PHASH_PAIRS_ORACLE.
+AUDIO_ENVELOPE_PAIRS_ORACLE = f"""
     WITH {EXACT_CORPUS_CTE.strip()},
     {_AUDIO_NIBS_CTE.strip()},
     {_PHASH_SCORED_CTE.strip()}
     SELECT id_a, id_b, hamming FROM scored
-    """,
-)
+    """
+
+
+@register("dedup_audio_envelope", AUDIO_ENVELOPE_PAIRS_ORACLE)
 def dedup_audio_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate audio pairs by envelope-hash hamming <= 3 over the
     planted exact corpus — content -> real WAV decode -> amplitude

@@ -904,28 +904,41 @@ def stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .windows_stats import COHORT_RETENTION_ORACLE  # noqa: E402
 
 
-@register("stream_cohort_retention", COHORT_RETENTION_ORACLE)
-def stream_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_cohort_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-drain streaming plan, exposed for plan-shape tests.
+
+    The cohort map GROWS WITH USERS, so it must NOT carry a hard-coded
+    broadcast hint (r08 VERDICT task 1): it is eagerly checkpointed so the
+    planner sees its real size and picks broadcast while it fits under
+    autoBroadcastJoinThreshold, falling back to a shuffled equi-join beyond
+    — exactly the degradation a 100x scale-up needs.
+    """
     cohort_map = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull())
         .groupBy("user_id")
         .agg(F.date_trunc("day", F.min("ts")).alias("cohort_day"))
+        .localCheckpoint()
     )
     activity = (
         events_stream(spark, sf_dir)
         .filter(F.col("user_id").isNotNull())
         .select("user_id", F.date_trunc("day", "ts").alias("d"))
-        .join(F.broadcast(cohort_map), "user_id")
+        .join(cohort_map, "user_id")
         .select(
             "user_id",
             "cohort_day",
             F.datediff("d", "cohort_day").cast("long").alias("day_offset"),
         )
     )
-    matrix = activity.groupBy("cohort_day", "day_offset").agg(
+    return activity.groupBy("cohort_day", "day_offset").agg(
         F.size(F.collect_set("user_id")).cast("long").alias("n_active")
     )
+
+
+@register("stream_cohort_retention", COHORT_RETENTION_ORACLE)
+def stream_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    matrix = stream_cohort_retention_plan(spark, sf_dir)
     return run_to_table(spark, matrix, "complete")
 
 
@@ -995,8 +1008,15 @@ def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .windows_stats import FUNNEL_ORACLE  # noqa: E402
 
 
-@register("stream_funnel", FUNNEL_ORACLE)
-def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_funnel_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-drain streaming plan, exposed for plan-shape tests.
+
+    The click-stage map is PER-USER, i.e. unbounded in the data — no
+    hard-coded broadcast hint (r08 VERDICT task 1). Both stage tables are
+    checkpoint-materialized (the count() below forces the lazy checkpoint),
+    so the planner has accurate stats: broadcast while small, shuffled
+    equi-join at scale.
+    """
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     v = (
         ev.filter(F.col("event_type") == "view")
@@ -1025,13 +1045,13 @@ def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             F.col("user_id").isNotNull() & (F.col("event_type") == "purchase")
         )
-        .join(F.broadcast(c), "user_id")
+        .join(c, "user_id")
         .filter(F.col("ts") >= F.col("t_click"))
     )
     agg = purchases.groupBy().agg(
         F.size(F.collect_set("user_id")).cast("long").alias("n_purchase")
     )
-    summary = agg.select(
+    return agg.select(
         F.lit(n_view).cast("long").alias("n_view"),
         F.lit(n_click).cast("long").alias("n_click"),
         "n_purchase",
@@ -1039,6 +1059,11 @@ def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_purchase").cast("double") / n_click, 4)
             .alias("click_to_purchase"),
     )
+
+
+@register("stream_funnel", FUNNEL_ORACLE)
+def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    summary = stream_funnel_plan(spark, sf_dir)
     return run_to_table(spark, summary, "complete")
 
 
@@ -1068,6 +1093,25 @@ def stream_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = stateful_transition_pairs(ev)
     drained = run_to_table(spark, pairs, "append", require_single_batch=True)
+    # Loud twin-divergence guard (r08 ADVICE): MARKOV_ORACLE embeds the
+    # batch _PATH_MAX_EVENTS rank cap but the O(1)-state miner is
+    # uncapped by construction — if any user ever exceeded the cap the
+    # twins would silently diverge under one oracle, so fail instead.
+    from .windows_stats import _PATH_MAX_EVENTS
+
+    worst = (
+        drained.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .agg(F.max("n_pairs"))
+        .first()[0]
+    )
+    if worst is not None and worst > _PATH_MAX_EVENTS - 1:
+        raise AssertionError(
+            f"stream_markov_transitions: a user has {worst + 1} events,"
+            f" beyond the batch oracle's _PATH_MAX_EVENTS={_PATH_MAX_EVENTS}"
+            " cap — the uncapped streaming miner would diverge from the"
+            " shared oracle"
+        )
     c = drained.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
     wsrc = Window.partitionBy("src")
     return c.select(
@@ -1094,8 +1138,14 @@ def stream_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .llm import IMAGE_PHASH_PAIRS_ORACLE  # noqa: E402
 
 
-@register("stream_image_phash", IMAGE_PHASH_PAIRS_ORACLE)
-def stream_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_image_phash_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-drain streaming plan, exposed for plan-shape tests.
+
+    The fingerprint-chunk catalog is 4x|corpus| rows — CORPUS-proportional,
+    so no hard-coded broadcast hint (r08 VERDICT task 1). The eager
+    localCheckpoint gives the planner its true size: broadcast while
+    dim-sized, shuffled equi-join on (chunk_id, chunk_val) beyond.
+    """
     from ..operators.dedup import (
         image_phash_fingerprints,
         phash_chunks,
@@ -1119,9 +1169,9 @@ def stream_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probe = phash_chunks(stream_fp).alias("s")
     cat = catalog.alias("c")
-    pairs = (
+    return (
         probe.join(
-            F.broadcast(cat),
+            cat,
             (F.col("s.chunk_id") == F.col("c.chunk_id"))
             & (F.col("s.chunk_val") == F.col("c.chunk_val"))
             & (F.col("s.doc_id") < F.col("c.doc_id")),
@@ -1133,6 +1183,79 @@ def stream_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 3)
     )
+
+
+@register("stream_image_phash", IMAGE_PHASH_PAIRS_ORACLE)
+def stream_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = stream_image_phash_plan(spark, sf_dir)
+    drained = run_to_table(spark, pairs, "append")
+    return drained.distinct()
+
+
+# ---------------------------------------------------------------------------
+# Streaming audio-dedup probe (r09, r08 VERDICT task 3): the audio twin of
+# stream_image_phash, completing the at-ingest modality matrix. Every
+# arriving clip is rendered/decoded through the REAL WAV path and envelope-
+# hashed map-side (mapInPandas works unchanged on a stream); the resulting
+# phash column is modality-agnostic, so the SAME phash_chunks Hamming-band
+# machinery and the SAME stream-static equi-join shape (task-1-fixed: no
+# broadcast hint, planner-chosen by catalog size) apply verbatim. Shares
+# dedup_audio_envelope's oracle: the static catalog is the exact corpus the
+# stream delivers (+ higher-id plants that the s.doc_id < c.doc_id guard
+# keeps out of the pair set), so the drained pairs equal the batch
+# self-join.
+# ---------------------------------------------------------------------------
+
+
+from .llm import AUDIO_ENVELOPE_PAIRS_ORACLE  # noqa: E402
+
+
+def stream_audio_envelope_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-drain streaming plan, exposed for plan-shape tests. The
+    fingerprint-chunk catalog is corpus-proportional: eagerly checkpointed
+    for true stats, NO broadcast hint (see stream_image_phash_plan)."""
+    from ..operators.dedup import (
+        audio_envelope_fingerprints,
+        phash_chunks,
+        phash_hamming,
+    )
+    from ..operators.multimodal import attach_synthetic_audio
+    from .llm import _exact_corpus
+
+    catalog = phash_chunks(
+        audio_envelope_fingerprints(
+            attach_synthetic_audio(_exact_corpus(spark, sf_dir)), hash_size=8
+        )
+    ).localCheckpoint()
+
+    ds = documents_stream(spark, sf_dir).select("doc_id", "text")
+    plants = ds.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    stream_fp = audio_envelope_fingerprints(
+        attach_synthetic_audio(ds.unionByName(plants)), hash_size=8
+    )
+    probe = phash_chunks(stream_fp).alias("s")
+    cat = catalog.alias("c")
+    return (
+        probe.join(
+            cat,
+            (F.col("s.chunk_id") == F.col("c.chunk_id"))
+            & (F.col("s.chunk_val") == F.col("c.chunk_val"))
+            & (F.col("s.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("s.doc_id").alias("id_a"),
+            F.col("c.doc_id").alias("id_b"),
+            phash_hamming(F.col("s.phash"), F.col("c.phash")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+@register("stream_audio_envelope", AUDIO_ENVELOPE_PAIRS_ORACLE)
+def stream_audio_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = stream_audio_envelope_plan(spark, sf_dir)
     drained = run_to_table(spark, pairs, "append")
     return drained.distinct()
 
@@ -1152,6 +1275,29 @@ def stream_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_SINK_TMPDIRS: list = []
+
+
+def _tmp_sink_dir(prefix: str) -> str:
+    """Sink/checkpoint tempdir removed at interpreter exit (r08 ADVICE:
+    every driver replay / pytest run otherwise leaks full event-table
+    copies into /tmp). Cleanup must NOT happen inside the query call —
+    the parquet read-back is lazy and the driver materializes the
+    returned DataFrame later — so deletion is deferred to atexit, which
+    runs after all collections."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    if not _SINK_TMPDIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SINK_TMPDIRS]
+        )
+    _SINK_TMPDIRS.append(path)
+    return path
+
+
 @register(
     "k4_parquet_sink_roundtrip",
     """
@@ -1161,11 +1307,9 @@ def stream_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def k4_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ..streaming.sinks import parquet_sink
 
-    base = tempfile.mkdtemp(prefix="k4_sink_")
+    base = _tmp_sink_dir("k4_sink_")
     ev = events_stream(spark, sf_dir).select(
         "event_id", "ts", "event_type", "value",
         F.date_format("ts", "yyyy-MM").alias("month"),
@@ -1192,11 +1336,9 @@ def k4_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def k6_foreach_batch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ..streaming.sinks import foreach_batch_sink, idempotent_parquet_handler
 
-    base = tempfile.mkdtemp(prefix="k6_sink_")
+    base = _tmp_sink_dir("k6_sink_")
     out = os.path.join(base, "data")
     ev = events_stream(spark, sf_dir).select("event_id", "event_type")
     q = foreach_batch_sink(
@@ -1229,11 +1371,9 @@ def k8_multi_sink_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape). The returned relation aggregates the parquet read-back; a
     loud equality check pins that both sinks saw the same row count, so
     the fan-out itself (not just one arm) is inside the verified path."""
-    import tempfile
-
     from ..streaming.sinks import memory_sink, parquet_sink
 
-    base = tempfile.mkdtemp(prefix="k8_fanout_")
+    base = _tmp_sink_dir("k8_fanout_")
     out = os.path.join(base, "data")
     ev = events_stream(spark, sf_dir).filter(F.col("user_id").isNotNull()).select(
         "event_id", "user_id", "event_type"
@@ -1270,11 +1410,9 @@ def t2_checkpoint_restart_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     offset-tracking bug duplicates rows and breaks the hash against plain
     batch SQL. (The crash-mid-batch variant needs fault injection and
     stays pytest: test_checkpoint_recovery_exactly_once.)"""
-    import tempfile
-
     from ..streaming.sinks import parquet_sink
 
-    base = tempfile.mkdtemp(prefix="t2_restart_")
+    base = _tmp_sink_dir("t2_restart_")
     out, ckpt = os.path.join(base, "data"), os.path.join(base, "ckpt")
     ev = events_stream(spark, sf_dir).select("event_id", "event_type")
     parquet_sink(ev, out, ckpt).awaitTermination()
@@ -1298,9 +1436,7 @@ def t3_default_checkpoint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     conf) — the sink declares NO checkpointLocation of its own, the query
     checkpoints under the session conf dir (loudly verified non-empty),
     and the read-back aggregates against batch SQL."""
-    import tempfile
-
-    base = tempfile.mkdtemp(prefix="t3_default_")
+    base = _tmp_sink_dir("t3_default_")
     out, ckpt_root = os.path.join(base, "data"), os.path.join(base, "ckpt_root")
     prev = spark.conf.get("spark.sql.streaming.checkpointLocation", None)
     spark.conf.set("spark.sql.streaming.checkpointLocation", ckpt_root)

@@ -196,12 +196,23 @@ class JsonlDataSource(DataSource):
     def name(cls) -> str:
         return "jsonl"
 
+    # Bounded multi-file probe (r08 ADVICE): sample the head of up to
+    # _PROBE_FILES files, not just the first — keys appearing only in
+    # later files of a multi-file path would otherwise be silently
+    # dropped, unlike spark.read.json's cross-file sampling. Still
+    # bounded: keys first seen past file _PROBE_FILES or line
+    # _PROBE_LINES stay invisible to inference; declare a schema
+    # (the S4 path) for such layouts.
+    _PROBE_FILES = 4
+    _PROBE_LINES = 100
+
     def schema(self) -> T.StructType:
         """Infer by MERGING keys and types across the whole bounded probe
-        window (first 100 lines of the first file), the spark.read.json
-        sampling contract in miniature (r07 ADVICE — the old first-line
-        return dropped keys that only appear later and typed
-        first-value-null fields as string): field order is first
+        window (first _PROBE_LINES lines of each of the first
+        _PROBE_FILES files), the spark.read.json sampling contract in
+        miniature (r07/r08 ADVICE — the old first-line return dropped
+        keys that only appear later; the first-file-only window dropped
+        keys appearing only in later files): field order is first
         appearance, long+double widens to double, other conflicts widen
         to string, a field seen only as null types as string. Callers
         with a known layout use the S4 declared-schema path
@@ -209,33 +220,34 @@ class JsonlDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("jsonl source requires a path")
-        probe = _list_files(path)[0]
+        probes = _list_files(path)[: self._PROBE_FILES]
         merged: dict[str, T.DataType | None] = {}
-        with open(probe, "rb") as fh:
-            for i, raw in enumerate(fh):
-                if i >= 100:  # bounded probe — don't scan a huge file
-                    break
-                raw = raw.strip()
-                if not raw:
-                    continue
-                try:
-                    obj = json.loads(raw)
-                except json.JSONDecodeError:
-                    continue  # PERMISSIVE: a malformed head line is data,
-                    # not a planning failure — infer from the other lines
-                if not isinstance(obj, dict):
-                    continue
-                for k, v in obj.items():
-                    t = None if v is None else _infer_field(v)
-                    merged[k] = _merge_types(merged.get(k), t)
+        for probe in probes:
+            with open(probe, "rb") as fh:
+                for i, raw in enumerate(fh):
+                    if i >= self._PROBE_LINES:  # bounded — never scan whole files
+                        break
+                    raw = raw.strip()
+                    if not raw:
+                        continue
+                    try:
+                        obj = json.loads(raw)
+                    except json.JSONDecodeError:
+                        continue  # PERMISSIVE: a malformed head line is data,
+                        # not a planning failure — infer from the other lines
+                    if not isinstance(obj, dict):
+                        continue
+                    for k, v in obj.items():
+                        t = None if v is None else _infer_field(v)
+                        merged[k] = _merge_types(merged.get(k), t)
         if merged:
             return T.StructType(
                 [T.StructField(k, t if t is not None else T.StringType(), True)
                  for k, t in merged.items()]
             )
         raise ValueError(
-            f"cannot infer a schema from the first lines of {probe}; "
-            "declare one with .schema(...)"
+            "cannot infer a schema from the first lines of "
+            f"{', '.join(probes)}; declare one with .schema(...)"
         )
 
     def reader(self, schema: T.StructType) -> JsonlReader:

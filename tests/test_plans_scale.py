@@ -723,3 +723,36 @@ def test_ivf_index_path_distinct_per_sf_dir(spark, sf_dir, tmp_path):
     p1 = llm._ensure_ivf_index(spark, sf_dir)
     p2 = llm._ensure_ivf_index(spark, str(alias))
     assert p1 != p2
+
+
+# ---------------------------------------------------------------------------
+# r09 (r08 VERDICT task 1): the three stream-static joins whose static side
+# GROWS with users/corpus must not hard-code a broadcast hint. The pre-drain
+# builders are explained WITHOUT executing the stream; each must plan an
+# equi-join (broadcast while the planner's stats say the side is small, a
+# shuffled join beyond — never cartesian / nested-loop), and the analyzed
+# plan must carry NO ResolvedHint, proving the choice is the planner's.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "builder",
+    ["stream_cohort_retention_plan", "stream_funnel_plan",
+     "stream_image_phash_plan", "stream_audio_envelope_plan"],
+)
+def test_stream_static_joins_unhinted_equi(spark, sf_dir, builder):
+    from spark_streaming_kafka_example_spark.plans import stream as st
+
+    df = getattr(st, builder)(spark, sf_dir)
+    physical = formatted_plan(df)
+    assert "CartesianProduct" not in physical
+    assert "BroadcastNestedLoopJoin" not in physical
+    assert (
+        "BroadcastHashJoin" in physical
+        or "SortMergeJoin" in physical
+        or "ShuffledHashJoin" in physical
+    ), f"{builder}: no equi-join planned"
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, (
+        f"{builder}: hard-coded join hint on a data-proportional side"
+    )

@@ -785,6 +785,18 @@ def test_stateful_transition_pairs_bridge_across_batches(spark, tmp_path):
         spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
             f"{src}/b{i}"
         )
+    # The bridge assertion needs b0 DISCOVERED before b1 (the file source
+    # orders candidates by modification time under maxFilesPerTrigger=1);
+    # coarse filesystem timestamps could tie the two writes, so pin
+    # explicit distinct mtimes on every file of each batch dir (r08
+    # ADVICE).
+    for i in range(len(batches)):
+        for root, _dirs, files in os.walk(f"{src}/b{i}"):
+            for f in files:
+                os.utime(
+                    os.path.join(root, f),
+                    (1_700_000_000 + i, 1_700_000_000 + i),
+                )
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
