@@ -238,6 +238,8 @@ ROTATION_PRIORITY = [
     "stream_audio_spectral",
     "pipeline_pretrain_v3",
     "layout_zorder_readback",
+    "dedup_video_frames",
+    "stream_video_frames",
 ]
 
 

@@ -110,6 +110,7 @@ HEADLINE = [
     "dedup_audio_spectral",
     "pipeline_pretrain_v3",
     "layout_zorder_readback",
+    "dedup_video_frames",
 ]
 
 

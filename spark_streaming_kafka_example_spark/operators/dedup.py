@@ -39,6 +39,7 @@ __all__ = [
     "simhash_near_pairs",
     "image_phash_fingerprints",
     "audio_envelope_fingerprints",
+    "audio_spectral_fingerprints",
     "phash_chunks",
     "phash_hamming",
     "phash_near_pairs",
@@ -525,6 +526,49 @@ def audio_envelope_fingerprints(
                     id_col: pdf[id_col],
                     "phash": pdf[content_col].map(
                         lambda b: envelope_hash(decode_wav(bytes(b))[0], hash_size)
+                    ),
+                }
+            )
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def audio_spectral_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    levels: int = 4,
+    segments: int = 16,
+) -> DataFrame:
+    """(id, phash): Haar-scalogram SPECTRAL fingerprint per audio blob via
+    the REAL WAV decode path (mapInPandas, Arrow batches) — the
+    pitch-sensitive robust twin of audio_envelope_fingerprints (r08
+    VERDICT task 5). The envelope hash is volume-invariant but deaf to
+    frequency content; the scalogram places detail-coefficient energy in
+    levels x segments time-octave cells, so clips with identical loudness
+    contours but different spectra fingerprint apart, while white-noise
+    perturbation (energy spread ~evenly) leaves the relative cell
+    comparisons stable. Output column is named phash (hex length =
+    levels*segments/4), so phash_chunks / phash_near_pairs apply with no
+    per-modality configuration."""
+    from ..functions.audio import decode_wav, scalogram_hash
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("phash", T.StringType()),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "phash": pdf[content_col].map(
+                        lambda b: scalogram_hash(
+                            decode_wav(bytes(b))[0], levels, segments
+                        )
                     ),
                 }
             )

@@ -42,6 +42,28 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+_RUN_TMPDIRS: list[str] = []
+
+
+def tmp_run_dir(prefix: str) -> str:
+    """Tempdir for queries that must materialize files (sink round-trips,
+    z-ordered writes), removed at interpreter exit (r08 ADVICE: leaked
+    event-table copies in /tmp). Cleanup is deferred to atexit because the
+    read-back is lazy — the driver/pytest materializes the returned
+    DataFrame after the query function returns."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    if not _RUN_TMPDIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _RUN_TMPDIRS]
+        )
+    _RUN_TMPDIRS.append(path)
+    return path
+
+
 def load_all() -> None:
     """Import every plan module so its @register calls run."""
     from . import parity, tpch, tpch_more, windows_stats, llm, textprep, stream  # noqa: F401

@@ -1973,7 +1973,10 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is a dyadic rational, so float equality is exact cross-engine.
 # ---------------------------------------------------------------------------
 
-_AUDIO_NIBS_CTE = """
+# px + sample_bytes (the synthetic-clip byte replay) shared verbatim by the
+# envelope and scalogram oracles — _AUDIO_NIBS_CTE's text is byte-identical
+# to its pre-split form, so no FORCE_RECHECK is needed.
+_AUDIO_SAMPLES_CTE = """
     px AS (
         SELECT doc_id,
                """ + " ||\n               ".join(
@@ -1987,7 +1990,9 @@ _AUDIO_NIBS_CTE = """
                    i -> (strpos('0123456789abcdef', substring(h, 2*i+1, 1)) - 1) * 16
                       + (strpos('0123456789abcdef', substring(h, 2*i+2, 1)) - 1)) AS p
         FROM px
-    ),
+    )"""
+
+_AUDIO_NIBS_CTE = _AUDIO_SAMPLES_CTE + """,
     env AS (
         SELECT doc_id,
                list_transform(range(0, 64),
@@ -2028,6 +2033,98 @@ def dedup_audio_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _exact_corpus(spark, sf_dir)
     clips = attach_synthetic_audio(corpus)
     fp = DD.audio_envelope_fingerprints(clips, hash_size=8)
+    return DD.phash_near_pairs(fp, hex_len=16, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Spectral (Haar-scalogram) audio dedup (r09, r08 VERDICT task 5): the
+# pitch-sensitive robust twin of dedup_audio_envelope. The oracle replays
+# the UNNORMALIZED Haar transform on q = byte - 128 (Spark fingerprints
+# (byte-128)/128 — a uniform positive scale factor the per-level
+# "cell*segments > level_total" comparisons are invariant to), so every
+# coefficient, square, and sum is INTEGER arithmetic in DuckDB and exact
+# dyadic float64 in Spark: the bit decisions agree exactly, no rounding
+# convention needed anywhere.
+# ---------------------------------------------------------------------------
+
+_AUDIO_SCALO_NIBS_CTE = _AUDIO_SAMPLES_CTE + """,
+    qs AS (SELECT doc_id, list_transform(p, x -> x - 128) AS q
+           FROM sample_bytes),
+    l1 AS (SELECT doc_id,
+                  list_transform(range(1, 129), i -> q[2*i-1] - q[2*i]) AS d,
+                  list_transform(range(1, 129), i -> q[2*i-1] + q[2*i]) AS a
+           FROM qs),
+    l2 AS (SELECT doc_id,
+                  list_transform(range(1, 65), i -> a[2*i-1] - a[2*i]) AS d,
+                  list_transform(range(1, 65), i -> a[2*i-1] + a[2*i]) AS a
+           FROM l1),
+    l3 AS (SELECT doc_id,
+                  list_transform(range(1, 33), i -> a[2*i-1] - a[2*i]) AS d,
+                  list_transform(range(1, 33), i -> a[2*i-1] + a[2*i]) AS a
+           FROM l2),
+    l4 AS (SELECT doc_id,
+                  list_transform(range(1, 17), i -> a[2*i-1] - a[2*i]) AS d
+           FROM l3),
+    cells AS (
+        SELECT q.doc_id,
+               list_transform(range(0, 16), s -> list_sum(
+                   list_transform(range(1, 9),
+                       k -> l1.d[8*s+k] * l1.d[8*s+k]))) AS e1,
+               list_transform(range(0, 16), s -> list_sum(
+                   list_transform(range(1, 5),
+                       k -> l2.d[4*s+k] * l2.d[4*s+k]))) AS e2,
+               list_transform(range(0, 16), s -> list_sum(
+                   list_transform(range(1, 3),
+                       k -> l3.d[2*s+k] * l3.d[2*s+k]))) AS e3,
+               list_transform(range(1, 17), s -> l4.d[s] * l4.d[s]) AS e4
+        FROM qs q
+        JOIN l1 ON l1.doc_id = q.doc_id
+        JOIN l2 ON l2.doc_id = q.doc_id
+        JOIN l3 ON l3.doc_id = q.doc_id
+        JOIN l4 ON l4.doc_id = q.doc_id
+    ),
+    flatbits AS (
+        SELECT doc_id,
+               list_transform(range(1, 17),
+                   s -> CASE WHEN e1[s] * 16 > list_sum(e1) THEN 1 ELSE 0 END)
+               || list_transform(range(1, 17),
+                   s -> CASE WHEN e2[s] * 16 > list_sum(e2) THEN 1 ELSE 0 END)
+               || list_transform(range(1, 17),
+                   s -> CASE WHEN e3[s] * 16 > list_sum(e3) THEN 1 ELSE 0 END)
+               || list_transform(range(1, 17),
+                   s -> CASE WHEN e4[s] * 16 > list_sum(e4) THEN 1 ELSE 0 END)
+                   AS fb
+        FROM cells
+    ),
+    nibs AS (
+        SELECT doc_id,
+               list_transform(range(0, 16),
+                   j -> 8*fb[4*j+1] + 4*fb[4*j+2] + 2*fb[4*j+3] + fb[4*j+4])
+                   AS nb
+        FROM flatbits
+    )"""
+
+
+# Shared with the streaming twin (plans/stream.py stream_audio_spectral).
+AUDIO_SPECTRAL_PAIRS_ORACLE = f"""
+    WITH {EXACT_CORPUS_CTE.strip()},
+    {_AUDIO_SCALO_NIBS_CTE.strip()},
+    {_PHASH_SCORED_CTE.strip()}
+    SELECT id_a, id_b, hamming FROM scored
+    """
+
+
+@register("dedup_audio_spectral", AUDIO_SPECTRAL_PAIRS_ORACLE)
+def dedup_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate audio pairs by Haar-scalogram hamming <= 3 over the
+    planted exact corpus — content -> real WAV decode -> time-octave
+    spectral fingerprint -> the same Hamming-band LSH as the envelope and
+    image hashes."""
+    from ..operators.multimodal import attach_synthetic_audio
+
+    corpus = _exact_corpus(spark, sf_dir)
+    clips = attach_synthetic_audio(corpus)
+    fp = DD.audio_spectral_fingerprints(clips, levels=4, segments=16)
     return DD.phash_near_pairs(fp, hex_len=16, max_hamming=3)
 
 
@@ -2450,5 +2547,320 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("hit").alias("hits"),
             F.round(F.count("hit") / float(_MRL_K), 4).alias("recall"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal pretrain capstone (r09, r08 VERDICT task 4): pretrain_v2's
+# text chain gets the media front-end a multimodal training pipeline
+# actually runs FIRST — image (aHash) and audio (envelope) near-dup pair
+# graphs, unioned, transitively clustered, non-representatives dropped —
+# because media dedup kills whole documents before any token-level work is
+# paid for them. The surviving documents then run exact text dedup ->
+# logistic quality filter -> domain-mixture sampling -> packed-sequence
+# spans (each stage individually driver-proven by its own query; this
+# oracle replays the full COMPOSITION). Media probes run over the exact
+# corpus (documents + planted +200000 copies, so the media stage has real
+# duplicates to remove); the text stages run over real documents only —
+# the plants are synthetic probes, all of which cluster with (and lose
+# representative election to) their lower-id originals.
+#
+# Scale: the media stage is the r08 Hamming-band machinery (bucketed
+# equi-joins, never all-pairs), CC is the checkpointed min-label engine,
+# and the text chain is pretrain_v2's (fingerprint shuffle, broadcast
+# rates, per-source window over the sampled minority).
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+from .textprep import (  # noqa: E402
+    _HASH256_SQL,
+    _MIX_BUDGET_FRAC,
+    _MIX_P_SQL,
+    _MIX_RESIDUAL_SHARDS,
+    _MIX_W_SRC0,
+    _MIX_W_SRC1,
+    _PACK_CAP,
+    _hash256,
+    _quality_cte_sql,
+    quality_p_col,
+)
+
+
+def _rename_ctes(sql: str, renames: dict) -> str:
+    """Rename CTE identifiers (word-boundary regex, so quoted literals
+    like 'px0'/'au3' are untouched) — lets the image and audio fingerprint
+    chains, which both define px/stat/nibs, compose inside ONE oracle."""
+    for old, new in renames.items():
+        sql = _re.sub(rf"\b{old}\b", new, sql)
+    return sql
+
+
+_IMG_NIBS_V3 = _rename_ctes(
+    _PHASH_NIBS_CTE,
+    {"px": "ipx", "pixels": "ipixels", "stat": "istat", "nibs": "inibs"},
+)
+_IMG_SCORED_V3 = _rename_ctes(
+    _PHASH_SCORED_CTE, {"scored": "iscored", "nibs": "inibs"}
+)
+_AUD_NIBS_V3 = _rename_ctes(
+    _AUDIO_NIBS_CTE,
+    {
+        "px": "apx",
+        "sample_bytes": "asample_bytes",
+        "env": "aenv",
+        "stat": "astat",
+        "nibs": "anibs",
+    },
+)
+_AUD_SCORED_V3 = _rename_ctes(
+    _PHASH_SCORED_CTE, {"scored": "ascored", "nibs": "anibs"}
+)
+
+
+PRETRAIN_V3_ORACLE = f"""
+    WITH RECURSIVE {EXACT_CORPUS_CTE.strip()},
+    {_IMG_NIBS_V3.strip()},
+    {_IMG_SCORED_V3.strip()},
+    {_AUD_NIBS_V3.strip()},
+    {_AUD_SCORED_V3.strip()},
+    scored AS (
+        SELECT id_a, id_b FROM iscored
+        UNION
+        SELECT id_a, id_b FROM ascored
+    ),
+    {_EDGES_REACH_CLUSTERS_CTE.strip()},
+    surv AS (
+        SELECT d.doc_id, d.text, d.source FROM documents d
+        WHERE d.doc_id NOT IN
+              (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+    ),
+    {_quality_cte_sql('surv').strip()},
+    feats AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_tok,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' ')) AS fp
+        FROM surv
+    ),
+    deduped AS (
+        SELECT f.* FROM feats f
+        JOIN (SELECT fp, min(doc_id) AS keep_id FROM feats GROUP BY fp) k
+          ON f.fp = k.fp AND f.doc_id = k.keep_id
+    ),
+    filtered AS (
+        SELECT d.doc_id, d.source, d.n_tok FROM deduped d
+        JOIN quality q ON d.doc_id = q.doc_id
+        WHERE q.quality_p >= 0.5
+    ),
+    ns AS (SELECT source, count(*) AS n FROM filtered GROUP BY source),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM ns),
+    rates AS (
+        SELECT source,
+               least(CAST(1 AS DOUBLE),
+                     CAST({_MIX_BUDGET_FRAC} AS DOUBLE) * nn * ({_MIX_P_SQL})
+                     / n) AS rate
+        FROM ns CROSS JOIN tot
+    ),
+    sampled AS (
+        SELECT f.doc_id, f.source, f.n_tok
+        FROM filtered f JOIN rates r ON f.source = r.source
+        WHERE {_HASH256_SQL.replace('doc_id', 'f.doc_id')} < floor(r.rate * 256)
+    ),
+    packed AS (
+        SELECT doc_id, source, n_tok,
+               coalesce(sum(n_tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM sampled
+    )
+    SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(floor(cum_before / {_PACK_CAP}.0) AS BIGINT) AS first_seq,
+           CAST(floor((cum_before + n_tok - 1) / {_PACK_CAP}.0) AS BIGINT)
+               AS last_seq
+    FROM packed
+    """
+
+
+@register("pipeline_pretrain_v3", PRETRAIN_V3_ORACLE)
+def pipeline_pretrain_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor docs with packed-sequence spans after media near-dup
+    removal + the text chain. See banner for the stage/cost argument."""
+    from pyspark.sql import Window
+
+    from ..functions.text import fingerprint, token_count_ws
+    from ..operators.components import connected_components
+    from ..operators.multimodal import attach_synthetic_audio
+
+    corpus = _exact_corpus(spark, sf_dir)
+    img_pairs = _image_phash_pairs(spark, sf_dir).select("id_a", "id_b")
+    aud_fp = DD.audio_envelope_fingerprints(
+        attach_synthetic_audio(corpus), hash_size=8
+    )
+    aud_pairs = DD.phash_near_pairs(
+        aud_fp, hex_len=16, max_hamming=3
+    ).select("id_a", "id_b")
+    edges = img_pairs.unionByName(aud_pairs).distinct()
+    cc = connected_components(edges)
+    drop = cc.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    surv = load_table(spark, sf_dir, "documents").join(
+        drop, "doc_id", "left_anti"
+    )
+
+    quality = surv.select("doc_id", quality_p_col().alias("quality_p"))
+    feats = surv.select(
+        "doc_id",
+        "source",
+        token_count_ws().alias("n_tok"),
+        fingerprint().alias("fp"),
+    )
+    keepers = feats.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    deduped = feats.join(keepers, ["fp", "doc_id"], "left_semi")
+    filtered = (
+        deduped.join(quality, "doc_id")
+        .filter(F.col("quality_p") >= 0.5)
+        .select("doc_id", "source", "n_tok")
+    )
+
+    ns = filtered.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = ns.agg(F.sum("n").cast("double").alias("nn"))
+    p = (
+        F.when(F.col("source") == "src0", F.lit(_MIX_W_SRC0))
+        .when(F.col("source") == "src1", F.lit(_MIX_W_SRC1))
+        .otherwise(
+            F.lit((1 - _MIX_W_SRC0 - _MIX_W_SRC1) / _MIX_RESIDUAL_SHARDS)
+        )
+    )
+    rates = ns.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0), F.lit(_MIX_BUDGET_FRAC) * F.col("nn") * p / F.col("n")
+        ).alias("rate"),
+    )
+    sampled = (
+        filtered.join(F.broadcast(rates), "source")
+        .filter(_hash256("doc_id") < F.floor(F.col("rate") * 256))
+        .select("doc_id", "source", "n_tok")
+    )
+
+    win = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tok").over(win), F.lit(0))
+    return sampled.select(
+        "doc_id",
+        "source",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.floor(cum_before / float(_PACK_CAP)).alias("first_seq"),
+        F.floor((cum_before + F.col("n_tok") - 1) / float(_PACK_CAP)).alias(
+            "last_seq"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup by frame-fingerprint overlap (r09): the VIDEO entry of the
+# media dedup matrix (text shingles / image aHash / audio envelope+
+# scalogram / video frame sets). A video is its SET of per-frame
+# fingerprints (content-ID style): md5 of every fixed-size frame through
+# the one-to-many sample_frames contract (every_nth=1), pairs by Jaccard
+# of the DISTINCT frame-hash sets >= 0.5. Robust to frame-ALIGNED edits —
+# the planted copies (+300000, every 5th doc) are head-trimmed by exactly
+# one frame, so every surviving frame's bytes are identical and the sets
+# overlap at (F-1)/F while any byte-shifted (non-aligned) edit would zero
+# the overlap, which is precisely the sensitivity boundary of frame-set
+# dedup.
+#
+# Scale: candidate generation is an equi-join on frame_md5 (bucket-
+# bounded by per-hash occupancy — the exact-dedup blocking idiom), never
+# all-pairs; the frame relation is checkpointed once (blocked-self-join
+# idiom); only (doc_id, 32-hex) rows shuffle. Real container decode stays
+# ffmpeg-gated; the deterministic slicer makes the oracle replay exact
+# (documents text is ASCII: char offsets == byte offsets).
+# ---------------------------------------------------------------------------
+
+VIDEO_FRAMES_PAIRS_ORACLE = """
+    WITH vcorpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 300000 AS doc_id, substring(text, 17) AS text
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    frames AS (
+        SELECT DISTINCT doc_id, md5(substring(text, fno * 16 + 1, 16)) AS fh
+        FROM vcorpus,
+             unnest(generate_series(0, length(text) // 16 - 1, 1)) AS t(fno)
+    ),
+    counts AS (SELECT doc_id, count(*) AS nf FROM frames GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        FROM frames a JOIN frames b ON a.fh = b.fh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+           round(n_shared / CAST(ca.nf + cb.nf - n_shared AS DOUBLE), 4)
+               AS jaccard
+    FROM shared
+    JOIN counts ca ON ca.doc_id = id_a
+    JOIN counts cb ON cb.doc_id = id_b
+    WHERE n_shared / CAST(ca.nf + cb.nf - n_shared AS DOUBLE) >= 0.5
+    """
+
+
+@register("dedup_video_frames", VIDEO_FRAMES_PAIRS_ORACLE)
+def dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate video pairs by frame-set Jaccard >= 0.5 over
+    documents + one-frame-head-trimmed planted copies."""
+    from ..operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plants = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.expr("substring(text, 17)").alias("text"),
+    )
+    corpus = docs.unionByName(plants)
+    frames = sample_frames(
+        attach_blob(corpus), every_nth=1, frame_bytes=16, fake=True
+    )
+    # One materialization: the self-join would otherwise re-run the
+    # frame-slicing mapInPandas per side (blocked-self-join idiom).
+    fsets = (
+        frames.select("doc_id", F.md5("frame").alias("fh"))
+        .distinct()
+        .localCheckpoint()
+    )
+    counts = fsets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
+    a, b = fsets.alias("a"), fsets.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fh") == F.col("b.fh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ca = counts.select(F.col("doc_id").alias("id_a"), F.col("nf").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("id_b"), F.col("nf").alias("nb"))
+    jac = F.col("n_shared") / (
+        F.col("na") + F.col("nb") - F.col("n_shared")
+    ).cast("double")
+    return (
+        shared.join(ca, "id_a")
+        .join(cb, "id_b")
+        .filter(jac >= 0.5)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(jac, 4).alias("jaccard"),
         )
     )

@@ -1091,27 +1091,14 @@ def stream_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id").isNotNull())
         .select("user_id", "ts", "event_id", "event_type")
     )
-    pairs = stateful_transition_pairs(ev)
-    drained = run_to_table(spark, pairs, "append", require_single_batch=True)
-    # Loud twin-divergence guard (r08 ADVICE): MARKOV_ORACLE embeds the
-    # batch _PATH_MAX_EVENTS rank cap but the O(1)-state miner is
-    # uncapped by construction — if any user ever exceeded the cap the
-    # twins would silently diverge under one oracle, so fail instead.
+    # Twin-divergence guard (r08 ADVICE): MARKOV_ORACLE embeds the batch
+    # _PATH_MAX_EVENTS rank cap; the stateful miner enforces the same
+    # bound INSIDE its O(1) state (pair counter) and fails the offending
+    # key at ingest — no post-drain audit job.
     from .windows_stats import _PATH_MAX_EVENTS
 
-    worst = (
-        drained.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-        .agg(F.max("n_pairs"))
-        .first()[0]
-    )
-    if worst is not None and worst > _PATH_MAX_EVENTS - 1:
-        raise AssertionError(
-            f"stream_markov_transitions: a user has {worst + 1} events,"
-            f" beyond the batch oracle's _PATH_MAX_EVENTS={_PATH_MAX_EVENTS}"
-            " cap — the uncapped streaming miner would diverge from the"
-            " shared oracle"
-        )
+    pairs = stateful_transition_pairs(ev, pair_cap=_PATH_MAX_EVENTS - 1)
+    drained = run_to_table(spark, pairs, "append", require_single_batch=True)
     c = drained.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
     wsrc = Window.partitionBy("src")
     return c.select(
@@ -1138,36 +1125,32 @@ def stream_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .llm import IMAGE_PHASH_PAIRS_ORACLE  # noqa: E402
 
 
-def stream_image_phash_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pre-drain streaming plan, exposed for plan-shape tests.
+def _media_probe_plan(spark: SparkSession, sf_dir: str, fingerprint) -> DataFrame:
+    """Shared at-ingest media-dedup probe shape (image aHash / audio
+    envelope / audio scalogram differ ONLY in the fingerprint stage):
+    static Hamming-band chunk catalog over the exact corpus, stream side
+    fingerprinted map-side, stream-static equi-join on (chunk_id,
+    chunk_val), hamming in codegen, no stream-side state.
 
-    The fingerprint-chunk catalog is 4x|corpus| rows — CORPUS-proportional,
-    so no hard-coded broadcast hint (r08 VERDICT task 1). The eager
+    The catalog is 4x|corpus| rows — CORPUS-proportional, so no
+    hard-coded broadcast hint (r08 VERDICT task 1). The eager
     localCheckpoint gives the planner its true size: broadcast while
-    dim-sized, shuffled equi-join on (chunk_id, chunk_val) beyond.
+    dim-sized, shuffled equi-join beyond. ``fingerprint`` maps a
+    (doc_id, text) relation to (doc_id, phash) through the real
+    synthesize -> decode -> hash stack.
     """
-    from ..operators.dedup import (
-        image_phash_fingerprints,
-        phash_chunks,
-        phash_hamming,
-    )
-    from ..operators.multimodal import attach_synthetic_image
+    from ..operators.dedup import phash_chunks, phash_hamming
     from .llm import _exact_corpus
 
     catalog = phash_chunks(
-        image_phash_fingerprints(
-            attach_synthetic_image(_exact_corpus(spark, sf_dir))
-        )
+        fingerprint(_exact_corpus(spark, sf_dir))
     ).localCheckpoint()
 
     ds = documents_stream(spark, sf_dir).select("doc_id", "text")
     plants = ds.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 200000).alias("doc_id"), "text"
     )
-    stream_fp = image_phash_fingerprints(
-        attach_synthetic_image(ds.unionByName(plants))
-    )
-    probe = phash_chunks(stream_fp).alias("s")
+    probe = phash_chunks(fingerprint(ds.unionByName(plants))).alias("s")
     cat = catalog.alias("c")
     return (
         probe.join(
@@ -1182,6 +1165,18 @@ def stream_image_phash_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             phash_hamming(F.col("s.phash"), F.col("c.phash")).alias("hamming"),
         )
         .filter(F.col("hamming") <= 3)
+    )
+
+
+def stream_image_phash_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-drain streaming plan, exposed for plan-shape tests."""
+    from ..operators.dedup import image_phash_fingerprints
+    from ..operators.multimodal import attach_synthetic_image
+
+    return _media_probe_plan(
+        spark,
+        sf_dir,
+        lambda df: image_phash_fingerprints(attach_synthetic_image(df)),
     )
 
 
@@ -1211,45 +1206,16 @@ from .llm import AUDIO_ENVELOPE_PAIRS_ORACLE  # noqa: E402
 
 
 def stream_audio_envelope_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pre-drain streaming plan, exposed for plan-shape tests. The
-    fingerprint-chunk catalog is corpus-proportional: eagerly checkpointed
-    for true stats, NO broadcast hint (see stream_image_phash_plan)."""
-    from ..operators.dedup import (
-        audio_envelope_fingerprints,
-        phash_chunks,
-        phash_hamming,
-    )
+    """Pre-drain streaming plan, exposed for plan-shape tests."""
+    from ..operators.dedup import audio_envelope_fingerprints
     from ..operators.multimodal import attach_synthetic_audio
-    from .llm import _exact_corpus
 
-    catalog = phash_chunks(
-        audio_envelope_fingerprints(
-            attach_synthetic_audio(_exact_corpus(spark, sf_dir)), hash_size=8
-        )
-    ).localCheckpoint()
-
-    ds = documents_stream(spark, sf_dir).select("doc_id", "text")
-    plants = ds.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 200000).alias("doc_id"), "text"
-    )
-    stream_fp = audio_envelope_fingerprints(
-        attach_synthetic_audio(ds.unionByName(plants)), hash_size=8
-    )
-    probe = phash_chunks(stream_fp).alias("s")
-    cat = catalog.alias("c")
-    return (
-        probe.join(
-            cat,
-            (F.col("s.chunk_id") == F.col("c.chunk_id"))
-            & (F.col("s.chunk_val") == F.col("c.chunk_val"))
-            & (F.col("s.doc_id") < F.col("c.doc_id")),
-        )
-        .select(
-            F.col("s.doc_id").alias("id_a"),
-            F.col("c.doc_id").alias("id_b"),
-            phash_hamming(F.col("s.phash"), F.col("c.phash")).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= 3)
+    return _media_probe_plan(
+        spark,
+        sf_dir,
+        lambda df: audio_envelope_fingerprints(
+            attach_synthetic_audio(df), hash_size=8
+        ),
     )
 
 
@@ -1258,6 +1224,124 @@ def stream_audio_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = stream_audio_envelope_plan(spark, sf_dir)
     drained = run_to_table(spark, pairs, "append")
     return drained.distinct()
+
+
+# ---------------------------------------------------------------------------
+# Streaming spectral-dedup probe (r09): the Haar-scalogram twin — catches
+# at-ingest duplicates whose loudness contour was altered but whose
+# spectral shape survives. Same probe shape, same oracle-sharing argument.
+# ---------------------------------------------------------------------------
+
+
+from .llm import AUDIO_SPECTRAL_PAIRS_ORACLE  # noqa: E402
+
+
+def stream_audio_spectral_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-drain streaming plan, exposed for plan-shape tests."""
+    from ..operators.dedup import audio_spectral_fingerprints
+    from ..operators.multimodal import attach_synthetic_audio
+
+    return _media_probe_plan(
+        spark,
+        sf_dir,
+        lambda df: audio_spectral_fingerprints(
+            attach_synthetic_audio(df), levels=4, segments=16
+        ),
+    )
+
+
+@register("stream_audio_spectral", AUDIO_SPECTRAL_PAIRS_ORACLE)
+def stream_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = stream_audio_spectral_plan(spark, sf_dir)
+    drained = run_to_table(spark, pairs, "append")
+    return drained.distinct()
+
+
+# ---------------------------------------------------------------------------
+# Streaming video-dedup probe (r09): the VIDEO twin completing the
+# at-ingest modality matrix (image/audio envelope/audio spectral/video).
+# Frame-set Jaccard needs per-PAIR aggregation, so unlike the phash
+# probes the stream emits one (id_a, id_b) HIT row per shared distinct
+# frame hash (stream-static equi-join on frame_md5, no stream-side
+# state) and the drained hits are counted and Jaccard-scored batch-side
+# against the static per-video frame counts — the stream_markov pattern
+# (stateless stream stage + bounded batch finish). The catalog is the
+# corpus the stream delivers, so the result equals the batch self-join
+# and shares VIDEO_FRAMES_PAIRS_ORACLE. Catalog side is corpus-
+# proportional: checkpoint-materialized, NO broadcast hint (task-1 rule).
+# ---------------------------------------------------------------------------
+
+
+from .llm import VIDEO_FRAMES_PAIRS_ORACLE  # noqa: E402
+
+
+def _video_frame_sets(df: DataFrame) -> DataFrame:
+    """(doc_id, fh): DISTINCT md5 frame fingerprints per video through the
+    one-to-many sample_frames contract (every frame, 16B)."""
+    from ..operators.multimodal import attach_blob, sample_frames
+
+    frames = sample_frames(
+        attach_blob(df), every_nth=1, frame_bytes=16, fake=True
+    )
+    return frames.select("doc_id", F.md5("frame").alias("fh")).distinct()
+
+
+def stream_video_frames_plan(spark: SparkSession, sf_dir: str):
+    """(pre-drain hit stream, static counts) — exposed for plan tests."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plants_static = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.expr("substring(text, 17)").alias("text"),
+    )
+    catalog = _video_frame_sets(
+        docs.unionByName(plants_static)
+    ).localCheckpoint()
+    counts = catalog.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
+
+    ds = documents_stream(spark, sf_dir).select("doc_id", "text")
+    plants = ds.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.expr("substring(text, 17)").alias("text"),
+    )
+    probe = _video_frame_sets(ds.unionByName(plants)).alias("s")
+    cat = catalog.alias("c")
+    hits = probe.join(
+        cat,
+        (F.col("s.fh") == F.col("c.fh"))
+        & (F.col("s.doc_id") < F.col("c.doc_id")),
+    ).select(
+        F.col("s.doc_id").alias("id_a"),
+        F.col("c.doc_id").alias("id_b"),
+        F.col("s.fh").alias("fh"),
+    )
+    return hits, counts
+
+
+@register("stream_video_frames", VIDEO_FRAMES_PAIRS_ORACLE)
+def stream_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hits, counts = stream_video_frames_plan(spark, sf_dir)
+    drained = run_to_table(spark, hits, "append")
+    shared = (
+        drained.distinct()  # multi-batch replays dedupe on the hash key
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ca = counts.select(F.col("doc_id").alias("id_a"), F.col("nf").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("id_b"), F.col("nf").alias("nb"))
+    jac = F.col("n_shared") / (
+        F.col("na") + F.col("nb") - F.col("n_shared")
+    ).cast("double")
+    return (
+        shared.join(ca, "id_a")
+        .join(cb, "id_b")
+        .filter(jac >= 0.5)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1275,27 +1359,9 @@ def stream_audio_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-_SINK_TMPDIRS: list = []
-
-
-def _tmp_sink_dir(prefix: str) -> str:
-    """Sink/checkpoint tempdir removed at interpreter exit (r08 ADVICE:
-    every driver replay / pytest run otherwise leaks full event-table
-    copies into /tmp). Cleanup must NOT happen inside the query call —
-    the parquet read-back is lazy and the driver materializes the
-    returned DataFrame later — so deletion is deferred to atexit, which
-    runs after all collections."""
-    import atexit
-    import shutil
-    import tempfile
-
-    path = tempfile.mkdtemp(prefix=prefix)
-    if not _SINK_TMPDIRS:
-        atexit.register(
-            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SINK_TMPDIRS]
-        )
-    _SINK_TMPDIRS.append(path)
-    return path
+# Sink/checkpoint tempdirs are tracked and removed at interpreter exit
+# (r08 ADVICE) — shared helper in plans/__init__.py.
+from . import tmp_run_dir as _tmp_sink_dir  # noqa: E402
 
 
 @register(

@@ -1298,3 +1298,64 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scaled.select(
         "event_id", z_value(["su", "sv"], bits=_Z_BITS).alias("zval")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-ordered WRITE read-back (r09, r08 VERDICT task 6): the layout machinery
+# itself moves inside a driver hash — events are zorder_layout-ed on
+# (user_id, iv), written to parquet, read BACK, and filtered with a
+# selective two-dimension corner predicate (the query shape z-ordering
+# exists for: both dimensions constrained, most files skipped by min/max
+# envelopes — file-count skipping on BOTH dimensions is pinned by
+# tests/test_plans_scale.py). The ORACLE checks row CONTENT only: file
+# assignment depends on repartitionByRange boundary SAMPLING, which is not
+# oracle-deterministic, so the layout may vary while the surviving rows may
+# not. Thresholds are integer arithmetic off the same bounds both engines
+# compute, no floats anywhere.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "layout_zorder_readback",
+    """
+    WITH src AS (
+        SELECT event_id, user_id,
+               CAST(floor(value * 1000) AS BIGINT) AS iv
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    bounds AS (
+        SELECT min(user_id) AS lo_u, max(user_id) AS hi_u,
+               min(iv) AS lo_v, max(iv) AS hi_v
+        FROM src
+    )
+    SELECT event_id, user_id, iv
+    FROM src CROSS JOIN bounds
+    WHERE user_id <= lo_u + (hi_u - lo_u) // 8
+      AND iv <= lo_v + (hi_v - lo_v) // 8
+    """,
+)
+def layout_zorder_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators.zorder import zorder_layout
+    from . import tmp_run_dir
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    src = ev.select(
+        "event_id", "user_id",
+        F.floor(F.col("value") * 1000).cast("long").alias("iv"),
+    )
+    path = os.path.join(tmp_run_dir("zorder_rb_"), "data")
+    zorder_layout(src, ["user_id", "iv"], n_files=8, bits=_Z_BITS).write.parquet(
+        path
+    )
+    back = spark.read.parquet(path)
+    b = src.agg(
+        F.min("user_id").alias("lo_u"), F.max("user_id").alias("hi_u"),
+        F.min("iv").alias("lo_v"), F.max("iv").alias("hi_v"),
+    ).first()  # one fixed-size bounds row (the zorder_layout idiom)
+    thr_u = b["lo_u"] + (b["hi_u"] - b["lo_u"]) // 8
+    thr_v = b["lo_v"] + (b["hi_v"] - b["lo_v"]) // 8
+    return back.filter(
+        (F.col("user_id") <= F.lit(thr_u)) & (F.col("iv") <= F.lit(thr_v))
+    ).select("event_id", "user_id", "iv")

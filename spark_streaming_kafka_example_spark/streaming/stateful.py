@@ -247,15 +247,16 @@ def stateful_greedy_packer(
     )
 
 
-# state: the user's last-seen event = (ts, event_id, event_type) — O(1)
-# per key regardless of stream length, the bounded-state alternative to
-# the batch sequence miner's capped collect (plans/windows_stats.py
-# _PATH_MAX_EVENTS).
+# state: the user's last-seen event = (ts, event_id, event_type) plus a
+# running pair counter — O(1) per key regardless of stream length, the
+# bounded-state alternative to the batch sequence miner's capped collect
+# (plans/windows_stats.py _PATH_MAX_EVENTS).
 _TRANSITION_STATE_SCHEMA = T.StructType(
     [
         T.StructField("last_ts", T.TimestampType()),
         T.StructField("last_id", T.LongType()),
         T.StructField("last_type", T.StringType()),
+        T.StructField("n_pairs", T.LongType()),
     ]
 )
 
@@ -266,13 +267,22 @@ def stateful_transition_pairs(
     ts_col: str = "ts",
     id_col: str = "event_id",
     type_col: str = "event_type",
+    pair_cap: int | None = None,
 ) -> DataFrame:
     """At-ingest event-type transition miner: per key, emit one
     (key, src, dst) row for every consecutive event pair, holding ONLY the
-    last-seen event as state. The streaming twin of the batch Markov
-    pipeline (plans/windows_stats.markov_transition_counts) with O(1)
-    instead of O(history) per-key state — no cap needed because nothing
-    accumulates.
+    last-seen event (and a pair counter) as state. The streaming twin of
+    the batch Markov pipeline (plans/windows_stats.markov_transition_counts)
+    with O(1) instead of O(history) per-key state — no cap needed for
+    MEMORY because nothing accumulates.
+
+    ``pair_cap`` is a SEMANTIC guard, not a memory one (r08 ADVICE): when a
+    consumer shares an oracle with the batch twin — whose derivation is
+    rank-capped at _PATH_MAX_EVENTS events per user — a user exceeding the
+    cap would make the twins silently diverge under one oracle. Passing
+    the cap makes the update function itself raise on the offending key at
+    INGEST time (zero extra jobs, unlike a post-drain audit aggregation).
+    None = uncapped (the pure monitor).
 
     Within a micro-batch rows are ordered by (ts, event_id) — the batch
     tie-break — and the stored last event bridges batch boundaries, so a
@@ -296,12 +306,21 @@ def stateful_transition_pairs(
             [ts_col, id_col]
         )
         types = list(rows[type_col])
+        n_prev = 0
         if state.exists:
-            _last_ts, _last_id, last_type = state.get
+            _last_ts, _last_id, last_type, n_prev = state.get
             types = [last_type, *types]
         out = [
             (key[0], types[i], types[i + 1]) for i in range(len(types) - 1)
         ]
+        n_total = (n_prev or 0) + len(out)
+        if pair_cap is not None and n_total > pair_cap:
+            raise ValueError(
+                f"stateful_transition_pairs: key {key[0]!r} reached"
+                f" {n_total} transition pairs, beyond pair_cap={pair_cap}"
+                " — the batch twin's _PATH_MAX_EVENTS-capped oracle would"
+                " silently diverge from this uncapped stream"
+            )
         tail = rows.iloc[-1]
         ts = tail[ts_col]
         state.update(
@@ -309,6 +328,7 @@ def stateful_transition_pairs(
                 ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts,
                 int(tail[id_col]),
                 tail[type_col],
+                n_total,
             )
         )
         if out:

@@ -1457,6 +1457,86 @@ def test_phash_banding_is_pigeonhole_complete(spark, seed, hex_len, max_hamming)
     assert got == exp, f"seed {seed}: banding lost/invented pairs"
 
 
+def test_audio_scalogram_spectral_sensitivity_and_robustness(spark):
+    """Haar-scalogram fingerprint (r09, the r08 VERDICT task-5 robust
+    twin): (a) two clips with IDENTICAL loudness contours but different
+    frequency content — a high-freq burst vs a period-4 wave, both
+    |0.5| then silence — hash identically under the envelope (blind) but
+    far apart under the scalogram; (b) exact volume scaling of decoded
+    samples changes nothing (per-level relative threshold); (c) a 0.3x
+    re-encode and a seeded white-noise perturbation stay within the
+    pairing threshold; (d) unrelated audio stays far; (e) the Spark
+    pipeline finds exactly the planted pairs."""
+    import numpy as np
+
+    from spark_streaming_kafka_example_spark.functions.audio import (
+        decode_wav,
+        encode_wav,
+        envelope_hash,
+        scalogram_hash,
+    )
+    from spark_streaming_kafka_example_spark.operators.dedup import (
+        audio_spectral_fingerprints,
+        phash_near_pairs,
+    )
+
+    def hamming(a: str, b: str) -> int:
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+    n = 1024
+    burst = np.zeros(n)
+    burst[: n // 2] = 0.5 * np.where(np.arange(n // 2) % 2 == 0, 1, -1)
+    wave4 = np.zeros(n)
+    wave4[: n // 2] = 0.5 * np.where(np.arange(n // 2) % 4 < 2, 1, -1)
+    d_burst = decode_wav(encode_wav(burst, 8000))[0]
+    d_wave4 = decode_wav(encode_wav(wave4, 8000))[0]
+    # the envelope cannot tell them apart; the scalogram must
+    assert envelope_hash(d_burst) == envelope_hash(d_wave4)
+    s_burst = scalogram_hash(d_burst)
+    assert len(s_burst) == 16
+    assert hamming(s_burst, scalogram_hash(d_wave4)) > 10
+
+    # exact volume invariance on decoded samples (no re-quantization)
+    assert scalogram_hash(d_burst * 0.5) == s_burst
+    # re-encode at 0.3x volume: quantization noise only, stays pairable
+    d_quiet = decode_wav(encode_wav(burst * 0.3, 8000))[0]
+    assert hamming(scalogram_hash(d_quiet), s_burst) <= 3
+
+    rng = np.random.default_rng(11)
+    base = rng.uniform(-0.8, 0.8, size=n)
+    noise = rng.uniform(-1 / 256, 1 / 256, size=n)
+    far = rng.uniform(-0.8, 0.8, size=n)
+    h_base = scalogram_hash(decode_wav(encode_wav(base, 8000))[0])
+    h_noised = scalogram_hash(decode_wav(encode_wav(base + noise, 8000))[0])
+    assert hamming(h_base, h_noised) <= 3  # white-noise-perturbed still pairs
+    h_far = scalogram_hash(decode_wav(encode_wav(far, 8000))[0])
+    assert hamming(h_base, h_far) > 10
+
+    # stereo folds by channel mean; too-short clips fail loudly
+    stereo = np.stack([base, far], axis=1)
+    d_stereo = decode_wav(encode_wav(stereo, 8000))[0]
+    assert scalogram_hash(d_stereo) == scalogram_hash(d_stereo.mean(axis=1))
+    with pytest.raises(ValueError, match="too short"):
+        scalogram_hash(np.zeros(255))
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav(base, 8000))),
+            (2, bytearray(encode_wav(base, 8000))),          # exact dup
+            (3, bytearray(encode_wav(base + noise, 8000))),  # noise-perturbed
+            (4, bytearray(encode_wav(far, 8000))),           # unrelated
+        ],
+        "doc_id long, content binary",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_near_pairs(audio_spectral_fingerprints(df)).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 3
+    assert not any(4 in p for p in pairs)
+
+
 def test_audio_envelope_stereo_and_short_clip(spark):
     """Channel handling + the too-short guard: a stereo clip hashes by its
     channel-mean signal (decode keeps (frames, 2), envelope_hash folds
@@ -1483,3 +1563,44 @@ def test_audio_envelope_stereo_and_short_clip(spark):
     assert envelope_hash(dec_stereo) == envelope_hash(mono)
     with _pytest.raises(ValueError, match="too short"):
         envelope_hash(np.zeros(63))
+
+
+def test_video_frame_set_dedup_alignment_boundary(spark):
+    """Frame-set video dedup (r09): a frame-ALIGNED head trim keeps
+    (F-1)/F Jaccard overlap (pairs), while the same edit shifted by one
+    byte re-cuts every frame boundary and zeroes the overlap (no pair) —
+    the documented sensitivity boundary of content-ID-style frame
+    hashing. Also pins set semantics: a video with internally repeated
+    frames still counts each distinct fingerprint once."""
+    from spark_streaming_kafka_example_spark.operators.multimodal import (
+        attach_blob,
+        sample_frames,
+    )
+
+    base = "".join(f"frame{i:03d}-pad-{i:02d}x" for i in range(16))  # 16x16B
+    rows = [
+        (1, base),
+        (2, base[16:]),          # aligned one-frame head trim -> near dup
+        (3, base[1:]),           # 1-byte shift -> every frame re-cut
+        (4, base[:16] * 16),     # same first frame repeated 16x
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    frames = sample_frames(attach_blob(df), every_nth=1, frame_bytes=16, fake=True)
+    fsets = frames.select("doc_id", F.md5("frame").alias("fh")).distinct()
+    got = {
+        (r.doc_id, r.n): None
+        for r in fsets.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert (1, 16) in got and (2, 15) in got and (4, 1) in got  # set semantics
+    a, b = fsets.alias("a"), fsets.alias("b")
+    shared = (
+        a.join(b, (F.col("a.fh") == F.col("b.fh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("ia"), F.col("b.doc_id").alias("ib"))
+        .count()
+        .collect()
+    )
+    pairs = {(r.ia, r.ib): r["count"] for r in shared}
+    assert pairs.get((1, 2)) == 15          # aligned trim: 15/16 frames survive
+    assert (1, 3) not in pairs              # byte shift: zero shared frames
+    assert pairs.get((1, 4)) == 1           # repeated frame counts once

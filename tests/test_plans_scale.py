@@ -738,12 +738,15 @@ def test_ivf_index_path_distinct_per_sf_dir(spark, sf_dir, tmp_path):
 @pytest.mark.parametrize(
     "builder",
     ["stream_cohort_retention_plan", "stream_funnel_plan",
-     "stream_image_phash_plan", "stream_audio_envelope_plan"],
+     "stream_image_phash_plan", "stream_audio_envelope_plan",
+     "stream_audio_spectral_plan", "stream_video_frames_plan"],
 )
 def test_stream_static_joins_unhinted_equi(spark, sf_dir, builder):
     from spark_streaming_kafka_example_spark.plans import stream as st
 
     df = getattr(st, builder)(spark, sf_dir)
+    if isinstance(df, tuple):  # video probe returns (hit stream, counts)
+        df = df[0]
     physical = formatted_plan(df)
     assert "CartesianProduct" not in physical
     assert "BroadcastNestedLoopJoin" not in physical

@@ -816,3 +816,43 @@ def test_stateful_transition_pairs_bridge_across_batches(spark, tmp_path):
         for r in spark.table("t_trans_mb").collect()
     }
     assert got == {(1, "a", "b"), (1, "b", "c"), (2, "x", "y")}, got
+
+
+def test_stateful_transition_pairs_pair_cap_raises(spark, tmp_path):
+    """The in-state pair_cap guard (r08 ADVICE, landed r09): a key whose
+    cumulative transition count exceeds the cap must fail the query
+    LOUDLY at ingest (the batch twin's rank-capped oracle would otherwise
+    silently diverge), while a run under the cap is untouched — and the
+    guard costs zero extra jobs, the counter rides the O(1) state."""
+    import datetime as dt
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from spark_streaming_kafka_example_spark.streaming.stateful import (
+        stateful_transition_pairs,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0 + dt.timedelta(seconds=s), 100 + s, "abcde"[s % 5])
+        for s in range(5)  # 4 transition pairs for user 1
+    ]
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    src = str(tmp_path / "cap_src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    def run(cap, name, ckpt):
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stateful_transition_pairs(stream, pair_cap=cap)
+            .writeStream.outputMode("append").format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name).count()
+
+    assert run(4, "t_cap_ok", "ck_ok") == 4  # at the cap: fine
+    with pytest.raises(StreamingQueryException, match="pair_cap=3"):
+        run(3, "t_cap_boom", "ck_boom")
