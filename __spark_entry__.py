@@ -240,6 +240,8 @@ ROTATION_PRIORITY = [
     "layout_zorder_readback",
     "dedup_video_frames",
     "stream_video_frames",
+    "sketch_countmin_users",
+    "stream_countmin_users",
 ]
 
 

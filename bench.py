@@ -111,6 +111,7 @@ HEADLINE = [
     "pipeline_pretrain_v3",
     "layout_zorder_readback",
     "dedup_video_frames",
+    "sketch_countmin_users",
 ]
 
 

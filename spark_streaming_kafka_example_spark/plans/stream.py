@@ -1531,3 +1531,58 @@ def t3_default_checkpoint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     return back.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming count-min sketch (r09): the mergeable-sketch story ON A STREAM.
+# The d x w cell table is exactly the state complete-mode maintains for a
+# (j, bucket) count aggregation — fixed at 1024 cells regardless of stream
+# length, the textbook bounded-state summary. Heavy-hitter scoring (exact
+# top-20 from the static batch relation, estimate = min over the key's d
+# drained cells) finishes batch-side; on a bounded drain the cells equal
+# the batch sketch, so both twins share one oracle.
+# ---------------------------------------------------------------------------
+
+from .windows_stats import _CMS_D, _cms_bucket_col  # noqa: E402
+from . import ORACLE as _ORACLE_REG  # noqa: E402
+
+
+@register("stream_countmin_users", _ORACLE_REG["sketch_countmin_users"])
+def stream_countmin_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+    )
+    js = F.explode(F.array(*[F.lit(j) for j in range(_CMS_D)])).alias("j")
+    hashed = ev.select("user_id", js).select(
+        "user_id", "j",
+        _cms_bucket_col(F.col("user_id"), F.col("j")).alias("bucket"),
+    )
+    cells_stream = hashed.groupBy("j", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cells = run_to_table(spark, cells_stream, "complete")
+
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = exact.orderBy(F.desc("n"), F.asc("user_id")).limit(20)
+    cand = top.select("user_id", "n", js).select(
+        "user_id", "n", "j",
+        _cms_bucket_col(F.col("user_id"), F.col("j")).alias("bucket"),
+    )
+    scored = (
+        cand.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("user_id", "n")
+        .agg(F.min("c").alias("est_n"))
+    )
+    return scored.select(
+        "user_id",
+        F.col("n").cast("long").alias("exact_n"),
+        F.col("est_n").cast("long").alias("est_n"),
+        (F.col("est_n") - F.col("n")).cast("long").alias("overcount"),
+    )

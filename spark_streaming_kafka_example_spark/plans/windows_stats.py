@@ -1359,3 +1359,111 @@ def layout_zorder_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.filter(
         (F.col("user_id") <= F.lit(thr_u)) & (F.col("iv") <= F.lit(thr_v))
     ).select("event_id", "user_id", "iv")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (r09): the mergeable-sketch story. The
+# sketch is d=4 rows x w=256 buckets of COUNTS — built by one map-side
+# hash projection + a partial-aggregated groupBy over (row, bucket), so at
+# 100 TB every executor folds its partition into 1024 cells and the merge
+# is a cell-wise sum (the same mergeability argument as HLL/datasketches).
+# Estimates (min over the key's d cells) are checked against exact counts
+# for the top-20 users: CMS NEVER underestimates, so `overcount` (est -
+# exact, always >= 0) is the driver-checked error surface. Hash functions
+# are md5-derived ('cms<j>:<key>' -> first byte), so DuckDB replays every
+# cell and estimate EXACTLY — the sketch is deterministic, only its error
+# is approximate.
+# ---------------------------------------------------------------------------
+
+_CMS_D, _CMS_W = 4, 256
+
+
+def _cms_bucket_sql(key_expr: str, j_expr: str) -> str:
+    """First md5 byte of 'cms<j>:<key>' as 0..255 (strpos-nibble idiom —
+    DuckDB has no conv())."""
+    h = f"md5('cms' || {j_expr} || ':' || CAST({key_expr} AS VARCHAR))"
+    return (
+        f"(strpos('0123456789abcdef', substring({h}, 1, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substring({h}, 2, 1)) - 1)"
+    )
+
+
+def _cms_bucket_col(key_col, j_col):
+    """Spark twin of _cms_bucket_sql (identical strings -> identical md5);
+    first-byte extraction via the shared hex-nibble idiom."""
+    from ..operators.dedup import _nibble
+
+    h = F.md5(
+        F.concat(
+            F.lit("cms"), j_col.cast("string"), F.lit(":"),
+            key_col.cast("string"),
+        )
+    )
+    return (_nibble(h, 0) * 16 + _nibble(h, 1)).cast("long")
+
+
+@register(
+    "sketch_countmin_users",
+    f"""
+    WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+    js AS (SELECT unnest(range(0, {_CMS_D})) AS j),
+    cells AS (
+        SELECT j, {_cms_bucket_sql('user_id', 'j')} AS bucket,
+               count(*) AS c
+        FROM ev CROSS JOIN js
+        GROUP BY j, bucket
+    ),
+    exact AS (SELECT user_id, count(*) AS n FROM ev GROUP BY user_id),
+    top AS (SELECT user_id, n FROM exact ORDER BY n DESC, user_id LIMIT 20),
+    cand AS (
+        SELECT user_id, n, j, {_cms_bucket_sql('user_id', 'j')} AS bucket
+        FROM top CROSS JOIN js
+    ),
+    scored AS (
+        SELECT cand.user_id, cand.n, min(cells.c) AS est_n
+        FROM cand JOIN cells
+          ON cells.j = cand.j AND cells.bucket = cand.bucket
+        GROUP BY cand.user_id, cand.n
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS exact_n,
+           CAST(est_n AS BIGINT) AS est_n,
+           CAST(est_n - n AS BIGINT) AS overcount
+    FROM scored
+    """,
+)
+def sketch_countmin_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users' exact event counts vs their count-min estimates.
+
+    Plan shape: one exploded hash projection + partial-aggregated groupBy
+    builds the fixed-size (d*w = 1024-cell) sketch; exact top-20 via
+    TakeOrderedAndProject; the estimate lookup joins the 80-row candidate
+    relation to the broadcastable cell table."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+    )
+    js = F.explode(F.array(*[F.lit(j) for j in range(_CMS_D)])).alias("j")
+    hashed = ev.select("user_id", js).select(
+        "user_id", "j", _cms_bucket_col(F.col("user_id"), F.col("j")).alias("bucket")
+    )
+    cells = hashed.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    top = exact.orderBy(F.desc("n"), F.asc("user_id")).limit(20)
+    cand = top.select(
+        "user_id", "n", js
+    ).select(
+        "user_id", "n", "j",
+        _cms_bucket_col(F.col("user_id"), F.col("j")).alias("bucket"),
+    )
+    scored = (
+        cand.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("user_id", "n")
+        .agg(F.min("c").alias("est_n"))
+    )
+    return scored.select(
+        "user_id",
+        F.col("n").cast("long").alias("exact_n"),
+        F.col("est_n").cast("long").alias("est_n"),
+        (F.col("est_n") - F.col("n")).cast("long").alias("overcount"),
+    )

@@ -1604,3 +1604,39 @@ def test_video_frame_set_dedup_alignment_boundary(spark):
     assert pairs.get((1, 2)) == 15          # aligned trim: 15/16 frames survive
     assert (1, 3) not in pairs              # byte shift: zero shared frames
     assert pairs.get((1, 4)) == 1           # repeated frame counts once
+
+
+def test_countmin_never_underestimates(spark):
+    """CMS guarantee on a collision-heavy input: with 5000 distinct keys
+    in 4x256 cells every key's estimate must be >= its exact count, and
+    collisions must actually occur (some overcount > 0) — otherwise the
+    test would pass vacuously on a sketch wider than the key space."""
+    from spark_streaming_kafka_example_spark.plans.windows_stats import (
+        _CMS_D,
+        _cms_bucket_col,
+    )
+
+    ev = spark.range(0, 15000).select(
+        (F.col("id") % 5000).alias("user_id")  # 5000 keys x 3 events
+    )
+    js = F.explode(F.array(*[F.lit(j) for j in range(_CMS_D)])).alias("j")
+    hashed = ev.select("user_id", js).select(
+        "user_id", "j",
+        _cms_bucket_col(F.col("user_id"), F.col("j")).alias("bucket"),
+    )
+    cells = hashed.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    cand = exact.select("user_id", "n", js).select(
+        "user_id", "n", "j",
+        _cms_bucket_col(F.col("user_id"), F.col("j")).alias("bucket"),
+    )
+    scored = (
+        cand.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("user_id", "n")
+        .agg(F.min("c").alias("est_n"))
+        .select("n", "est_n")
+        .collect()
+    )
+    assert len(scored) == 5000
+    assert all(r.est_n >= r.n for r in scored)          # never under
+    assert any(r.est_n > r.n for r in scored)           # collisions real
