@@ -1640,3 +1640,46 @@ def test_countmin_never_underestimates(spark):
     assert len(scored) == 5000
     assert all(r.est_n >= r.n for r in scored)          # never under
     assert any(r.est_n > r.n for r in scored)           # collisions real
+
+
+def test_scalogram_dyadic_exactness_vs_integer_reference():
+    """The oracle-exactness claim, pinned directly (r09): scalogram_hash on
+    float64 samples (byte-128)/128 must equal a pure-INTEGER Haar
+    reference on q = byte-128 for random clips — the unnormalized
+    transform keeps every coefficient a dyadic rational that float64
+    represents exactly, and the per-level threshold comparisons are
+    invariant to the 1/128 scale. Any drift here (e.g. a 'cleanup' to
+    normalized Haar or FFT) silently breaks every scalogram oracle."""
+    import random
+
+    import numpy as np
+
+    from spark_streaming_kafka_example_spark.functions.audio import (
+        scalogram_hash,
+    )
+
+    def reference(byte_vals, levels=4, segments=16):
+        a = [b - 128 for b in byte_vals]  # exact integers end-to-end
+        bits = []
+        for _ in range(levels):
+            d = [a[2 * i] - a[2 * i + 1] for i in range(len(a) // 2)]
+            a = [a[2 * i] + a[2 * i + 1] for i in range(len(a) // 2)]
+            w = len(d) // segments
+            cells = [
+                sum(x * x for x in d[s * w:(s + 1) * w])
+                for s in range(segments)
+            ]
+            total = sum(cells)
+            bits += [1 if c * segments > total else 0 for c in cells]
+        nib = [
+            8 * bits[4 * j] + 4 * bits[4 * j + 1]
+            + 2 * bits[4 * j + 2] + bits[4 * j + 3]
+            for j in range(len(bits) // 4)
+        ]
+        return "".join("0123456789abcdef"[v] for v in nib)
+
+    rng = random.Random(42)
+    for _ in range(50):
+        byte_vals = [rng.randrange(256) for _ in range(256)]
+        samples = (np.array(byte_vals, dtype=np.float64) - 128.0) / 128.0
+        assert scalogram_hash(samples) == reference(byte_vals)

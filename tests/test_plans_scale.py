@@ -759,3 +759,28 @@ def test_stream_static_joins_unhinted_equi(spark, sf_dir, builder):
     assert "ResolvedHint" not in analyzed, (
         f"{builder}: hard-coded join hint on a data-proportional side"
     )
+
+
+def test_countmin_broadcast_cells_and_topk(plan_of):
+    """Count-min (r09): the 1024-cell sketch must reach the candidate
+    scoring as a BROADCAST side (shuffling candidates against cells would
+    be absurd at any scale), and the exact top-20 must plan as
+    TakeOrderedAndProject, never a global sort."""
+    plan = plan_of("sketch_countmin_users")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_video_frame_dedup_bucket_bounded(plan_of):
+    """Video frame-set dedup (r09): candidate pairs come from an equi-join
+    on frame_md5 — bucket-bounded like every dedup family, never
+    all-pairs/nested-loop."""
+    plan = plan_of("dedup_video_frames")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
