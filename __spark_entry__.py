@@ -242,6 +242,8 @@ ROTATION_PRIORITY = [
     "stream_video_frames",
     "sketch_countmin_users",
     "stream_countmin_users",
+    "layout_bucketed_join",
+    "experiment_ab_lift",
 ]
 
 

@@ -112,6 +112,7 @@ HEADLINE = [
     "layout_zorder_readback",
     "dedup_video_frames",
     "sketch_countmin_users",
+    "layout_bucketed_join",
 ]
 
 

@@ -1467,3 +1467,152 @@ def sketch_countmin_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_n").cast("long").alias("est_n"),
         (F.col("est_n") - F.col("n")).cast("long").alias("overcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join read-back (r09): bucketing is SCALE.md's answer
+# to repeated big-big joins (write both sides bucketed on the key once;
+# every later join runs shuffle-free). Promoted from pytest-only
+# (tests/test_bucketing.py) to a driver row the same way r08 promoted the
+# sink round-trips: both sides are WRITTEN bucketed into a scratch
+# database, read back through the bucketed tables, joined with broadcast
+# disabled, and aggregated — the write -> bucketed-read -> join path is
+# inside the hash, and the co-location property itself is asserted
+# LOUDLY in-function (an Exchange on the join would raise, not silently
+# shuffle). Scratch tables get a UUID database under a tmp_run_dir, so
+# replays never collide; files outlive the lazy read-back via the atexit
+# cleanup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "layout_bucketed_join",
+    """
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from . import tmp_run_dir
+
+    db = f"bk_{uuid.uuid4().hex[:10]}"
+    loc = tmp_run_dir("bucketed_join_")
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
+    (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable(f"{db}.orders_b")
+    )
+    (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable(f"{db}.customer_b")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(f"{db}.orders_b").join(
+            spark.table(f"{db}.customer_b"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "Exchange hashpartitioning" in plan:
+            raise AssertionError(
+                "layout_bucketed_join: bucketed sides still planned an "
+                "Exchange — co-location broken (bucket spec lost on write "
+                "or read)"
+            )
+        return joined.groupBy("c_nationkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment lift (r09): the experimentation readout every product
+# analytics stack runs. Assignment is the repo's deterministic md5 gate
+# (first byte of md5(user_id) < 128 -> treatment) — reproducible across
+# runs and engines, no rand(); the metric is purchases PER exposed
+# user (every fixture user converts at least once, so a binary rate is
+# vacuously 1.0). One row: both arms' sizes/means plus relative lift.
+# Plan: one map-side variant projection + two hash aggregations; the
+# two-arm summary is a 2-row relation, so the final pivot is free.
+# Lift can be negative -> the oracle adds `+ 0` (NEGATIVE ZERO invariant).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "experiment_ab_lift",
+    """
+    WITH exposed AS (
+        SELECT user_id,
+               CASE WHEN (strpos('0123456789abcdef',
+                              substring(md5(CAST(user_id AS VARCHAR)), 1, 1))
+                          - 1) < 8
+                    THEN 'treatment' ELSE 'control' END AS variant,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS n_purch
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY user_id
+    ),
+    arms AS (
+        SELECT variant,
+               count(*) AS n_users,
+               CAST(sum(n_purch) AS BIGINT) AS n_purchases,
+               round(sum(n_purch) / CAST(count(*) AS DOUBLE), 4) AS avg_p
+        FROM exposed GROUP BY variant
+    )
+    SELECT c.n_users AS control_users, c.n_purchases AS control_purchases,
+           c.avg_p AS control_avg,
+           t.n_users AS treatment_users, t.n_purchases AS treatment_purchases,
+           t.avg_p AS treatment_avg,
+           round(t.avg_p / c.avg_p - 1, 4) + 0 AS lift
+    FROM (SELECT * FROM arms WHERE variant = 'control') c
+    CROSS JOIN (SELECT * FROM arms WHERE variant = 'treatment') t
+    """,
+)
+def experiment_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _nibble
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    variant = F.when(
+        _nibble(F.md5(F.col("user_id").cast("string")), 0) < 8, "treatment"
+    ).otherwise("control")
+    exposed = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("n_purch"),
+    ).select("user_id", "n_purch", variant.alias("variant"))
+    arms = exposed.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_purch").cast("long").alias("n_purchases"),
+        F.round(
+            F.sum("n_purch") / F.count(F.lit(1)).cast("double"), 4
+        ).alias("avg_p"),
+    )
+    c = arms.filter(F.col("variant") == "control").select(
+        F.col("n_users").alias("control_users"),
+        F.col("n_purchases").alias("control_purchases"),
+        F.col("avg_p").alias("control_avg"),
+    )
+    t = arms.filter(F.col("variant") == "treatment").select(
+        F.col("n_users").alias("treatment_users"),
+        F.col("n_purchases").alias("treatment_purchases"),
+        F.col("avg_p").alias("treatment_avg"),
+    )
+    lift = F.round(F.col("treatment_avg") / F.col("control_avg") - 1, 4)
+    return c.crossJoin(F.broadcast(t)).select(
+        "control_users", "control_purchases", "control_avg",
+        "treatment_users", "treatment_purchases", "treatment_avg",
+        # Spark's BigDecimal round never emits IEEE -0.0; the oracle's
+        # `+ 0` normalizes DuckDB's.
+        lift.alias("lift"),
+    )
