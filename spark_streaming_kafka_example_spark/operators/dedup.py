@@ -498,19 +498,12 @@ def image_phash_fingerprints(
     return df.mapInPandas(batches, out_schema)
 
 
-def audio_envelope_fingerprints(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    content_col: str = "content",
-    hash_size: int = 8,
-) -> DataFrame:
-    """(id, phash): amplitude-envelope fingerprint per audio blob via the
-    REAL WAV decode path (mapInPandas, Arrow batches) — the audio entry
-    into the same Hamming-band dedup machinery as the image hashes
-    (``phash_near_pairs`` consumes either; same hex packing, same chunk
-    pigeonhole). Output column is named phash so the pair operator needs
-    no per-modality configuration."""
-    from ..functions.audio import decode_wav, envelope_hash
+def _audio_fingerprints(df: DataFrame, id_col: str, content_col: str, hash_fn):
+    """Shared mapInPandas scaffold for the audio fingerprint family:
+    decode every WAV blob through the REAL codec and hash the samples
+    with ``hash_fn`` (envelope or scalogram) — one place for the Arrow
+    batch shape / bytes coercion / decode error surface (r09 review)."""
+    from ..functions.audio import decode_wav
 
     out_schema = T.StructType(
         [
@@ -525,12 +518,31 @@ def audio_envelope_fingerprints(
                 {
                     id_col: pdf[id_col],
                     "phash": pdf[content_col].map(
-                        lambda b: envelope_hash(decode_wav(bytes(b))[0], hash_size)
+                        lambda b: hash_fn(decode_wav(bytes(b))[0])
                     ),
                 }
             )
 
     return df.mapInPandas(batches, out_schema)
+
+
+def audio_envelope_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    hash_size: int = 8,
+) -> DataFrame:
+    """(id, phash): amplitude-envelope fingerprint per audio blob via the
+    REAL WAV decode path (mapInPandas, Arrow batches) — the audio entry
+    into the same Hamming-band dedup machinery as the image hashes
+    (``phash_near_pairs`` consumes either; same hex packing, same chunk
+    pigeonhole). Output column is named phash so the pair operator needs
+    no per-modality configuration."""
+    from ..functions.audio import envelope_hash
+
+    return _audio_fingerprints(
+        df, id_col, content_col, lambda s: envelope_hash(s, hash_size)
+    )
 
 
 def audio_spectral_fingerprints(
@@ -551,29 +563,11 @@ def audio_spectral_fingerprints(
     comparisons stable. Output column is named phash (hex length =
     levels*segments/4), so phash_chunks / phash_near_pairs apply with no
     per-modality configuration."""
-    from ..functions.audio import decode_wav, scalogram_hash
+    from ..functions.audio import scalogram_hash
 
-    out_schema = T.StructType(
-        [
-            T.StructField(id_col, df.schema[id_col].dataType),
-            T.StructField("phash", T.StringType()),
-        ]
+    return _audio_fingerprints(
+        df, id_col, content_col, lambda s: scalogram_hash(s, levels, segments)
     )
-
-    def batches(it):
-        for pdf in it:
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "phash": pdf[content_col].map(
-                        lambda b: scalogram_hash(
-                            decode_wav(bytes(b))[0], levels, segments
-                        )
-                    ),
-                }
-            )
-
-    return df.mapInPandas(batches, out_schema)
 
 
 def phash_hamming(col_a, col_b, hex_len: int = 16):

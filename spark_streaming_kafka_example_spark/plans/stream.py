@@ -1261,11 +1261,14 @@ def stream_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Streaming video-dedup probe (r09): the VIDEO twin completing the
 # at-ingest modality matrix (image/audio envelope/audio spectral/video).
 # Frame-set Jaccard needs per-PAIR aggregation, so unlike the phash
-# probes the stream emits one (id_a, id_b) HIT row per shared distinct
-# frame hash (stream-static equi-join on frame_md5, no stream-side
-# state) and the drained hits are counted and Jaccard-scored batch-side
-# against the static per-video frame counts — the stream_markov pattern
-# (stateless stream stage + bounded batch finish). The catalog is the
+# probes the stream emits one (id_a, id_b, fh) HIT row per shared frame
+# OCCURRENCE (stream-static equi-join on frame_md5 — genuinely no
+# stream-side state: in-video repeats are NOT deduped on the stream,
+# which would be an unbounded stateful dropDuplicates; they collapse in
+# the bounded batch-side distinct after the drain) and the drained hits
+# are counted and Jaccard-scored batch-side against the static per-video
+# frame counts — the stream_markov pattern (stateless stream stage +
+# bounded batch finish). The catalog is the
 # corpus the stream delivers, so the result equals the batch self-join
 # and shares VIDEO_FRAMES_PAIRS_ORACLE. Catalog side is corpus-
 # proportional: checkpoint-materialized, NO broadcast hint (task-1 rule).
@@ -1275,15 +1278,23 @@ def stream_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .llm import VIDEO_FRAMES_PAIRS_ORACLE  # noqa: E402
 
 
-def _video_frame_sets(df: DataFrame) -> DataFrame:
-    """(doc_id, fh): DISTINCT md5 frame fingerprints per video through the
-    one-to-many sample_frames contract (every frame, 16B)."""
+def _video_frame_sets(df: DataFrame, dedupe: bool = True) -> DataFrame:
+    """(doc_id, fh): md5 frame fingerprints per video through the
+    one-to-many sample_frames contract (every frame, 16B). ``dedupe``
+    collapses repeated in-video frames to SET semantics — required for
+    the static catalog (nf counts / one row per distinct hash) but
+    deliberately OFF on the streaming probe side: a streaming distinct
+    is an unbounded stateful dropDuplicates (corpus x frames state, the
+    exact growth class task 1 banned), and duplicate hit rows collapse
+    for free in the bounded batch-side distinct after the drain (r09
+    review)."""
     from ..operators.multimodal import attach_blob, sample_frames
 
     frames = sample_frames(
         attach_blob(df), every_nth=1, frame_bytes=16, fake=True
     )
-    return frames.select("doc_id", F.md5("frame").alias("fh")).distinct()
+    sel = frames.select("doc_id", F.md5("frame").alias("fh"))
+    return sel.distinct() if dedupe else sel
 
 
 def stream_video_frames_plan(spark: SparkSession, sf_dir: str):
@@ -1303,7 +1314,7 @@ def stream_video_frames_plan(spark: SparkSession, sf_dir: str):
         (F.col("doc_id") + 300000).alias("doc_id"),
         F.expr("substring(text, 17)").alias("text"),
     )
-    probe = _video_frame_sets(ds.unionByName(plants)).alias("s")
+    probe = _video_frame_sets(ds.unionByName(plants), dedupe=False).alias("s")
     cat = catalog.alias("c")
     hits = probe.join(
         cat,
@@ -1543,7 +1554,7 @@ def t3_default_checkpoint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
 # the batch sketch, so both twins share one oracle.
 # ---------------------------------------------------------------------------
 
-from .windows_stats import _CMS_D, _cms_bucket_col  # noqa: E402
+from .windows_stats import cms_cells, cms_hashed, cms_score  # noqa: E402
 from . import ORACLE as _ORACLE_REG  # noqa: E402
 
 
@@ -1554,35 +1565,7 @@ def stream_countmin_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id").isNotNull())
         .select("user_id")
     )
-    js = F.explode(F.array(*[F.lit(j) for j in range(_CMS_D)])).alias("j")
-    hashed = ev.select("user_id", js).select(
-        "user_id", "j",
-        _cms_bucket_col(F.col("user_id"), F.col("j")).alias("bucket"),
-    )
-    cells_stream = hashed.groupBy("j", "bucket").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    cells = run_to_table(spark, cells_stream, "complete")
-
-    exact = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("user_id").isNotNull())
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    top = exact.orderBy(F.desc("n"), F.asc("user_id")).limit(20)
-    cand = top.select("user_id", "n", js).select(
-        "user_id", "n", "j",
-        _cms_bucket_col(F.col("user_id"), F.col("j")).alias("bucket"),
-    )
-    scored = (
-        cand.join(F.broadcast(cells), ["j", "bucket"])
-        .groupBy("user_id", "n")
-        .agg(F.min("c").alias("est_n"))
-    )
-    return scored.select(
-        "user_id",
-        F.col("n").cast("long").alias("exact_n"),
-        F.col("est_n").cast("long").alias("est_n"),
-        (F.col("est_n") - F.col("n")).cast("long").alias("overcount"),
-    )
+    cells = run_to_table(spark, cms_cells(cms_hashed(ev)), "complete")
+    # Scoring (exact top-20 + min-cell estimates) is the SAME code path as
+    # the batch twin — only the cells relation differs.
+    return cms_score(spark, sf_dir, cells)

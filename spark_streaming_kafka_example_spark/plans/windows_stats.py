@@ -1438,21 +1438,46 @@ def sketch_countmin_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     builds the fixed-size (d*w = 1024-cell) sketch; exact top-20 via
     TakeOrderedAndProject; the estimate lookup joins the 80-row candidate
     relation to the broadcastable cell table."""
-    ev = (
+    cells = cms_cells(cms_hashed(_cms_events(spark, sf_dir)))
+    return cms_score(spark, sf_dir, cells)
+
+
+def _cms_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull())
         .select("user_id")
     )
-    js = F.explode(F.array(*[F.lit(j) for j in range(_CMS_D)])).alias("j")
-    hashed = ev.select("user_id", js).select(
-        "user_id", "j", _cms_bucket_col(F.col("user_id"), F.col("j")).alias("bucket")
+
+
+def _cms_js():
+    return F.explode(F.array(*[F.lit(j) for j in range(_CMS_D)])).alias("j")
+
+
+def cms_hashed(ev: DataFrame) -> DataFrame:
+    """(user_id, j, bucket): one row per event per sketch row — the
+    map-side projection both twins feed their cell aggregation with."""
+    return ev.select("user_id", _cms_js()).select(
+        "user_id", "j",
+        _cms_bucket_col(F.col("user_id"), F.col("j")).alias("bucket"),
     )
-    cells = hashed.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
-    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+def cms_cells(hashed: DataFrame) -> DataFrame:
+    """The d x w cell table (partial-aggregated; <= _CMS_D*_CMS_W rows)."""
+    return hashed.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+
+def cms_score(spark: SparkSession, sf_dir: str, cells: DataFrame) -> DataFrame:
+    """Exact top-20 + min-cell estimates against a GIVEN cells relation —
+    the single definition of the tie-break / d / overcount surface shared
+    by the batch and streaming twins (r09 review: a copy in each twin
+    could drift under one oracle)."""
+    exact = _cms_events(spark, sf_dir).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
     top = exact.orderBy(F.desc("n"), F.asc("user_id")).limit(20)
-    cand = top.select(
-        "user_id", "n", js
-    ).select(
+    cand = top.select("user_id", "n", _cms_js()).select(
         "user_id", "n", "j",
         _cms_bucket_col(F.col("user_id"), F.col("j")).alias("bucket"),
     )
@@ -1528,10 +1553,16 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "Exchange — co-location broken (bucket spec lost on write "
                 "or read)"
             )
-        return joined.groupBy("c_nationkey").agg(
+        agg = joined.groupBy("c_nationkey").agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
+        # EAGER checkpoint: the lazy return would otherwise replan at the
+        # driver's collection time, AFTER the finally restores the
+        # broadcast threshold — taking the co-located join OUT of the
+        # hashed execution (r09 review). Materializing here pins the
+        # hashed rows to the broadcast-disabled bucketed-join run.
+        return agg.localCheckpoint()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
@@ -1597,7 +1628,8 @@ def experiment_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum("n_purch") / F.count(F.lit(1)).cast("double"), 4
         ).alias("avg_p"),
-    )
+    ).localCheckpoint()  # 2 rows; filtering lazily twice would otherwise
+    # re-run the full events scan + both aggregations per arm (r09 review)
     c = arms.filter(F.col("variant") == "control").select(
         F.col("n_users").alias("control_users"),
         F.col("n_purchases").alias("control_purchases"),
