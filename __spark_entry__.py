@@ -244,6 +244,7 @@ ROTATION_PRIORITY = [
     "stream_countmin_users",
     "layout_bucketed_join",
     "experiment_ab_lift",
+    "window_distribution_tour",
 ]
 
 

@@ -1648,3 +1648,47 @@ def experiment_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         # `+ 0` normalizes DuckDB's.
         lift.alias("lift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Window distribution-function tour (r09): ntile / percent_rank /
+# cume_dist — the last uncovered built-in window family (rank/row_number/
+# lag/lead/frames live in window_rank_tour / window_frame_navigation).
+# Per event_type, users ranked by their rounded spend; the user_id
+# tie-break makes every ORDER BY key unique, so ntile assignment and the
+# peer-group-dependent percent_rank/cume_dist are deterministic in both
+# engines. One exchange on the (low-cardinality) event_type key — fine
+# for a per-category leaderboard; partition by a finer key (or pre-bucket)
+# when categories are few and huge.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_distribution_tour",
+    """
+    WITH u AS (
+        SELECT event_type, user_id, round(sum(value), 2) AS total
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY event_type, user_id
+    )
+    SELECT event_type, user_id, total,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           round(percent_rank() OVER w, 4) AS pr,
+           round(cume_dist() OVER w, 4) AS cd
+    FROM u WINDOW w AS (PARTITION BY event_type ORDER BY total, user_id)
+    """,
+)
+def window_distribution_tour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("event_type", "user_id")
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+    )
+    w = Window.partitionBy("event_type").orderBy("total", "user_id")
+    return u.select(
+        "event_type", "user_id", "total",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pr"),
+        F.round(F.cume_dist().over(w), 4).alias("cd"),
+    )
