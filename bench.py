@@ -113,6 +113,14 @@ HEADLINE = [
     "dedup_video_frames",
     "sketch_countmin_users",
     "layout_bucketed_join",
+    # r10 (r09 VERDICT task 8): the remaining r09 rows that ran in the
+    # driver but had no bench history — the streaming media/sketch twins,
+    # A/B lift, and the window-distribution family.
+    "stream_audio_spectral",
+    "stream_video_frames",
+    "stream_countmin_users",
+    "experiment_ab_lift",
+    "window_distribution_tour",
 ]
 
 
@@ -137,8 +145,14 @@ def _calibration(spark) -> dict[str, float]:
     - jvm_agg_sec: a constant 20M-row in-JVM hash+sum aggregation
       (whole-stage codegen, no IO) — tracks JVM/CPU contention;
     - python_hash_sec: 2M iterations of hashlib in the driver process —
-      tracks raw host CPU availability outside the JVM.
-    Both are min-of-3 like every headline query. BASELINE.md documents the
+      tracks raw host CPU availability outside the JVM;
+    - jvm_agg32_sec (r09 VERDICT task 3): the SAME aggregation over 640M
+      rows forced onto 32 partitions, so every local[32] slot runs — the
+      single-threaded probes provably under-report 32-way contention
+      (BASELINE.md r09 caveat: a 1.5x single-probe ratio coincided with a
+      ~1.4x spread on multi-core queries), and this probe saturates the
+      host the way the headline queries do.
+    All are min-of-3 like every headline query. BASELINE.md documents the
     reference values and how to use the ratio."""
     import hashlib
 
@@ -151,6 +165,13 @@ def _calibration(spark) -> dict[str, float]:
             F.sum(F.hash("id")).alias("h")
         ).write.format("noop").mode("overwrite").save()
         jvm.append(time.perf_counter() - t0)
+    jvm32 = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 640_000_000, 1, 32).select(
+            F.sum(F.hash("id")).alias("h")
+        ).write.format("noop").mode("overwrite").save()
+        jvm32.append(time.perf_counter() - t0)
     py = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -160,6 +181,7 @@ def _calibration(spark) -> dict[str, float]:
         py.append(time.perf_counter() - t0)
     return {
         "jvm_agg_sec": round(min(jvm), 3),
+        "jvm_agg32_sec": round(min(jvm32), 3),
         "python_hash_sec": round(min(py), 3),
     }
 
@@ -202,14 +224,19 @@ def main() -> None:
         timings[name] = round(min(samples), 3)
 
     total = round(sum(timings.values()), 3)
+    # Field order matters (r09 VERDICT task 3): the driver's capture keeps
+    # the TAIL of the line, and BENCH_r09's head (metric/value) was lost
+    # once `queries` outgrew the buffer — so the totals and calibration go
+    # AFTER the per-query map, where a tail-truncated capture preserves
+    # them. Still exactly ONE JSON line.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "unit": "sec",
+                "value": total,
                 "calibration": _calibration(spark),
             }
         )

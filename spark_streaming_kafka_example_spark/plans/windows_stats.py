@@ -1565,6 +1565,15 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return agg.localCheckpoint()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        # The checkpointed result no longer needs the scratch tables; drop
+        # the UUID database so catalog entries don't accumulate per replay
+        # (bench's min-of-3 would otherwise leave three per run, dangling
+        # once the atexit tmp cleanup removes the backing files — r09
+        # ADVICE). Best-effort: a failed drop must not mask the result.
+        try:
+            spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        except Exception:
+            pass
 
 
 # ---------------------------------------------------------------------------

@@ -308,7 +308,12 @@ def stateful_transition_pairs(
         types = list(rows[type_col])
         n_prev = 0
         if state.exists:
-            _last_ts, _last_id, last_type, n_prev = state.get
+            # Unpack defensively: r09 added n_pairs as a FOURTH state field,
+            # so a checkpoint written by the 3-field r08 schema must restart
+            # cleanly (pad the missing counter to 0) instead of failing the
+            # 4-tuple unpack (r09 ADVICE).
+            _last_ts, _last_id, last_type, *extra = state.get
+            n_prev = extra[0] if extra else 0
             types = [last_type, *types]
         out = [
             (key[0], types[i], types[i + 1]) for i in range(len(types) - 1)
