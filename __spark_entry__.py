@@ -53,14 +53,17 @@ CORE_WINDOW = [
     # §2.7 windowed aggregation (tumbling + sliding; flagship is the alert twin)
     "a2_tumbling_window_agg",
     "a3_sliding_window_agg",
-    # TPC-H canon + the re-armed q11 (non-vacuous threshold since r05)
+    # TPC-H canon (q11, 5 rounds green since its r05 re-arm, moved to the
+    # freshness rotation in r10 to make room for the r09-VERDICT-task-2
+    # staleness drain: CORE 23 -> 21 so the 4 r10-new registrations plus
+    # ALL 24 r01/r02-stale re-pins fit the 50-slot window)
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q11_important_stock",
     # LLM-pipeline families: dedup, similarity, text, multimodal, pipeline
+    # (dedup_embedding_cosine likewise rotated out in r10 — exact/minhash/
+    # clusters keep the family pinned and the freshness sort re-checks it)
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
     "dedup_clusters",
     "sim_topk_bruteforce",
     "sim_ivf_kmeans_topk",
@@ -245,6 +248,12 @@ ROTATION_PRIORITY = [
     "layout_bucketed_join",
     "experiment_ab_lift",
     "window_distribution_tour",
+    # r10-new registrations (r09 VERDICT tasks 4-6): BPE-merge trainer,
+    # the mergeable quantile sketch twins, the at-ingest pretrain gate.
+    "train_bpe_merges",
+    "sketch_quantile_values",
+    "stream_quantile_values",
+    "stream_pretrain_gate",
 ]
 
 

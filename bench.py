@@ -121,6 +121,12 @@ HEADLINE = [
     "stream_countmin_users",
     "experiment_ab_lift",
     "window_distribution_tour",
+    # r10-new families: iterative BPE tokenizer training, the mergeable
+    # quantile sketch (batch + stream), the at-ingest pretrain gate.
+    "train_bpe_merges",
+    "sketch_quantile_values",
+    "stream_quantile_values",
+    "stream_pretrain_gate",
 ]
 
 

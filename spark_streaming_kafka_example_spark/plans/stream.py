@@ -1569,3 +1569,223 @@ def stream_countmin_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scoring (exact top-20 + min-cell estimates) is the SAME code path as
     # the batch twin — only the cells relation differs.
     return cms_score(spark, sf_dir, cells)
+
+
+# ---------------------------------------------------------------------------
+# Streaming quantile sketch (r10, r09 VERDICT task 5): the histogram-cell
+# twin of stream_countmin_users. The grid bounds are the sketch's
+# CONFIGURATION (a 1-row static relation — broadcast is always safe on a
+# fixed-size side); each arriving value is bucketed map-side and the
+# <= _QSK_W-cell count table is exactly the bounded state complete mode
+# maintains. Read-off + exact-rank scoring finishes batch-side through the
+# same quantile_score the batch twin uses, so a bounded drain shares its
+# oracle verbatim.
+# ---------------------------------------------------------------------------
+
+from .windows_stats import (  # noqa: E402
+    quantile_bounds,
+    quantile_bucket_col,
+    quantile_score,
+    quantile_vals,
+)
+
+
+@register("stream_quantile_values", _ORACLE_REG["sketch_quantile_values"])
+def stream_quantile_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bounds = quantile_bounds(quantile_vals(spark, sf_dir))
+    ev = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select(F.col("value").cast("double").alias("value"))
+    )
+    cells = (
+        ev.join(F.broadcast(bounds))
+        .select(quantile_bucket_col(F.col("value"), F.col("mn"), F.col("mx"))
+                .alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    drained = run_to_table(spark, cells, "complete")
+    return quantile_score(spark, sf_dir, drained, bounds)
+
+
+# ---------------------------------------------------------------------------
+# At-ingest pretrain gate (r10, r09 VERDICT task 6): the streaming twin of
+# pipeline_pretrain_v3's front door. Every arriving doc is, in ONE
+# streaming query (a union of two stateless arms over the same source —
+# no stream-stream join, no stream-side aggregation state):
+#   arm 1 (per-doc): text-fingerprinted and probed against the exact-dedup
+#     STORE (dedup_incremental_exact's shape: left-outer stream-static
+#     equi-join on the word-set md5), and quality-scored map-side
+#     (text_quality_logit's threshold);
+#   arm 2 (per-chunk hit): its COVER image — synthesized from the first
+#     _GATE_COVER_LEN chars, the thumbnail/cover fingerprint that survives
+#     tail edits — is probed against the near-dup chunk catalog
+#     (_media_probe_plan's Hamming-band shape).
+# Both static sides are corpus-proportional: checkpoint-materialized, NO
+# broadcast hint (the r08-task-1 rule; pinned in
+# test_stream_static_joins_unhinted_equi). The drained rows collapse
+# per-doc batch-side into keep/drop with the FIRST matching reason
+# (exact_dup > near_dup_image > low_quality > ok) — the batch decision for
+# the same corpus, which is exactly what the oracle replays (store = even
+# doc ids; arriving = odd ids + exact re-crawls of every 6th doc (+300000)
+# + tail-edited re-uploads of every 10th doc (+500000, text || ' zz'):
+# same cover image, different word set — the near-dup-not-exact path).
+# ---------------------------------------------------------------------------
+
+from .llm import _FP_SQL, _PHASH_NIBS_CTE  # noqa: E402
+from .textprep import _quality_cte_sql  # noqa: E402
+
+_GATE_QUALITY_LT = 0.5  # text_quality_logit's published keep threshold
+_GATE_COVER_LEN = 32  # cover payload length; every testdata doc is longer
+
+PRETRAIN_GATE_ORACLE = f"""
+    WITH store AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    arriving AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id + 300000 AS doc_id, text
+        FROM documents WHERE doc_id % 6 = 0
+        UNION ALL
+        SELECT doc_id + 500000 AS doc_id, text || ' zz' AS text
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    sfp AS (SELECT DISTINCT {_FP_SQL.format(t='text')} AS fp FROM store),
+    afp AS (SELECT doc_id, {_FP_SQL.format(t='text')} AS fp FROM arriving),
+    corpus AS (
+        SELECT doc_id, substring(text, 1, {_GATE_COVER_LEN}) AS text FROM store
+        UNION ALL
+        SELECT doc_id, substring(text, 1, {_GATE_COVER_LEN}) AS text
+        FROM arriving
+    ),
+    {_PHASH_NIBS_CTE.strip()},
+    hits AS (
+        SELECT DISTINCT a.doc_id
+        FROM nibs a JOIN nibs b
+          ON (a.doc_id % 2 = 1 OR a.doc_id >= 300000)
+         AND b.doc_id % 2 = 0 AND b.doc_id < 300000
+        WHERE CAST(list_sum(list_transform(range(1, 17),
+                j -> bit_count(xor(a.nb[j], b.nb[j])))) AS INT) <= 3
+    ),
+    {_quality_cte_sql('arriving').strip()}
+    SELECT a.doc_id,
+           CASE WHEN s.fp IS NOT NULL OR h.doc_id IS NOT NULL
+                     OR q.quality_p < {_GATE_QUALITY_LT}
+                THEN 'drop' ELSE 'keep' END AS decision,
+           CASE WHEN s.fp IS NOT NULL THEN 'exact_dup'
+                WHEN h.doc_id IS NOT NULL THEN 'near_dup_image'
+                WHEN q.quality_p < {_GATE_QUALITY_LT} THEN 'low_quality'
+                ELSE 'ok' END AS reason
+    FROM afp a
+    LEFT JOIN sfp s ON a.fp = s.fp
+    LEFT JOIN hits h ON a.doc_id = h.doc_id
+    JOIN quality q ON a.doc_id = q.doc_id
+    """
+
+
+def _gate_cover(df: DataFrame) -> DataFrame:
+    """(doc_id, text=cover payload): the leading _GATE_COVER_LEN chars the
+    synthetic cover image derives from — stable under tail edits."""
+    return df.select(
+        "doc_id", F.substring("text", 1, _GATE_COVER_LEN).alias("text")
+    )
+
+
+def stream_pretrain_gate_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-drain streaming plan (both arms unioned), exposed for the
+    hint-free plan-shape test."""
+    from ..functions.text import fingerprint
+    from ..operators.dedup import (
+        image_phash_fingerprints,
+        phash_chunks,
+        phash_hamming,
+    )
+    from ..operators.multimodal import attach_synthetic_image
+    from .textprep import quality_p_col
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = docs.filter(F.col("doc_id") % 2 == 0)
+    store_fps = (
+        store.select(fingerprint("text").alias("s_fp"))
+        .distinct()
+        .localCheckpoint()
+    )
+    catalog = phash_chunks(
+        image_phash_fingerprints(attach_synthetic_image(_gate_cover(store)))
+    ).localCheckpoint()
+
+    ds = documents_stream(spark, sf_dir).select("doc_id", "text")
+    plants_exact = ds.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    plants_media = ds.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    arriving = (
+        ds.filter(F.col("doc_id") % 2 == 1)
+        .unionByName(plants_exact)
+        .unionByName(plants_media)
+    )
+
+    doc_arm = (
+        arriving.select(
+            "doc_id",
+            fingerprint("text").alias("fp"),
+            quality_p_col().alias("quality_p"),
+        )
+        .join(store_fps, F.col("fp") == F.col("s_fp"), "left_outer")
+        .select(
+            "doc_id",
+            F.when(F.col("s_fp").isNotNull(), 1).otherwise(0)
+                .alias("exact_hit"),
+            "quality_p",
+            F.lit(0).alias("img_hit"),
+        )
+    )
+    probe = phash_chunks(
+        image_phash_fingerprints(attach_synthetic_image(_gate_cover(arriving)))
+    ).alias("s")
+    img_arm = (
+        probe.join(
+            catalog.alias("c"),
+            (F.col("s.chunk_id") == F.col("c.chunk_id"))
+            & (F.col("s.chunk_val") == F.col("c.chunk_val")),
+        )
+        .filter(phash_hamming(F.col("s.phash"), F.col("c.phash")) <= 3)
+        .select(
+            F.col("s.doc_id").alias("doc_id"),
+            F.lit(0).alias("exact_hit"),
+            F.lit(None).cast("double").alias("quality_p"),
+            F.lit(1).alias("img_hit"),
+        )
+    )
+    return doc_arm.unionByName(img_arm)
+
+
+@register("stream_pretrain_gate", PRETRAIN_GATE_ORACLE)
+def stream_pretrain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """keep/drop + reason per arriving doc; the per-doc collapse (max of
+    the flag columns; every doc has exactly one doc-arm row carrying its
+    quality score) and the reason priority run batch-side on the bounded
+    drain."""
+    drained = run_to_table(
+        spark, stream_pretrain_gate_plan(spark, sf_dir), "append"
+    )
+    agg = drained.groupBy("doc_id").agg(
+        F.max("exact_hit").alias("exact_hit"),
+        F.max("img_hit").alias("img_hit"),
+        F.max("quality_p").alias("quality_p"),
+    )
+    reason = (
+        F.when(F.col("exact_hit") == 1, "exact_dup")
+        .when(F.col("img_hit") == 1, "near_dup_image")
+        .when(F.col("quality_p") < _GATE_QUALITY_LT, "low_quality")
+        .otherwise("ok")
+    )
+    return agg.select("doc_id", reason.alias("reason")).select(
+        "doc_id",
+        F.when(F.col("reason") == "ok", "keep").otherwise("drop")
+            .alias("decision"),
+        "reason",
+    )

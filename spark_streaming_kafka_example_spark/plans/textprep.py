@@ -2002,3 +2002,90 @@ def train_feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("q"), 4).alias("q_max"),
         F.round(F.avg("q"), 6).alias("q_avg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-merge tokenizer training (r10, r09 VERDICT task 4): the missing
+# iterative TEXT operator — kmeans/PageRank/logreg prove the exactly-
+# oracle-replayable fixed-round pattern; tokenizer training is the
+# LLM-pipeline operator that class exists for. _BPE_ROUNDS merge rounds
+# over the corpus word-frequency table; output = the learned merge table
+# (<= _BPE_ROUNDS rows). The oracle unrolls the rounds as CTEs (the
+# kmeans-iteration idiom): per round, pair counts from the encoded words,
+# the (count DESC, a, b) argmax, and the single-pass left-to-right merge
+# replace — see operators/bpe.py for why one replace pass is exact.
+# Complements text_token_count_bpe (which only counts against a fixed
+# regex); text_vocab_coverage's top-V relation is the natural input cap
+# at 100 TB (the word-frequency table is Zipf-bounded either way).
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 8
+
+
+def _bpe_round_ctes(i: int) -> str:
+    """Round i of the BPE replay: pair counts from w{i-1}, the argmax
+    merge m{i}, and the merged relation w{i} (the SQL twin of one
+    operators/bpe.py train_bpe round; DuckDB's list unnest zips with the
+    carried columns, and str_split/trim/regexp_replace mirror
+    symbols_array/merge_pattern exactly)."""
+    return f"""
+    p{i} AS (
+        SELECT s[j] AS a, s[j+1] AS b, CAST(sum(cnt) AS BIGINT) AS pc
+        FROM (
+            SELECT cnt, s, unnest(range(1, len(s))) AS j
+            FROM (SELECT cnt, str_split(trim(enc), '  ') AS s FROM w{i-1})
+        )
+        GROUP BY 1, 2
+    ),
+    m{i} AS (SELECT {i} AS rnd, a, b, a || b AS merged, pc
+             FROM p{i} ORDER BY pc DESC, a, b LIMIT 1),
+    w{i} AS (SELECT word, cnt,
+                regexp_replace(enc, ' ' || m.a || '  ' || m.b || ' ',
+                               ' ' || m.a || m.b || ' ', 'g') AS enc
+             FROM w{i-1} CROSS JOIN m{i} m)"""
+
+
+TRAIN_BPE_ORACLE = f"""
+    WITH w0 AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+               regexp_replace(word, '(.)', ' \\1 ', 'g') AS enc
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE regexp_matches(word, '^[a-z]+$')
+        GROUP BY word
+    ),
+    {','.join(_bpe_round_ctes(i) for i in range(1, _BPE_ROUNDS + 1))}
+    SELECT CAST(rnd AS BIGINT) AS rnd, a AS sym_a, b AS sym_b, merged,
+           pc AS pair_count
+    FROM ({' UNION ALL '.join(f'SELECT * FROM m{i}'
+                              for i in range(1, _BPE_ROUNDS + 1))})
+    """
+
+
+def bpe_word_freqs(docs: DataFrame) -> DataFrame:
+    """(word, cnt): the corpus word-frequency table BPE trains on —
+    whitespace tokens restricted to [a-z]+ so every learned symbol is
+    regex-metacharacter-free (the merge replace's precondition)."""
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+@register("train_bpe_merges", TRAIN_BPE_ORACLE)
+def train_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table: (rnd, sym_a, sym_b, merged, pair_count),
+    one row per merge round. Per round: one partial-aggregated pair-count
+    shuffle, a 1-row argmax driver fetch (fixed-size by construction),
+    and a map-side replace over the checkpointed word relation. The
+    fertility-improvement property (merged tokens/word strictly below
+    character tokens/word) is pinned by
+    tests/test_operators.py::test_bpe_fertility_improves."""
+    from ..operators.bpe import train_bpe
+
+    words = bpe_word_freqs(load_table(spark, sf_dir, "documents"))
+    merges, _enc = train_bpe(words, _BPE_ROUNDS)
+    return spark.createDataFrame(
+        merges, "rnd bigint, sym_a string, sym_b string, merged string, pair_count bigint"
+    )

@@ -1701,3 +1701,155 @@ def window_distribution_tour(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 4).alias("pr"),
         F.round(F.cume_dist().over(w), 4).alias("cd"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mergeable quantile sketch (r10, r09 VERDICT task 5): the
+# sibling of sketch_countmin_users, completing the sketch story
+# (agg_percentile_approx is rows-only by necessity — approx_percentile's
+# internal sketch isn't SQL-replayable; this one is BY CONSTRUCTION). A
+# fixed-width histogram sketch: _QSK_W cells over the (min, max) value
+# range; cell counts are plain partial-aggregated sums, so the sketch is
+# executor-mergeable exactly like count-min (counts add; bounds merge via
+# min/max — pinned by test_quantile_sketch_merges). Quantile q is read off
+# as the lower edge of the first cell whose cumulative count reaches
+# ceil(q*N); the driver-checked error surface is rank_err = exact rank of
+# that estimate minus the target rank, whose magnitude is bounded by the
+# crossing cell's own count (the histogram guarantee — pinned by
+# test_quantile_sketch_rank_bound).
+# All arithmetic is float64 with identical operation order on both
+# engines (bucket = floor((v - mn) * W / (mx - mn)), est = mn +
+# bucket*(mx-mn)/W), so cell assignment and the v <= est rank count are
+# bit-identical; q literals are cast to DOUBLE on the DuckDB side (its
+# bare 0.95 is DECIMAL, whose exact ceil(q*n) could differ from float64).
+# ---------------------------------------------------------------------------
+
+_QSK_W = 512
+_QSK_QS = (0.5, 0.9, 0.95, 0.99)
+
+QUANTILE_SKETCH_ORACLE = f"""
+    WITH v AS (SELECT CAST(value AS DOUBLE) AS value FROM events
+               WHERE value IS NOT NULL),
+    b AS (SELECT min(value) AS mn, max(value) AS mx, count(*) AS n FROM v),
+    cells AS (
+        SELECT least(CAST(floor((value - mn) * {_QSK_W} / (mx - mn)) AS BIGINT),
+                     {_QSK_W - 1}) AS bucket,
+               count(*) AS c
+        FROM v CROSS JOIN b GROUP BY 1
+    ),
+    cum AS (SELECT bucket, sum(c) OVER (ORDER BY bucket) AS cumc FROM cells),
+    qs AS (SELECT unnest([{', '.join(str(q) for q in _QSK_QS)}]::DOUBLE[]) AS q),
+    targets AS (SELECT q, CAST(ceil(q * n) AS BIGINT) AS target_rank, mn, mx
+                FROM qs CROSS JOIN b),
+    est AS (
+        SELECT q, target_rank, mn + min(bucket) * (mx - mn) / {_QSK_W} AS est_val
+        FROM targets JOIN cum ON cum.cumc >= targets.target_rank
+        GROUP BY q, target_rank, mn, mx
+    ),
+    ranks AS (
+        SELECT e.q, e.target_rank, e.est_val, count(*) AS est_rank
+        FROM est e JOIN v ON v.value <= e.est_val
+        GROUP BY 1, 2, 3
+    )
+    SELECT q, target_rank, round(est_val, 4) + 0 AS est,
+           CAST(est_rank AS BIGINT) AS est_rank,
+           CAST(est_rank - target_rank AS BIGINT) AS rank_err
+    FROM ranks
+    """
+
+
+def quantile_vals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(F.col("value").cast("double").alias("value"))
+    )
+
+
+def quantile_bounds(vals: DataFrame) -> DataFrame:
+    """1-row (mn, mx, n) — the sketch's grid configuration. Mergeable
+    (min/max/count all combine associatively); broadcast-safe forever."""
+    return vals.agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def quantile_bucket_col(value, mn, mx):
+    """Cell index 0.._QSK_W-1 — MUST keep the exact float op order of the
+    oracle ((v - mn) * W / (mx - mn), floor, clamp) for bit parity."""
+    return F.least(
+        F.floor((value - mn) * _QSK_W / (mx - mn)).cast("long"),
+        F.lit(_QSK_W - 1).cast("long"),
+    )
+
+
+def quantile_cells(vals: DataFrame, bounds: DataFrame) -> DataFrame:
+    """The <= _QSK_W-cell histogram: one broadcast of the 1-row bounds +
+    one partial-aggregated groupBy — no shuffle of value rows beyond the
+    fixed cell key space."""
+    return (
+        vals.join(F.broadcast(bounds))
+        .select(quantile_bucket_col(F.col("value"), F.col("mn"), F.col("mx"))
+                .alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def quantile_score(
+    spark: SparkSession, sf_dir: str, cells: DataFrame, bounds: DataFrame
+) -> DataFrame:
+    """Quantile read-off + exact-rank error surface against a GIVEN
+    (cells, bounds) sketch — the single definition shared by the batch and
+    streaming twins (the cms_score idiom). Taking ``bounds`` as input
+    keeps the score to ONE exact-rank audit scan of the values (bounds are
+    part of the sketch; recomputing them here would re-scan). The
+    cumulative window runs over the <= _QSK_W-row cell table (fixed-size;
+    the one-partition window is the bounded exception to the
+    no-global-window rule), and the exact-rank count joins the value scan
+    against the broadcast 4-row estimate relation."""
+    from pyspark.sql.window import Window as W
+
+    vals = quantile_vals(spark, sf_dir)
+    cum = cells.select(
+        "bucket", F.sum("c").over(W.orderBy("bucket")).alias("cumc")
+    )
+    qs = F.explode(F.array(*[F.lit(float(q)) for q in _QSK_QS])).alias("q")
+    targets = bounds.select(qs, "mn", "mx", "n").select(
+        "q", F.ceil(F.col("q") * F.col("n")).cast("long").alias("target_rank"),
+        "mn", "mx",
+    )
+    est = (
+        F.broadcast(targets)
+        .join(cum, cum["cumc"] >= targets["target_rank"])
+        .groupBy("q", "target_rank", "mn", "mx")
+        .agg(F.min("bucket").alias("bucket"))
+        .select(
+            "q", "target_rank",
+            (F.col("mn") + F.col("bucket") * (F.col("mx") - F.col("mn"))
+             / _QSK_W).alias("est_val"),
+        )
+    )
+    ranks = (
+        vals.join(F.broadcast(est), vals["value"] <= est["est_val"])
+        .groupBy("q", "target_rank", "est_val")
+        .agg(F.count(F.lit(1)).alias("est_rank"))
+    )
+    return ranks.select(
+        "q", "target_rank",
+        F.round(F.col("est_val"), 4).alias("est"),
+        F.col("est_rank").cast("long").alias("est_rank"),
+        (F.col("est_rank") - F.col("target_rank")).cast("long")
+            .alias("rank_err"),
+    )
+
+
+@register("sketch_quantile_values", QUANTILE_SKETCH_ORACLE)
+def sketch_quantile_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p95/p99 of events.value read from the fixed-grid histogram
+    sketch, with the exact-rank error surface."""
+    vals = quantile_vals(spark, sf_dir)
+    bounds = quantile_bounds(vals)
+    return quantile_score(spark, sf_dir, quantile_cells(vals, bounds), bounds)

@@ -1683,3 +1683,108 @@ def test_scalogram_dyadic_exactness_vs_integer_reference():
         byte_vals = [rng.randrange(256) for _ in range(256)]
         samples = (np.array(byte_vals, dtype=np.float64) - 128.0) / 128.0
         assert scalogram_hash(samples) == reference(byte_vals)
+
+
+def test_bpe_fertility_improves(spark, sf_dir):
+    """After the learned merges, the weighted average tokens-per-word is
+    strictly below the character baseline, and every merge strictly
+    reduced total token count (pair_count > 0 per round)."""
+    from spark_streaming_kafka_example_spark.operators.bpe import (
+        apply_merges,
+        symbols_array,
+        train_bpe,
+    )
+    from spark_streaming_kafka_example_spark.plans.textprep import bpe_word_freqs
+
+    words = bpe_word_freqs(load_table(spark, sf_dir, "documents"))
+    merges, _ = train_bpe(words, 8)
+    assert len(merges) == 8
+    assert all(m[4] > 0 for m in merges)
+    toks = apply_merges(words, merges).select(
+        "cnt",
+        F.size(symbols_array("enc")).alias("n_tok"),
+        F.length("word").alias("n_chr"),
+    )
+    agg = toks.agg(
+        F.sum(F.col("n_tok") * F.col("cnt")).alias("tok"),
+        F.sum(F.col("n_chr") * F.col("cnt")).alias("chr"),
+    ).collect()[0]
+    assert agg["tok"] < agg["chr"]
+    # total token reduction equals the sum of merged pair occurrences
+    # only if later merges never undo earlier ones; at minimum the
+    # reduction is bounded by it.
+    assert agg["chr"] - agg["tok"] >= merges[-1][4]
+
+
+def test_bpe_apply_matches_trainer_final_state(spark, sf_dir):
+    """apply_merges (the serving path) reproduces the trainer's final
+    encoded relation exactly — replay in training order is sufficient."""
+    from spark_streaming_kafka_example_spark.operators.bpe import (
+        apply_merges,
+        train_bpe,
+    )
+    from spark_streaming_kafka_example_spark.plans.textprep import bpe_word_freqs
+
+    words = bpe_word_freqs(load_table(spark, sf_dir, "documents"))
+    merges, enc = train_bpe(words, 5)
+    replayed = apply_merges(words, merges).select("word", "enc")
+    diff = (
+        enc.select("word", "enc")
+        .exceptAll(replayed)
+        .unionAll(replayed.exceptAll(enc.select("word", "enc")))
+    )
+    assert diff.count() == 0
+
+
+def test_quantile_sketch_rank_bound(spark, sf_dir):
+    """The histogram guarantee: |rank_err| of every estimated quantile is
+    bounded by the largest single cell count (the estimate's crossing
+    cell can misplace at most its own occupants), and the error surface
+    is non-vacuous (N large enough that cells hold many rows)."""
+    from spark_streaming_kafka_example_spark.plans.windows_stats import (
+        quantile_bounds,
+        quantile_cells,
+        quantile_vals,
+        sketch_quantile_values,
+    )
+
+    vals = quantile_vals(spark, sf_dir)
+    cells = quantile_cells(vals, quantile_bounds(vals))
+    max_cell = cells.agg(F.max("c")).collect()[0][0]
+    rows = sketch_quantile_values(spark, sf_dir).collect()
+    assert len(rows) == 4
+    assert all(abs(r.rank_err) <= max_cell for r in rows)
+    # target ranks are monotone in q and estimates are within bounds
+    by_q = sorted(rows, key=lambda r: r.q)
+    assert [r.target_rank for r in by_q] == sorted(r.target_rank for r in by_q)
+
+
+def test_quantile_sketch_merges(spark, sf_dir):
+    """Executor-mergeability, the property that makes the sketch a sketch:
+    cells built on two disjoint halves of the data, merged by summing per
+    bucket, equal the cells built on the whole (same fixed grid)."""
+    from spark_streaming_kafka_example_spark.plans.windows_stats import (
+        quantile_bounds,
+        quantile_cells,
+        quantile_vals,
+    )
+    from spark_streaming_kafka_example_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vals = ev.select(F.col("value").cast("double").alias("value"))
+    bounds = quantile_bounds(vals)  # one shared grid configuration
+    half_a = ev.filter(F.col("event_id") % 2 == 0).select(
+        F.col("value").cast("double").alias("value")
+    )
+    half_b = ev.filter(F.col("event_id") % 2 == 1).select(
+        F.col("value").cast("double").alias("value")
+    )
+    merged = (
+        quantile_cells(half_a, bounds)
+        .unionByName(quantile_cells(half_b, bounds))
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    full = quantile_cells(vals, bounds)
+    diff = merged.exceptAll(full).unionAll(full.exceptAll(merged))
+    assert diff.count() == 0

@@ -739,7 +739,8 @@ def test_ivf_index_path_distinct_per_sf_dir(spark, sf_dir, tmp_path):
     "builder",
     ["stream_cohort_retention_plan", "stream_funnel_plan",
      "stream_image_phash_plan", "stream_audio_envelope_plan",
-     "stream_audio_spectral_plan", "stream_video_frames_plan"],
+     "stream_audio_spectral_plan", "stream_video_frames_plan",
+     "stream_pretrain_gate_plan"],
 )
 def test_stream_static_joins_unhinted_equi(spark, sf_dir, builder):
     from spark_streaming_kafka_example_spark.plans import stream as st
@@ -784,3 +785,15 @@ def test_video_frame_dedup_bucket_bounded(plan_of):
         or "ShuffledHashJoin" in plan
         or "BroadcastHashJoin" in plan
     )
+
+
+def test_quantile_sketch_broadcast_bounds_and_estimates(plan_of):
+    """Quantile sketch (r10): the 1-row grid bounds and the 4-row estimate
+    relation must reach the value scans as BROADCAST sides (the
+    moments/bounds idiom) — never a shuffle of value rows against them —
+    and nothing may plan a CartesianProduct."""
+    plan = plan_of("sketch_quantile_values")
+    assert "CartesianProduct" not in plan
+    # bounds crossJoin + est range-join both broadcast their fixed side
+    assert plan.count("BroadcastNestedLoopJoin") >= 1
+    assert "BroadcastExchange" in plan
