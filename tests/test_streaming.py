@@ -856,3 +856,32 @@ def test_stateful_transition_pairs_pair_cap_raises(spark, tmp_path):
     assert run(4, "t_cap_ok", "ck_ok") == 4  # at the cap: fine
     with pytest.raises(StreamingQueryException, match="pair_cap=3"):
         run(3, "t_cap_boom", "ck_boom")
+
+
+def test_pretrain_gate_planted_semantics(spark, sf_dir):
+    """The gate's planted positive paths land under the right reasons:
+    every +300000 exact re-crawl drops as exact_dup (never as the
+    lower-priority image reason, though its cover also matches), every
+    +500000 tail-edit re-upload drops as near_dup_image (same cover
+    image, different word set — NOT exact), and the odd-id organic
+    arrivals populate both low_quality and keep."""
+    from spark_streaming_kafka_example_spark.plans.stream import (
+        stream_pretrain_gate,
+    )
+
+    rows = stream_pretrain_gate(spark, sf_dir).collect()
+    by_id = {r.doc_id: r for r in rows}
+    exact = [r for i, r in by_id.items() if 300000 <= i < 500000]
+    media = [r for i, r in by_id.items() if i >= 500000]
+    organic = [r for i, r in by_id.items() if i < 300000]
+    assert exact and all(
+        r.decision == "drop" and r.reason == "exact_dup" for r in exact
+    )
+    assert media and all(
+        r.decision == "drop" and r.reason == "near_dup_image" for r in media
+    )
+    organic_reasons = {r.reason for r in organic}
+    assert "ok" in organic_reasons and "low_quality" in organic_reasons
+    assert all(
+        (r.decision == "keep") == (r.reason == "ok") for r in rows
+    )
