@@ -127,6 +127,7 @@ HEADLINE = [
     "sketch_quantile_values",
     "stream_quantile_values",
     "stream_pretrain_gate",
+    "sketch_hll_distinct",
 ]
 
 

@@ -1853,3 +1853,196 @@ def sketch_quantile_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = quantile_vals(spark, sf_dir)
     bounds = quantile_bounds(vals)
     return quantile_score(spark, sf_dir, quantile_cells(vals, bounds), bounds)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic HyperLogLog distinct sketch (r10): third of the sketch trio
+# (count-min = frequency, fixed-grid histogram = quantiles, HLL = distinct
+# count), making approximate COUNT DISTINCT hash-checkable the same way —
+# agg_approx_distinct stays rows-only because approx_count_distinct's
+# internal HLL++ isn't SQL-replayable, but THIS sketch is deterministic by
+# construction. Per group, each key hashes once (md5): the first byte picks
+# one of _HLL_M=256 registers, the next 60 bits w give the rank
+# rho = 61 - length(bin(w) with leading zeros stripped) — pure string ops,
+# identical on both engines (bin() emits no leading zeros on either; w=0
+# strips to '' -> rho 61). Registers merge by MAX (pinned by
+# test_hll_sketch_merges), so the sketch is executor-mergeable like the
+# other two: a partial-aggregated groupBy folds any partitioning into
+# <= 256 registers per group. The indicator sum over registers is kept in
+# FIXED-POINT: term = 2^(_HLL_SHIFT - rho) as BIGINT (rho > _HLL_SHIFT
+# truncates to 0 on BOTH sides — deterministic, and the dropped tail is
+# < 2^-30 relative), so the only float op is the final
+# alpha * m^2 * 2^SHIFT / sum — multiplications by powers of two are exact
+# scalings of the alpha literal and the division is one correctly-rounded
+# IEEE op, so the estimate is bit-identical cross-engine. err_pct against
+# the exact distinct count is the driver-checked error surface
+# (|err| <= 15% at sf0.01 pinned by test_hll_sketch_accuracy); zero_regs
+# exposes the small-range (linear-counting) regime honestly instead of
+# hiding it behind a cross-engine-unsafe ln().
+# ---------------------------------------------------------------------------
+
+_HLL_M = 256
+_HLL_SHIFT = 30
+_HLL_ALPHA = 0.718273  # alpha_256 = 0.7213 / (1 + 1.079/256), 6 dp
+_HLL_NIBS = "0123456789abcdef"
+_HLL_H_SQL = "md5('hll:' || CAST(o_orderkey AS VARCHAR))"
+
+
+def _hll_w_sql(h: str) -> str:
+    """Hex chars 3..17 of ``h`` (60 bits) as BIGINT — the strpos-nibble
+    idiom widened to 15 positions (DuckDB has no conv()); max value
+    16^15 - 1 < 2^60 fits BIGINT with every partial product exact."""
+    terms = [
+        f"(strpos('{_HLL_NIBS}', substring({h}, {3 + i}, 1)) - 1)"
+        f" * CAST({16 ** (14 - i)} AS BIGINT)"
+        for i in range(15)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+HLL_SKETCH_ORACLE = f"""
+    WITH ord AS (SELECT o_orderpriority, o_orderkey FROM orders),
+    hashed AS (
+        SELECT o_orderpriority,
+               (strpos('{_HLL_NIBS}', substring({_HLL_H_SQL}, 1, 1)) - 1) * 16
+                 + (strpos('{_HLL_NIBS}', substring({_HLL_H_SQL}, 2, 1)) - 1)
+                 AS bucket,
+               CAST(61 - length(trim(LEADING '0'
+                                     FROM bin({_hll_w_sql(_HLL_H_SQL)})))
+                    AS BIGINT) AS r
+        FROM ord
+    ),
+    regs AS (SELECT o_orderpriority, bucket, max(r) AS r
+             FROM hashed GROUP BY o_orderpriority, bucket),
+    grid AS (SELECT o_orderpriority, b.range AS bucket
+             FROM (SELECT DISTINCT o_orderpriority FROM ord)
+             CROSS JOIN range({_HLL_M}) b),
+    full_regs AS (
+        SELECT grid.o_orderpriority, grid.bucket,
+               coalesce(regs.r, 0) AS register
+        FROM grid LEFT JOIN regs
+          ON regs.o_orderpriority = grid.o_orderpriority
+         AND regs.bucket = grid.bucket
+    ),
+    sk AS (
+        SELECT o_orderpriority,
+               sum(CASE WHEN register > {_HLL_SHIFT} THEN 0
+                        ELSE (1::BIGINT << ({_HLL_SHIFT} - register)) END) AS s,
+               sum(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS zero_regs
+        FROM full_regs GROUP BY o_orderpriority
+    ),
+    exact AS (SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n
+              FROM ord GROUP BY o_orderpriority),
+    est AS (
+        SELECT sk.o_orderpriority,
+               CAST(exact.n AS BIGINT) AS exact_n,
+               {_HLL_ALPHA}::DOUBLE * {float(_HLL_M * _HLL_M)}::DOUBLE
+                 * {float(2 ** _HLL_SHIFT)}::DOUBLE / CAST(sk.s AS DOUBLE)
+                 AS est_raw,
+               CAST(sk.zero_regs AS BIGINT) AS zero_regs
+        FROM sk JOIN exact ON exact.o_orderpriority = sk.o_orderpriority
+    )
+    SELECT o_orderpriority, exact_n, round(est_raw, 4) AS est, zero_regs,
+           round((est_raw - exact_n) * 100.0 / exact_n, 4) + 0 AS err_pct
+    FROM est
+    """
+
+
+def _hll_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey"
+    )
+
+
+def hll_hashed(ord_df: DataFrame) -> DataFrame:
+    """(group, bucket, r): one md5 per key occurrence — bucket from the
+    first hash byte (shared nibble idiom), rank from the next 60 bits via
+    conv() on the Spark side (exact for < 2^63; the oracle replays it with
+    the 15-term nibble sum)."""
+    from ..operators.dedup import _nibble
+
+    h = F.md5(F.concat(F.lit("hll:"), F.col("o_orderkey").cast("string")))
+    return ord_df.select(
+        "o_orderpriority",
+        (_nibble(h, 0) * 16 + _nibble(h, 1)).cast("long").alias("bucket"),
+        F.conv(F.substring(h, 3, 15), 16, 10).cast("long").alias("w"),
+    ).select(
+        "o_orderpriority",
+        "bucket",
+        # bin() drops leading zeros on both engines; trimming '0' makes
+        # w=0 -> '' -> rho 61 without a special case
+        (F.lit(61) - F.length(F.expr("trim(LEADING '0' FROM bin(w))")))
+        .cast("long")
+        .alias("r"),
+    )
+
+
+def hll_registers(hashed: DataFrame, groups: DataFrame) -> DataFrame:
+    """The complete <= groups x _HLL_M register table (empty registers
+    materialized as 0 so the indicator sum sees all 256 cells). MAX-merge
+    is the sketch's combine: partial-aggregated here, and how two
+    independently-built register tables union (test_hll_sketch_merges)."""
+    spark = hashed.sparkSession
+    regs = hashed.groupBy("o_orderpriority", "bucket").agg(
+        F.max("r").alias("r")
+    )
+    grid = groups.crossJoin(
+        F.broadcast(spark.range(_HLL_M).select(F.col("id").alias("bucket")))
+    )
+    return grid.join(regs, ["o_orderpriority", "bucket"], "left").select(
+        "o_orderpriority",
+        "bucket",
+        F.coalesce("r", F.lit(0)).cast("long").alias("register"),
+    )
+
+
+def hll_score(spark: SparkSession, sf_dir: str, regs: DataFrame) -> DataFrame:
+    """Estimate + exact-distinct error surface against a GIVEN register
+    relation (the cms_score / quantile_score idiom: one definition both a
+    future streaming twin and the batch query share). Fixed-point
+    indicator sum (BIGINT, exact); ONE float division at the end with the
+    multiplication order pinned to the oracle's."""
+    sk = regs.groupBy("o_orderpriority").agg(
+        F.sum(
+            F.expr(
+                f"CASE WHEN register > {_HLL_SHIFT} THEN CAST(0 AS BIGINT) "
+                f"ELSE shiftleft(CAST(1 AS BIGINT), "
+                f"{_HLL_SHIFT} - CAST(register AS INT)) END"
+            )
+        ).alias("s"),
+        F.sum(F.when(F.col("register") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("zero_regs"),
+    )
+    exact = _hll_orders(spark, sf_dir).groupBy("o_orderpriority").agg(
+        F.countDistinct("o_orderkey").alias("n")
+    )
+    est_raw = (
+        F.lit(_HLL_ALPHA)
+        * F.lit(float(_HLL_M * _HLL_M))
+        * F.lit(float(2 ** _HLL_SHIFT))
+        / F.col("s").cast("double")
+    )
+    return sk.join(exact, "o_orderpriority").select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("exact_n"),
+        F.round(est_raw, 4).alias("est"),
+        F.col("zero_regs").cast("long").alias("zero_regs"),
+        F.round((est_raw - F.col("n")) * 100.0 / F.col("n"), 4)
+        .alias("err_pct"),
+    )
+
+
+@register("sketch_hll_distinct", HLL_SKETCH_ORACLE)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct o_orderkey per o_orderpriority estimated from a 256-register
+    deterministic HLL, with the exact count and err_pct error surface.
+
+    Plan shape: one map-side md5 projection + two partial-aggregated
+    groupBys fold the fact scan into <= 5 x 256 registers; the
+    all-buckets grid is a broadcast crossJoin of two fixed-size relations;
+    the exact arm is one countDistinct exchange (correctness surface only
+    — at 100 TB you'd ship just the register table)."""
+    ord_df = _hll_orders(spark, sf_dir)
+    regs = hll_registers(hll_hashed(ord_df), ord_df.select("o_orderpriority").distinct())
+    return hll_score(spark, sf_dir, regs)

@@ -1788,3 +1788,44 @@ def test_quantile_sketch_merges(spark, sf_dir):
     full = quantile_cells(vals, bounds)
     diff = merged.exceptAll(full).unionAll(full.exceptAll(merged))
     assert diff.count() == 0
+
+
+def test_hll_sketch_merges(spark, sf_dir):
+    """HLL's combine is register-wise MAX: registers built on two disjoint
+    halves of orders, merged by max per (group, bucket), equal the
+    registers built on the whole — the property that makes the sketch
+    executor-mergeable (and stream-maintainable) at any partitioning."""
+    from spark_streaming_kafka_example_spark.plans.windows_stats import (
+        _hll_orders,
+        hll_hashed,
+        hll_registers,
+    )
+
+    ords = _hll_orders(spark, sf_dir)
+    groups = ords.select("o_orderpriority").distinct()
+    half_a = ords.filter(F.col("o_orderkey") % 2 == 0)
+    half_b = ords.filter(F.col("o_orderkey") % 2 == 1)
+    merged = (
+        hll_registers(hll_hashed(half_a), groups)
+        .unionByName(hll_registers(hll_hashed(half_b), groups))
+        .groupBy("o_orderpriority", "bucket")
+        .agg(F.max("register").alias("register"))
+    )
+    full = hll_registers(hll_hashed(ords), groups)
+    diff = merged.exceptAll(full).unionAll(full.exceptAll(merged))
+    assert diff.count() == 0
+
+
+def test_hll_sketch_accuracy(spark):
+    """At sf0.01 every group holds ~3000 distinct keys — n/m ~ 12, firmly
+    in the raw-HLL regime (zero_regs = 0), where the 256-register standard
+    error is 1.04/sqrt(256) = 6.5%; assert |err_pct| <= 15 (2.3 sigma) and
+    that the small-range indicator is honest."""
+    out = plans.QUERIES["sketch_hll_distinct"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(out) == 5
+    for row in out:
+        assert row.exact_n > 2500
+        assert row.zero_regs == 0
+        assert abs(row.err_pct) <= 15.0, row

@@ -787,6 +787,18 @@ def test_video_frame_dedup_bucket_bounded(plan_of):
     )
 
 
+def test_hll_sketch_partial_agg_and_broadcast_grid(plan_of):
+    """HLL sketch (r10): the register fold must partial-aggregate (max
+    combines map-side — executors ship <= 5 x 256 registers, never raw
+    hash rows), the all-buckets grid crossJoin must broadcast its
+    fixed-256-row side, and nothing may plan a CartesianProduct."""
+    plan = plan_of("sketch_hll_distinct")
+    assert "CartesianProduct" not in plan
+    assert "partial_max" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # groups x range(256) grid
+    assert "BroadcastHashJoin" in plan  # grid->regs left join + score join
+
+
 def test_quantile_sketch_broadcast_bounds_and_estimates(plan_of):
     """Quantile sketch (r10): the 1-row grid bounds and the 4-row estimate
     relation must reach the value scans as BROADCAST sides (the
