@@ -55,8 +55,9 @@ CORE_WINDOW = [
     "a3_sliding_window_agg",
     # TPC-H canon (q11, 5 rounds green since its r05 re-arm, moved to the
     # freshness rotation in r10 to make room for the r09-VERDICT-task-2
-    # staleness drain: CORE 23 -> 21 so the 4 r10-new registrations plus
-    # ALL 24 r01/r02-stale re-pins fit the 50-slot window)
+    # staleness drain: CORE 23 -> 21 so the 5 r10-new registrations (4 in
+    # ROTATION_PRIORITY + sketch_hll_distinct via the registration-order
+    # fallback) plus ALL 24 r01/r02-stale re-pins fit the 50-slot window)
     "q1_pricing_summary",
     "q3_shipping_priority",
     # LLM-pipeline families: dedup, similarity, text, multimodal, pipeline

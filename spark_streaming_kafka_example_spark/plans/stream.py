@@ -1584,7 +1584,7 @@ def stream_countmin_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .windows_stats import (  # noqa: E402
     quantile_bounds,
-    quantile_bucket_col,
+    quantile_cells,
     quantile_score,
     quantile_vals,
 )
@@ -1598,14 +1598,10 @@ def stream_quantile_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value").isNotNull())
         .select(F.col("value").cast("double").alias("value"))
     )
-    cells = (
-        ev.join(F.broadcast(bounds))
-        .select(quantile_bucket_col(F.col("value"), F.col("mn"), F.col("mx"))
-                .alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    drained = run_to_table(spark, cells, "complete")
+    # quantile_cells works unchanged on a streaming DataFrame — ONE cell
+    # construction shared with the batch twin (the cms_cells idiom; an
+    # inline copy here could drift under the shared oracle).
+    drained = run_to_table(spark, quantile_cells(ev, bounds), "complete")
     return quantile_score(spark, sf_dir, drained, bounds)
 
 

@@ -308,12 +308,16 @@ def stateful_transition_pairs(
         types = list(rows[type_col])
         n_prev = 0
         if state.exists:
-            # Unpack defensively: r09 added n_pairs as a FOURTH state field,
-            # so a checkpoint written by the 3-field r08 schema must restart
-            # cleanly (pad the missing counter to 0) instead of failing the
-            # 4-tuple unpack (r09 ADVICE).
-            _last_ts, _last_id, last_type, *extra = state.get
-            n_prev = extra[0] if extra else 0
+            # STATE-SCHEMA BREAK (r09): n_pairs is a FOURTH state field. A
+            # checkpoint written by the 3-field r08 schema cannot restart
+            # against it — Spark's state-store schema check
+            # (spark.sql.streaming.stateStore.stateSchemaCheck, default on)
+            # rejects the store with StateSchemaNotCompatible at load,
+            # BEFORE this function ever runs, so a defensive short-tuple
+            # unpack here would be dead code. Upgrading across r08->r09
+            # requires a fresh checkpoint directory (r09 ADVICE, resolved
+            # by documenting the break rather than papering over it).
+            _last_ts, _last_id, last_type, n_prev = state.get
             types = [last_type, *types]
         out = [
             (key[0], types[i], types[i + 1]) for i in range(len(types) - 1)
