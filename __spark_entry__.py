@@ -61,11 +61,12 @@ CORE_WINDOW = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     # LLM-pipeline families: dedup, similarity, text, multimodal, pipeline
-    # (dedup_embedding_cosine likewise rotated out in r10 — exact/minhash/
-    # clusters keep the family pinned and the freshness sort re-checks it)
+    # (dedup_embedding_cosine and dedup_clusters rotated out in r10 —
+    # exact/minhash keep the family pinned, the freshness sort re-checks
+    # both, and clusters' slot funds stream_hll_distinct: CORE 21 -> 20 so
+    # the SIXTH r10 registration still leaves all 24 r01/r02 re-pins in)
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_clusters",
     "sim_topk_bruteforce",
     "sim_ivf_kmeans_topk",
     "text_analysis_profile",

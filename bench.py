@@ -128,6 +128,7 @@ HEADLINE = [
     "stream_quantile_values",
     "stream_pretrain_gate",
     "sketch_hll_distinct",
+    "stream_hll_distinct",
 ]
 
 

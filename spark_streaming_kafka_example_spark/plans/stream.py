@@ -1606,6 +1606,56 @@ def stream_quantile_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming HLL distinct sketch (r10): the third sketch twin, completing
+# batch+stream symmetry for the whole sketch family (count-min, quantile
+# histogram, HLL). Each arriving order is hashed map-side (stateless md5 +
+# rank projection shared with the batch twin via hll_hashed) and the
+# register fold — groupBy MAX — is the ONLY streaming state: complete-mode,
+# capped at groups x 256 rows no matter how long the stream runs (MAX is
+# idempotent and monotone, the textbook streaming-sketch combine). Grid
+# fill + estimate + exact error surface run batch-side on the drained
+# registers through the same hll_grid_fill/hll_score the batch twin uses,
+# so the bounded drain shares HLL_SKETCH_ORACLE verbatim.
+# ---------------------------------------------------------------------------
+
+from .windows_stats import (  # noqa: E402
+    hll_fold,
+    hll_grid_fill,
+    hll_hashed,
+    hll_score,
+)
+
+_ORDERS_HLL_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ]
+)
+
+
+def orders_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded view of orders.parquet, schema-pruned to the two columns
+    the HLL twin needs (parquet matches by name, so the declared subset
+    schema doubles as scan pruning)."""
+    return (
+        spark.readStream.schema(_ORDERS_HLL_SCHEMA)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+    )
+
+
+@register("stream_hll_distinct", _ORACLE_REG["sketch_hll_distinct"])
+def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    regs = run_to_table(
+        spark, hll_fold(hll_hashed(orders_stream(spark, sf_dir))), "complete"
+    )
+    groups = (
+        load_table(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+    )
+    return hll_score(spark, sf_dir, hll_grid_fill(regs, groups))
+
+
+# ---------------------------------------------------------------------------
 # At-ingest pretrain gate (r10, r09 VERDICT task 6): the streaming twin of
 # pipeline_pretrain_v3's front door. Every arriving doc is, in ONE
 # streaming query (a union of two stateless arms over the same source —

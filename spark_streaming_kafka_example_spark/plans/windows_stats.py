@@ -1977,15 +1977,21 @@ def hll_hashed(ord_df: DataFrame) -> DataFrame:
     )
 
 
-def hll_registers(hashed: DataFrame, groups: DataFrame) -> DataFrame:
-    """The complete <= groups x _HLL_M register table (empty registers
-    materialized as 0 so the indicator sum sees all 256 cells). MAX-merge
-    is the sketch's combine: partial-aggregated here, and how two
-    independently-built register tables union (test_hll_sketch_merges)."""
-    spark = hashed.sparkSession
-    regs = hashed.groupBy("o_orderpriority", "bucket").agg(
+def hll_fold(hashed: DataFrame) -> DataFrame:
+    """The register fold — MAX is the sketch's combine, so this is
+    partial-aggregated batch-side, how two independently-built register
+    tables union (test_hll_sketch_merges), and exactly what the streaming
+    twin maintains as complete-mode state (<= groups x _HLL_M rows
+    regardless of stream length)."""
+    return hashed.groupBy("o_orderpriority", "bucket").agg(
         F.max("r").alias("r")
     )
+
+
+def hll_grid_fill(regs: DataFrame, groups: DataFrame) -> DataFrame:
+    """Materialize empty registers as 0 against the all-buckets broadcast
+    grid so the indicator sum sees all _HLL_M cells per group."""
+    spark = regs.sparkSession
     grid = groups.crossJoin(
         F.broadcast(spark.range(_HLL_M).select(F.col("id").alias("bucket")))
     )
@@ -1994,6 +2000,13 @@ def hll_registers(hashed: DataFrame, groups: DataFrame) -> DataFrame:
         "bucket",
         F.coalesce("r", F.lit(0)).cast("long").alias("register"),
     )
+
+
+def hll_registers(hashed: DataFrame, groups: DataFrame) -> DataFrame:
+    """The complete <= groups x _HLL_M register table: fold + grid fill
+    (split so the streaming twin can drain the fold's complete-mode state
+    and grid-fill batch-side)."""
+    return hll_grid_fill(hll_fold(hashed), groups)
 
 
 def hll_score(spark: SparkSession, sf_dir: str, regs: DataFrame) -> DataFrame:
