@@ -50,9 +50,10 @@ CORE_WINDOW = [
     "p12_a1_word_count",
     "u1_u3_udf_sql",
     "j1_enrich_left_outer",
-    # §2.7 windowed aggregation (tumbling + sliding; flagship is the alert twin)
+    # §2.7 windowed aggregation (a2 + flagship keep the family pinned;
+    # a3_sliding_window_agg rotated out in r10, its slot funds
+    # sketch_bloom_decontaminate — the freshness sort re-checks it)
     "a2_tumbling_window_agg",
-    "a3_sliding_window_agg",
     # TPC-H canon (q11, 5 rounds green since its r05 re-arm, moved to the
     # freshness rotation in r10 to make room for the r09-VERDICT-task-2
     # staleness drain: CORE 23 -> 21 so the 5 r10-new registrations (4 in

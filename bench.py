@@ -129,6 +129,7 @@ HEADLINE = [
     "stream_pretrain_gate",
     "sketch_hll_distinct",
     "stream_hll_distinct",
+    "sketch_bloom_decontaminate",
 ]
 
 

@@ -139,6 +139,172 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bloom-filter decontamination sketch (r10): the membership member of the
+# deterministic-sketch family (count-min = frequency, histogram =
+# quantiles, HLL = distinct, Bloom = membership). text_decontaminate
+# broadcasts the raw eval n-gram SET; at 100 TB-of-eval-suites scale you
+# broadcast its BLOOM FILTER instead — a fixed bit array with one-sided
+# error (never misses a contaminated gram; a tunable few percent of clean
+# grams false-positive into a rescreen). Determinism: k=_BLOOM_K md5-derived
+# positions per gram, and the filter is SELF-SIZING — m = the next power of
+# two >= 8*n (n = |eval grams|), computed IN-QUERY from bin() bit-length
+# (pure integer/string ops, both engines), the same adapt-to-data move as
+# the quantile sketch's (min,max) grid. Power-of-two m keeps `w % m`
+# unbiased (w = 24 uniform hash bits) and the fill factor ~27% / FP ~2-3%
+# at EVERY corpus scale, until the _BLOOM_M_CAP=2^22 bound (the FIXED-K
+# broadcast discipline: the bits relation never exceeds 4M rows — beyond
+# that a production deployment re-sizes m, documented, not silently
+# degraded). The driver-checked error surface is n_false_pos >= 0 per doc
+# (one-sided-error pinned by test_bloom_never_misses; OR-mergeability of
+# the bit set by test_bloom_bits_merge).
+# ---------------------------------------------------------------------------
+
+_BLOOM_K = 3
+_BLOOM_M_CAP = 4194304  # 2^22
+
+
+def _bloom_w6_sql(h: str) -> str:
+    """First 6 hex chars of ``h`` (24 bits) as BIGINT — strpos-nibble."""
+    terms = [
+        f"(strpos('0123456789abcdef', substring({h}, {1 + i}, 1)) - 1)"
+        f" * CAST({16 ** (5 - i)} AS BIGINT)"
+        for i in range(6)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_BLOOM_H_SQL = "md5('bloom' || j || ':' || gram)"
+
+
+@register(
+    "sketch_bloom_decontaminate",
+    f"""
+    WITH {_BENCH_GRAMS_CTE.strip()},
+    bg AS (SELECT DISTINCT gram FROM bench_grams),
+    mrel AS (SELECT least(1::BIGINT << CAST(length(bin(8*count(*) - 1)) AS INT),
+                          {_BLOOM_M_CAP}) AS m FROM bg),
+    js AS (SELECT unnest(range(0, {_BLOOM_K})) AS j),
+    bits AS (SELECT DISTINCT ({_bloom_w6_sql(_BLOOM_H_SQL)} % m) AS pos
+             FROM bg CROSS JOIN js CROSS JOIN mrel),
+    cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    corpus_grams AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(w) - {_DECON_N - 1}, 0)),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))
+                   AS gram
+        FROM cw
+    ),
+    probes AS (SELECT doc_id, gram, j, ({_bloom_w6_sql(_BLOOM_H_SQL)} % m) AS pos
+               FROM corpus_grams CROSS JOIN js CROSS JOIN mrel),
+    bloomhit AS (
+        SELECT doc_id, gram FROM probes JOIN bits USING (pos)
+        GROUP BY doc_id, gram HAVING count(*) = {_BLOOM_K}
+    ),
+    exact AS (SELECT DISTINCT c.doc_id, c.gram
+              FROM corpus_grams c JOIN bg ON c.gram = bg.gram),
+    bagg AS (SELECT doc_id, count(*) AS n_bloom_hits FROM bloomhit GROUP BY doc_id),
+    eagg AS (SELECT doc_id, count(*) AS n_exact_hits FROM exact GROUP BY doc_id)
+    SELECT bagg.doc_id,
+           CAST(n_bloom_hits AS BIGINT) AS n_bloom_hits,
+           CAST(coalesce(n_exact_hits, 0) AS BIGINT) AS n_exact_hits,
+           CAST(n_bloom_hits - coalesce(n_exact_hits, 0) AS BIGINT) AS n_false_pos
+    FROM bagg LEFT JOIN eagg ON eagg.doc_id = bagg.doc_id
+    """,
+)
+def sketch_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per corpus doc: distinct 5-grams flagged by the eval-set Bloom
+    filter vs flagged by the exact set, with the false-positive count as
+    the one-sided-error surface (n_false_pos >= 0 always; a miss would go
+    negative and can never happen).
+
+    Plan shape: the bits relation (<= min(3n, m) rows) and the 1-row m
+    config reach the corpus-gram explode as BROADCAST sides — the corpus
+    is never shuffled, only the hit rows reach the per-doc agg (the
+    text_decontaminate discipline, with the broadcast side now
+    constant-bounded by _BLOOM_M_CAP instead of growing with the eval
+    suite)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = _bench_grams_df(docs).select("gram").distinct()
+    mrel = bloom_m(bg)
+    bits = bloom_bits(bg, mrel)
+    corpus = (
+        docs.select("doc_id", F.split("text", " ").alias("_w"))
+        .select("doc_id",
+                F.explode(shingles_from_words("_w", _DECON_N)).alias("gram"))
+        .distinct()
+    )
+    bloomhit = (
+        _bloom_positions(corpus.join(F.broadcast(mrel)), "doc_id", "gram")
+        .join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("k_set"))
+        .filter(F.col("k_set") == _BLOOM_K)
+        .select("doc_id", "gram")
+    )
+    exact = corpus.join(F.broadcast(bg), "gram").select("doc_id", "gram")
+    bagg = bloomhit.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bloom_hits")
+    )
+    eagg = exact.distinct().groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_exact_hits")
+    )
+    return bagg.join(eagg, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_bloom_hits").cast("long").alias("n_bloom_hits"),
+        F.coalesce("n_exact_hits", F.lit(0)).cast("long")
+        .alias("n_exact_hits"),
+        (F.col("n_bloom_hits") - F.coalesce("n_exact_hits", F.lit(0)))
+        .cast("long")
+        .alias("n_false_pos"),
+    )
+
+
+def bloom_m(bg: DataFrame) -> DataFrame:
+    """The 1-row self-sizing config: m = next power of two >= 8*|grams|,
+    capped at _BLOOM_M_CAP. Pure integer/string ops (bin() bit-length both
+    engines), so the size is part of the deterministic sketch.
+
+    Requires |grams| >= 1 (guaranteed: the %11 eval selector always
+    matches testdata docs). An EMPTY gram set would hit bin(-1) -> 64-bit
+    shift, where Java (shift & 63) and DuckDB disagree — don't reuse this
+    expression on possibly-empty relations."""
+    return bg.agg(F.count(F.lit(1)).alias("n")).select(
+        F.least(
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT),"
+                " CAST(length(bin(8 * n - 1)) AS INT))"
+            ),
+            F.lit(_BLOOM_M_CAP).cast("long"),
+        ).alias("m")
+    )
+
+
+def _bloom_positions(with_m: DataFrame, *keep: str) -> DataFrame:
+    """Explode j=0.._BLOOM_K-1 and project each row's bit position
+    pos = (24 md5 bits of 'bloom<j>:<gram>') % m — the single position
+    definition the build and probe sides share."""
+    js = F.explode(F.array(*[F.lit(j) for j in range(_BLOOM_K)])).alias("j")
+    h = F.md5(
+        F.concat(F.lit("bloom"), F.col("j").cast("string"), F.lit(":"),
+                 F.col("gram"))
+    )
+    w6 = F.conv(F.substring(h, 1, 6), 16, 10).cast("long")
+    return with_m.select(*keep, "m", js).select(
+        *keep, (w6 % F.col("m")).alias("pos")
+    )
+
+
+def bloom_bits(bg: DataFrame, mrel: DataFrame) -> DataFrame:
+    """The set-bit relation (<= min(_BLOOM_K * |grams|, m) rows, bounded by
+    _BLOOM_M_CAP). OR-merge is plain DISTINCT union — two filters built on
+    gram subsets under one m merge into the whole
+    (test_bloom_bits_merge)."""
+    return _bloom_positions(
+        bg.join(F.broadcast(mrel)), "gram"
+    ).select("pos").distinct()
+
+
+# ---------------------------------------------------------------------------
 # Repetition profile (Gopher-style intra-document repetition rules,
 # Rae et al. 2021 §A1.1): the fraction of 2-gram occurrences taken by the
 # single most frequent 2-gram, and the fraction of duplicate 2-/3-gram

@@ -1816,6 +1816,56 @@ def test_hll_sketch_merges(spark, sf_dir):
     assert diff.count() == 0
 
 
+def test_bloom_never_misses(spark, sf_dir):
+    """The Bloom filter's one-sided-error contract: every doc flagged by
+    the exact eval-gram set appears in the sketch's output with
+    n_bloom_hits >= n_exact_hits (a miss would need an inserted gram's bit
+    to be unset — impossible), and the false-positive surface is
+    non-vacuous (the self-sizing m targets ~2-3% FP, so some clean grams
+    must collide)."""
+    bloom = {
+        r.doc_id: r
+        for r in plans.QUERIES["sketch_bloom_decontaminate"](
+            spark, sf_dir
+        ).collect()
+    }
+    exact = plans.QUERIES["text_decontaminate"](spark, sf_dir).collect()
+    assert exact, "exact decontamination found nothing — vacuous fixture"
+    for e in exact:
+        b = bloom.get(e.doc_id)
+        assert b is not None, f"bloom missed contaminated doc {e.doc_id}"
+        assert b.n_exact_hits == e.n_hit_ngrams
+        assert b.n_bloom_hits >= b.n_exact_hits
+    assert all(r.n_false_pos >= 0 for r in bloom.values())
+    assert sum(r.n_false_pos for r in bloom.values()) > 0
+
+
+def test_bloom_bits_merge(spark, sf_dir):
+    """OR-mergeability: bit sets built on two disjoint halves of the eval
+    grams, unioned, equal the bit set built on the whole (same m config —
+    the filter size is part of the sketch, exactly like the quantile
+    grid's bounds)."""
+    from spark_streaming_kafka_example_spark.plans.textprep import (
+        _bench_grams_df,
+        bloom_bits,
+        bloom_m,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bg = _bench_grams_df(docs).select("gram").distinct()
+    mrel = bloom_m(bg)  # one shared size config
+    half_a = bg.filter(F.crc32("gram") % 2 == 0)
+    half_b = bg.filter(F.crc32("gram") % 2 == 1)
+    merged = (
+        bloom_bits(half_a, mrel)
+        .unionByName(bloom_bits(half_b, mrel))
+        .distinct()
+    )
+    full = bloom_bits(bg, mrel)
+    diff = merged.exceptAll(full).unionAll(full.exceptAll(merged))
+    assert diff.count() == 0
+
+
 def test_hll_sketch_accuracy(spark):
     """At sf0.01 every group holds ~3000 distinct keys — n/m ~ 12, firmly
     in the raw-HLL regime (zero_regs = 0), where the 256-register standard

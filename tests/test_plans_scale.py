@@ -799,6 +799,19 @@ def test_hll_sketch_partial_agg_and_broadcast_grid(plan_of):
     assert "BroadcastHashJoin" in plan  # grid->regs left join + score join
 
 
+def test_bloom_sketch_broadcast_bits_and_config(plan_of):
+    """Bloom decontamination (r10): the bit set and the 1-row self-sizing
+    m config must reach the corpus-gram explode as BROADCAST sides (the
+    corpus is never shuffled against them — the text_decontaminate
+    discipline with a constant-bounded broadcast side), and nothing may
+    plan a CartesianProduct."""
+    plan = plan_of("sketch_bloom_decontaminate")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row m config join
+    assert "BroadcastHashJoin" in plan  # bits probe + exact-gram joins
+    assert "SortMergeJoin" not in plan  # corpus grams never co-shuffled
+
+
 def test_quantile_sketch_broadcast_bounds_and_estimates(plan_of):
     """Quantile sketch (r10): the 1-row grid bounds and the 4-row estimate
     relation must reach the value scans as BROADCAST sides (the
