@@ -42,6 +42,22 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+def hex_bigint_sql(h: str, start: int, n_chars: int) -> str:
+    """``n_chars`` hex chars of SQL expression ``h`` starting at 1-based
+    ``start`` as a BIGINT — the strpos-nibble idiom (DuckDB has no conv())
+    as ONE parametrized generator, so the HLL rank bits (start=3, 15
+    chars) and the Bloom position bits (start=1, 6 chars) cannot drift
+    (r10 review; the emitted text is byte-identical to the generators it
+    replaced, so no oracle text changed). n_chars <= 15 keeps every
+    partial product and the sum exact in BIGINT."""
+    terms = [
+        f"(strpos('0123456789abcdef', substring({h}, {start + i}, 1)) - 1)"
+        f" * CAST({16 ** (n_chars - 1 - i)} AS BIGINT)"
+        for i in range(n_chars)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 _RUN_TMPDIRS: list[str] = []
 
 

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions.text import shingles_from_words
 from ..operators.packing import pack_greedy
 from ..sources import load_table
-from . import register
+from . import hex_bigint_sql, register
 
 # ---------------------------------------------------------------------------
 # Decontamination: flag corpus docs sharing any word 5-gram with a
@@ -164,13 +164,9 @@ _BLOOM_M_CAP = 4194304  # 2^22
 
 
 def _bloom_w6_sql(h: str) -> str:
-    """First 6 hex chars of ``h`` (24 bits) as BIGINT — strpos-nibble."""
-    terms = [
-        f"(strpos('0123456789abcdef', substring({h}, {1 + i}, 1)) - 1)"
-        f" * CAST({16 ** (5 - i)} AS BIGINT)"
-        for i in range(6)
-    ]
-    return "(" + " + ".join(terms) + ")"
+    """First 6 hex chars of ``h`` (24 bits) as BIGINT — the shared
+    strpos-nibble generator (plans.hex_bigint_sql)."""
+    return hex_bigint_sql(h, 1, 6)
 
 
 _BLOOM_H_SQL = "md5('bloom' || j || ':' || gram)"
@@ -217,14 +213,20 @@ def sketch_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one-sided-error surface (n_false_pos >= 0 always; a miss would go
     negative and can never happen).
 
-    Plan shape: the bits relation (<= min(3n, m) rows) and the 1-row m
-    config reach the corpus-gram explode as BROADCAST sides — the corpus
-    is never shuffled, only the hit rows reach the per-doc agg (the
-    text_decontaminate discipline, with the broadcast side now
-    constant-bounded by _BLOOM_M_CAP instead of growing with the eval
-    suite)."""
+    Plan shape: the SKETCH sides that reach the corpus-gram explode —
+    the bits relation (<= min(3n, m) rows, constant-bounded by
+    _BLOOM_M_CAP) and the 1-row m config — are broadcast-hinted; the
+    exact AUDIT arm joins the raw gram set UNHINTED (it grows with the
+    eval suite, so the planner chooses from its checkpointed stats — the
+    r08 stream-static lesson; at true scale you drop the audit arm and
+    ship only the sketch). bg feeds FOUR consumers (m config, bits
+    build, exact arm), so it is checkpointed once (r10 review: lazily it
+    re-derived the bench-gram explode per consumer — six documents scans
+    in one query). The corpus explode stays lazy: its two consumers are
+    one-pass arms (the text_decontaminate shape), and materializing a
+    corpus-proportional relation costs more than the second scan."""
     docs = load_table(spark, sf_dir, "documents")
-    bg = _bench_grams_df(docs).select("gram").distinct()
+    bg = _bench_grams_df(docs).select("gram").distinct().localCheckpoint()
     mrel = bloom_m(bg)
     bits = bloom_bits(bg, mrel)
     corpus = (
@@ -241,7 +243,7 @@ def sketch_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("k_set") == _BLOOM_K)
         .select("doc_id", "gram")
     )
-    exact = corpus.join(F.broadcast(bg), "gram").select("doc_id", "gram")
+    exact = corpus.join(bg, "gram").select("doc_id", "gram")
     bagg = bloomhit.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bloom_hits")
     )

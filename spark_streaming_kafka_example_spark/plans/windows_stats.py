@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..sources import load_table
-from . import register
+from . import hex_bigint_sql, register
 
 
 @register(
@@ -1889,15 +1889,10 @@ _HLL_H_SQL = "md5('hll:' || CAST(o_orderkey AS VARCHAR))"
 
 
 def _hll_w_sql(h: str) -> str:
-    """Hex chars 3..17 of ``h`` (60 bits) as BIGINT — the strpos-nibble
-    idiom widened to 15 positions (DuckDB has no conv()); max value
+    """Hex chars 3..17 of ``h`` (60 bits) as BIGINT — the shared
+    strpos-nibble generator (plans.hex_bigint_sql); max value
     16^15 - 1 < 2^60 fits BIGINT with every partial product exact."""
-    terms = [
-        f"(strpos('{_HLL_NIBS}', substring({h}, {3 + i}, 1)) - 1)"
-        f" * CAST({16 ** (14 - i)} AS BIGINT)"
-        for i in range(15)
-    ]
-    return "(" + " + ".join(terms) + ")"
+    return hex_bigint_sql(h, 3, 15)
 
 
 HLL_SKETCH_ORACLE = f"""

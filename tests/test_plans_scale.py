@@ -803,13 +803,16 @@ def test_bloom_sketch_broadcast_bits_and_config(plan_of):
     """Bloom decontamination (r10): the bit set and the 1-row self-sizing
     m config must reach the corpus-gram explode as BROADCAST sides (the
     corpus is never shuffled against them — the text_decontaminate
-    discipline with a constant-bounded broadcast side), and nothing may
-    plan a CartesianProduct."""
+    discipline with a constant-bounded broadcast side), the bench-gram
+    relation must be checkpointed (ExistingRDD — lazily it re-derived per
+    consumer, six documents scans), and nothing may plan a
+    CartesianProduct. The bagg-vs-eagg SortMergeJoin is fine: two
+    doc_id-partitioned aggregation outputs reusing their exchange."""
     plan = plan_of("sketch_bloom_decontaminate")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row m config join
-    assert "BroadcastHashJoin" in plan  # bits probe + exact-gram joins
-    assert "SortMergeJoin" not in plan  # corpus grams never co-shuffled
+    assert "BroadcastHashJoin" in plan  # hinted bits probe (+ exact arm)
+    assert "ExistingRDD" in plan  # bg checkpointed once
 
 
 def test_quantile_sketch_broadcast_bounds_and_estimates(plan_of):
