@@ -1816,6 +1816,47 @@ def test_hll_sketch_merges(spark, sf_dir):
     assert diff.count() == 0
 
 
+def test_hll_rank_matches_python_reference(spark):
+    """The bin()-length rank trick against an independent ground truth:
+    for any 60-bit w, rho = 61 - length(leading-zero-trimmed bin(w)) must
+    equal 61 - w.bit_length() (Python's int.bit_length, bit_length(0)=0
+    -> rho 61 — the w=0 path needs no special case on either engine)."""
+    samples = [0, 1, 2, 3, 2**19 - 1, 2**19, 2**19 + 1, 2**59, 2**60 - 1]
+    df = spark.createDataFrame([(w,) for w in samples], "w long").select(
+        "w",
+        (F.lit(61) - F.length(F.expr("trim(LEADING '0' FROM bin(w))")))
+        .cast("long")
+        .alias("rho"),
+    )
+    got = {r.w: r.rho for r in df.collect()}
+    assert got == {w: 61 - w.bit_length() for w in samples}
+
+
+def test_bloom_positions_match_python_reference(spark):
+    """The md5/conv 24-bit position derivation against hashlib ground
+    truth: for sample grams and each j, Spark's pos must equal
+    int(md5('bloom<j>:<gram>').hexdigest()[:6], 16) % m."""
+    import hashlib
+
+    from spark_streaming_kafka_example_spark.plans.textprep import (
+        _BLOOM_K,
+        _bloom_positions,
+    )
+
+    grams = ["the quick brown fox jumps", "a b c d e", "x" * 40]
+    m = 8192
+    df = spark.createDataFrame([(g, m) for g in grams], "gram string, m long")
+    got = sorted(
+        (r.gram, r.pos) for r in _bloom_positions(df, "gram").collect()
+    )
+    want = sorted(
+        (g, int(hashlib.md5(f"bloom{j}:{g}".encode()).hexdigest()[:6], 16) % m)
+        for g in grams
+        for j in range(_BLOOM_K)
+    )
+    assert got == want
+
+
 def test_bloom_never_misses(spark, sf_dir):
     """The Bloom filter's one-sided-error contract: every doc flagged by
     the exact eval-gram set appears in the sketch's output with
