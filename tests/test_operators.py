@@ -1816,6 +1816,115 @@ def test_hll_sketch_merges(spark, sf_dir):
     assert diff.count() == 0
 
 
+def test_bpe_matches_textbook_python_reference(spark):
+    """The two-space-encoding trainer against a direct pure-Python
+    implementation of Sennrich-style BPE (explicit symbol lists, manual
+    left-to-right non-overlapping merge, same (count DESC, a, b)
+    tie-break): merge tables and final encodings must be IDENTICAL. This
+    pins the regexp_replace trick to textbook semantics independently of
+    the oracle (which replays the same regex)."""
+    from spark_streaming_kafka_example_spark.operators.bpe import (
+        symbols_array,
+        train_bpe,
+    )
+
+    fixture = [
+        ("aaaa", 3), ("aabab", 2), ("banana", 5), ("bandana", 1),
+        ("aaa", 4), ("abba", 2), ("nanan", 3),
+    ]
+    words = spark.createDataFrame(fixture, "word string, cnt long")
+    merges, enc = train_bpe(words, 6)
+
+    # -- textbook reference --------------------------------------------
+    vocab = {w: (list(w), c) for w, c in fixture}
+    ref_merges = []
+    for rnd in range(1, 7):
+        counts = {}
+        for syms, c in vocab.values():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p[0], p[1]))
+        ref_merges.append((rnd, best[0], best[1], best[0] + best[1],
+                           counts[best]))
+        for w, (syms, c) in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == best[0]
+                        and syms[i + 1] == best[1]):
+                    out.append(best[0] + best[1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = (out, c)
+
+    assert merges == ref_merges
+    got = {
+        r.word: list(r.s)
+        for r in enc.select("word", symbols_array("enc").alias("s")).collect()
+    }
+    assert got == {w: syms for w, (syms, _c) in vocab.items()}
+
+
+def test_cms_bucket_matches_python_reference(spark):
+    """The count-min bucket derivation against hashlib ground truth:
+    bucket(key, j) must equal the first md5 byte of 'cms<j>:<key>'."""
+    import hashlib
+
+    from spark_streaming_kafka_example_spark.plans.windows_stats import (
+        _CMS_D,
+        _cms_bucket_col,
+    )
+
+    keys = [0, 7, 123456789]
+    rows = [(k, j) for k in keys for j in range(_CMS_D)]
+    df = spark.createDataFrame(rows, "user_id long, j int").select(
+        "user_id", "j",
+        _cms_bucket_col(F.col("user_id"), F.col("j")).alias("bucket"),
+    )
+    got = {(r.user_id, r.j): r.bucket for r in df.collect()}
+    want = {
+        (k, j): int(hashlib.md5(f"cms{j}:{k}".encode()).hexdigest()[:2], 16)
+        for k, j in rows
+    }
+    assert got == want
+
+
+def test_quantile_bucket_matches_numpy_reference(spark):
+    """The histogram cell assignment against a numpy float64 replay of
+    the EXACT op order (v - mn) * W / (mx - mn): boundary values (cell
+    edges, mn, mx, epsilon neighbors) must land in identical cells."""
+    import numpy as np
+
+    from spark_streaming_kafka_example_spark.plans.windows_stats import (
+        _QSK_W,
+        quantile_bucket_col,
+    )
+
+    mn, mx = -3.7, 152.9
+    edge = mn + 17 * (mx - mn) / _QSK_W
+    vals = [mn, mx, 0.0, edge, np.nextafter(edge, mn), np.nextafter(edge, mx),
+            12.3456789, mx - 1e-9]
+    df = spark.createDataFrame(
+        [(float(v), mn, mx) for v in vals], "value double, mn double, mx double"
+    ).select(
+        "value",
+        quantile_bucket_col(F.col("value"), F.col("mn"), F.col("mx"))
+        .alias("bucket"),
+    )
+    got = {r.value: r.bucket for r in df.collect()}
+    for v in vals:
+        ref = min(
+            int(np.floor((np.float64(v) - np.float64(mn)) * np.float64(_QSK_W)
+                         / (np.float64(mx) - np.float64(mn)))),
+            _QSK_W - 1,
+        )
+        assert got[float(v)] == ref, (v, got[float(v)], ref)
+
+
 def test_hll_rank_matches_python_reference(spark):
     """The bin()-length rank trick against an independent ground truth:
     for any 60-bit w, rho = 61 - length(leading-zero-trimmed bin(w)) must
