@@ -123,6 +123,10 @@ def _last_green_round() -> dict[str, int]:
 FORCE_RECHECK: dict[str, int] = {
     "paths_event_trigrams": 8,
     "paths_markov_transitions": 8,
+    # r11: the redundant SELECT DISTINCT dropped from the oracle's exact
+    # CTE (r10 ADVICE) — value-identical (corpus_grams x bg join cannot
+    # duplicate), but the oracle text changed.
+    "sketch_bloom_decontaminate": 11,
 }
 
 

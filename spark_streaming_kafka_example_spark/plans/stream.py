@@ -1835,3 +1835,94 @@ def stream_pretrain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("decision"),
         "reason",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Bloom decontamination probe (r11, r10 VERDICT task 1): the
+# fourth and final sketch twin, completing batch+stream symmetry for the
+# whole deterministic-sketch family (count-min = frequency, histogram =
+# quantiles, HLL = distinct, Bloom = membership). stream_decontaminate
+# broadcasts the RAW eval-gram array, which grows with the benchmark
+# suite; the Bloom BITS relation stays <= _BLOOM_M_CAP rows forever — the
+# relation a 100 TB ingest actually ships to executors. The probe is
+# completely STATELESS: each arriving doc explodes to its distinct grams
+# map-side, the _BLOOM_K bit positions are computed as COLUMNS
+# (bloom_pos_col — the same md5 definition _bloom_positions explodes into
+# rows), and membership is _BLOOM_K chained stream-static inner
+# equi-joins against the broadcast bits relation: a gram survives iff
+# EVERY position is set, exactly the exploded form's count(*) = k without
+# the streaming aggregation it would need. Surviving (doc_id, gram) rows
+# drain append-mode; the per-doc collapse + exact audit arm run
+# batch-side through the same bloom_score the batch twin uses, so the
+# bounded drain shares BLOOM's oracle verbatim.
+# ---------------------------------------------------------------------------
+
+from .textprep import (  # noqa: E402
+    _BLOOM_K,
+    _bench_grams_df,
+    bloom_bits,
+    bloom_m,
+    bloom_pos_col,
+    bloom_score,
+)
+
+
+def stream_bloom_probe_plan(
+    spark: SparkSession, sf_dir: str, bits: DataFrame, mrel: DataFrame
+) -> DataFrame:
+    """Pre-drain streaming plan (gram explode -> k chained broadcast
+    probes), exposed for the broadcast-pinned plan-shape test. Both static
+    sides are constant-bounded (bits <= _BLOOM_M_CAP rows, mrel is the
+    1-row m config), so the broadcast hints are CORRECT here — the
+    opposite case from the corpus-proportional stream-static sides the
+    r08 rule un-hints."""
+    from ..functions.text import shingles_from_words
+    from .textprep import _DECON_N
+
+    stream = (
+        documents_stream(spark, sf_dir)
+        .select("doc_id", F.split("text", " ").alias("_w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles_from_words("_w", _DECON_N))
+            ).alias("gram"),
+        )
+    )
+    probe = stream.crossJoin(F.broadcast(mrel)).select(
+        "doc_id",
+        "gram",
+        *[
+            bloom_pos_col(F.col("gram"), F.col("m"), j)
+            for j in range(_BLOOM_K)
+        ],
+    )
+    hit = probe
+    for j in range(_BLOOM_K):
+        bj = bits.withColumnRenamed("pos", f"bpos{j}")
+        hit = hit.join(
+            F.broadcast(bj), F.col(f"pos{j}") == F.col(f"bpos{j}")
+        ).drop(f"bpos{j}", f"pos{j}")
+    return hit.select("doc_id", "gram")
+
+
+@register(
+    "stream_bloom_decontaminate", _ORACLE_REG["sketch_bloom_decontaminate"]
+)
+def stream_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-ingest Bloom membership probe: per arriving doc, the distinct
+    grams flagged by the eval-set Bloom filter vs the exact set, sharing
+    the batch twin's oracle on a bounded drain. The filter (bits + 1-row m
+    config) is built batch-side from the eval set — in production it is
+    yesterday's materialized filter, OR-merged across builders
+    (test_bloom_bits_merge) — and localCheckpoint-materialized so the
+    per-micro-batch probes replay a computed relation, not the gram
+    explode that derived it."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = _bench_grams_df(docs).select("gram").distinct().localCheckpoint()
+    mrel = bloom_m(bg).localCheckpoint()
+    bits = bloom_bits(bg, mrel).localCheckpoint()
+    drained = run_to_table(
+        spark, stream_bloom_probe_plan(spark, sf_dir, bits, mrel), "append"
+    )
+    return bloom_score(spark, sf_dir, drained, bg)

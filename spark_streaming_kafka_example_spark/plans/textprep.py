@@ -196,7 +196,7 @@ _BLOOM_H_SQL = "md5('bloom' || j || ':' || gram)"
         SELECT doc_id, gram FROM probes JOIN bits USING (pos)
         GROUP BY doc_id, gram HAVING count(*) = {_BLOOM_K}
     ),
-    exact AS (SELECT DISTINCT c.doc_id, c.gram
+    exact AS (SELECT c.doc_id, c.gram
               FROM corpus_grams c JOIN bg ON c.gram = bg.gram),
     bagg AS (SELECT doc_id, count(*) AS n_bloom_hits FROM bloomhit GROUP BY doc_id),
     eagg AS (SELECT doc_id, count(*) AS n_exact_hits FROM exact GROUP BY doc_id)
@@ -229,12 +229,7 @@ def sketch_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = _bench_grams_df(docs).select("gram").distinct().localCheckpoint()
     mrel = bloom_m(bg)
     bits = bloom_bits(bg, mrel)
-    corpus = (
-        docs.select("doc_id", F.split("text", " ").alias("_w"))
-        .select("doc_id",
-                F.explode(shingles_from_words("_w", _DECON_N)).alias("gram"))
-        .distinct()
-    )
+    corpus = bloom_corpus_grams(docs)
     bloomhit = (
         _bloom_positions(corpus.join(F.broadcast(mrel)), "doc_id", "gram")
         .join(F.broadcast(bits), "pos")
@@ -243,11 +238,40 @@ def sketch_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("k_set") == _BLOOM_K)
         .select("doc_id", "gram")
     )
+    return bloom_score(spark, sf_dir, bloomhit, bg)
+
+
+def bloom_corpus_grams(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, gram) of the corpus — the relation both the probe
+    and the exact audit arm explode (text_decontaminate's gram shape)."""
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("_w"))
+        .select("doc_id",
+                F.explode(shingles_from_words("_w", _DECON_N)).alias("gram"))
+        .distinct()
+    )
+
+
+def bloom_score(
+    spark: SparkSession, sf_dir: str, bloomhit: DataFrame, bg: DataFrame
+) -> DataFrame:
+    """Per-doc collapse + exact audit arm against a GIVEN (doc_id, gram)
+    bloom-hit relation — the single scoring definition the batch and
+    streaming twins share (the cms_score / quantile_score / hll_score
+    idiom). Re-derives the corpus gram explode for the audit arm (the
+    documented one-pass-arms tradeoff: materializing a corpus-proportional
+    relation costs more than the second scan, and at true scale the audit
+    arm is dropped entirely — only the sketch probe ships).
+
+    No distinct on the audit arm: the corpus explode is already distinct
+    on (doc_id, gram) and bg on gram, so the equi-join cannot duplicate
+    (r10 ADVICE — the extra aggregation bought nothing)."""
+    corpus = bloom_corpus_grams(load_table(spark, sf_dir, "documents"))
     exact = corpus.join(bg, "gram").select("doc_id", "gram")
     bagg = bloomhit.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bloom_hits")
     )
-    eagg = exact.distinct().groupBy("doc_id").agg(
+    eagg = exact.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_exact_hits")
     )
     return bagg.join(eagg, "doc_id", "left").select(
@@ -269,7 +293,12 @@ def bloom_m(bg: DataFrame) -> DataFrame:
     Requires |grams| >= 1 (guaranteed: the %11 eval selector always
     matches testdata docs). An EMPTY gram set would hit bin(-1) -> 64-bit
     shift, where Java (shift & 63) and DuckDB disagree — don't reuse this
-    expression on possibly-empty relations."""
+    expression on possibly-empty relations. The same mask divergence
+    bounds the top end: the expression is engine-identical only while
+    length(bin(8n-1)) < 63, i.e. |grams| < 2^59 — Java shiftleft masks the
+    shift width (&63) while DuckDB does not. Far beyond _BLOOM_M_CAP's
+    intent, but the validity bound belongs next to the n >= 1 one
+    (r10 ADVICE)."""
     return bg.agg(F.count(F.lit(1)).alias("n")).select(
         F.least(
             F.expr(
@@ -294,6 +323,20 @@ def _bloom_positions(with_m: DataFrame, *keep: str) -> DataFrame:
     return with_m.select(*keep, "m", js).select(
         *keep, (w6 % F.col("m")).alias("pos")
     )
+
+
+def bloom_pos_col(gram_col, m_col, j: int):
+    """Bit position for hash index ``j`` as a COLUMN:
+    pos{j} = (24 md5 bits of 'bloom<j>:<gram>') % m — the same definition
+    _bloom_positions explodes into rows, projected column-wise instead so
+    the STREAMING probe can test all _BLOOM_K positions with chained
+    stateless joins (a per-(doc, gram) count(*) = k over the exploded rows
+    would be a streaming aggregation; k fixed columns keep the at-ingest
+    arm state-free). Parity with the row form is pinned by
+    test_bloom_pos_col_matches_row_form."""
+    h = F.md5(F.concat(F.lit(f"bloom{j}:"), gram_col))
+    w6 = F.conv(F.substring(h, 1, 6), 16, 10).cast("long")
+    return (w6 % m_col).alias(f"pos{j}")
 
 
 def bloom_bits(bg: DataFrame, mrel: DataFrame) -> DataFrame:

@@ -317,7 +317,21 @@ def stateful_transition_pairs(
             # unpack here would be dead code. Upgrading across r08->r09
             # requires a fresh checkpoint directory (r09 ADVICE, resolved
             # by documenting the break rather than papering over it).
-            _last_ts, _last_id, last_type, n_prev = state.get
+            # If a deployment DISABLES that check (or the checkpoint
+            # predates state-schema files), the strict unpack below is the
+            # first thing to notice — name the break instead of dying with
+            # a bare worker-side ValueError (r10 ADVICE).
+            try:
+                _last_ts, _last_id, last_type, n_prev = state.get
+            except ValueError as exc:
+                raise ValueError(
+                    "stateful_transition_pairs: state tuple has"
+                    f" {len(state.get)} fields, expected 4 — this is the"
+                    " r08->r09 state-schema break (n_pairs added as a 4th"
+                    " field) surfacing with stateSchemaCheck disabled or a"
+                    " pre-schema-file checkpoint; restart from a fresh"
+                    " checkpoint directory"
+                ) from exc
             types = [last_type, *types]
         out = [
             (key[0], types[i], types[i + 1]) for i in range(len(types) - 1)

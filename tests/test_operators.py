@@ -3,6 +3,8 @@ find (planted duplicates, true neighbors), not just match the oracle."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -2016,16 +2018,56 @@ def test_bloom_bits_merge(spark, sf_dir):
     assert diff.count() == 0
 
 
-def test_hll_sketch_accuracy(spark):
+def test_hll_sketch_accuracy(spark, sf_dir):
     """At sf0.01 every group holds ~3000 distinct keys — n/m ~ 12, firmly
     in the raw-HLL regime (zero_regs = 0), where the 256-register standard
     error is 1.04/sqrt(256) = 6.5%; assert |err_pct| <= 15 (2.3 sigma) and
-    that the small-range indicator is honest."""
-    out = plans.QUERIES["sketch_hll_distinct"](
-        spark, "/root/testdata/sf0.01"
-    ).collect()
+    that the small-range indicator is honest. The thresholds are
+    sf0.01-specific, so the test resolves that scale as a SIBLING of the
+    suite's sf_dir and skips loudly when it isn't there (r10 ADVICE: the
+    bare absolute path silently assumed the default testdata layout)."""
+    sf001 = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    if not os.path.isdir(sf001):
+        pytest.skip(
+            f"sf0.01 testdata not found beside sf_dir ({sf001}); the"
+            " exact_n>2500 / zero_regs==0 thresholds only hold at sf0.01"
+        )
+    out = plans.QUERIES["sketch_hll_distinct"](spark, sf001).collect()
     assert len(out) == 5
     for row in out:
         assert row.exact_n > 2500
         assert row.zero_regs == 0
         assert abs(row.err_pct) <= 15.0, row
+
+
+def test_bloom_pos_col_matches_row_form(spark):
+    """bloom_pos_col (the streaming probe's column form) must agree with
+    _bloom_positions (the exploded row form the filter build uses) for
+    every j — one definition, two projections."""
+    from spark_streaming_kafka_example_spark.plans.textprep import (
+        _BLOOM_K,
+        _bloom_positions,
+        bloom_pos_col,
+    )
+
+    grams = ["the quick brown fox jumps", "a b c d e", "zz " * 10]
+    m = 4096
+    df = spark.createDataFrame([(g, m) for g in grams], "gram string, m long")
+    cols = {
+        (r["gram"], j): r[f"pos{j}"]
+        for r in df.select(
+            "gram",
+            *[bloom_pos_col(F.col("gram"), F.col("m"), j)
+              for j in range(_BLOOM_K)],
+        ).collect()
+        for j in range(_BLOOM_K)
+    }
+    # Row form carries no j column outward; recover j by matching each
+    # gram's row multiset against the column form.
+    rows = _bloom_positions(df, "gram").collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["gram"], []).append(r["pos"])
+    for g in grams:
+        expect = sorted(cols[(g, j)] for j in range(_BLOOM_K))
+        assert sorted(got[g]) == expect, g

@@ -825,3 +825,39 @@ def test_quantile_sketch_broadcast_bounds_and_estimates(plan_of):
     # bounds crossJoin + est range-join both broadcast their fixed side
     assert plan.count("BroadcastNestedLoopJoin") >= 1
     assert "BroadcastExchange" in plan
+
+
+def test_stream_bloom_probe_broadcast_pinned(spark, sf_dir):
+    """Streaming Bloom probe (r11): the at-ingest arm must be pure
+    map-side — its ONLY exchanges are broadcasts of the constant-bounded
+    sketch sides (bits <= _BLOOM_M_CAP rows as _BLOOM_K BroadcastHashJoins,
+    the 1-row m config as a broadcast cross). No shuffle may touch the
+    document stream: a hashpartitioning exchange here would shuffle the
+    corpus per micro-batch."""
+    from spark_streaming_kafka_example_spark.plans.stream import (
+        stream_bloom_probe_plan,
+    )
+    from spark_streaming_kafka_example_spark.plans.textprep import (
+        _BLOOM_K,
+        _bench_grams_df,
+        bloom_bits,
+        bloom_m,
+    )
+    from spark_streaming_kafka_example_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bg = _bench_grams_df(docs).select("gram").distinct().localCheckpoint()
+    mrel = bloom_m(bg).localCheckpoint()
+    bits = bloom_bits(bg, mrel).localCheckpoint()
+    physical = formatted_plan(
+        stream_bloom_probe_plan(spark, sf_dir, bits, mrel)
+    )
+    # formatted mode prints each node twice: once in the tree, once in the
+    # numbered detail section.
+    assert physical.count("BroadcastHashJoin") == 2 * _BLOOM_K, physical
+    assert "CartesianProduct" not in physical
+    assert "SortMergeJoin" not in physical
+    assert "ShuffledHashJoin" not in physical
+    assert "hashpartitioning" not in physical, (
+        "shuffle exchange in the stateless at-ingest arm"
+    )
