@@ -1926,3 +1926,85 @@ def stream_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, stream_bloom_probe_plan(spark, sf_dir, bits, mrel), "append"
     )
     return bloom_score(spark, sf_dir, drained, bg)
+
+
+# ---------------------------------------------------------------------------
+# At-ingest BPE tokenization (r11, r10 VERDICT task 4): closes the
+# trainer->serving loop the way the sketch twins close batch->stream.
+# train_bpe_merges LEARNS the merge table; this query SERVES it on a
+# document stream. The table is trained batch-side (in production:
+# yesterday's published tokenizer — the epoch-config contract, same class
+# as the quantile sketch's grid bounds) and, being <= _BPE_ROUNDS rows by
+# construction, embeds in the streaming plan as LITERAL regexp_replace
+# patterns (the FIXED-K discipline: constant-bounded config may live in
+# the plan; corpus-proportional relations may not). The whole streaming
+# arm is ONE map-side projection — encode each doc's [a-z]+ words
+# (two-space symbol encoding, '|' word separators so merges cannot cross
+# words), run the merge chain, count token runs — zero joins, zero
+# shuffles, zero state (plan-pinned by test_stream_bpe_tokenize_mapside).
+# Surface per doc: n_words, n_chars_az (character-level token count =
+# pre-merge symbols), n_tokens (post-merge), fertility = tokens/word.
+# ---------------------------------------------------------------------------
+
+from .textprep import (  # noqa: E402
+    _BPE_ROUNDS,
+    STREAM_BPE_TOKENIZE_ORACLE,
+    bpe_word_freqs,
+)
+
+_BPE_STREAM_WORDS_SQL = "filter(split(text, ' '), w -> w rlike '^[a-z]+$')"
+
+
+def stream_bpe_tokenize_plan(
+    spark: SparkSession, sf_dir: str, merges: list[tuple]
+) -> DataFrame:
+    """Pre-drain streaming plan (encode -> literal merge chain -> counts),
+    exposed for the zero-shuffle plan-shape test."""
+    from ..operators.bpe import merge_pattern
+
+    enc = F.expr(
+        "concat_ws('|', transform(_ws, w -> regexp_replace(w, '(.)', ' $1 ')))"
+    )
+    for _rnd, a, b, _m, _pc in merges:  # training order — later merges
+        pat, rep = merge_pattern(a, b)  # consume earlier merged symbols
+        enc = F.regexp_replace(enc, pat, rep)
+    return (
+        documents_stream(spark, sf_dir)
+        .select("doc_id", F.expr(_BPE_STREAM_WORDS_SQL).alias("_ws"))
+        .filter(F.size("_ws") > 0)
+        .select(
+            "doc_id",
+            F.size("_ws").cast("long").alias("n_words"),
+            F.length(F.concat_ws("", F.col("_ws"))).cast("long")
+            .alias("n_chars_az"),
+            enc.alias("enc"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars_az",
+            F.expr("CAST(size(regexp_extract_all(enc, '[a-z]+', 0)) AS BIGINT)")
+            .alias("n_tokens"),
+        )
+        .withColumn(
+            "fertility",
+            F.round(F.col("n_tokens").cast("double") / F.col("n_words"), 4),
+        )
+    )
+
+
+@register("stream_bpe_tokenize", STREAM_BPE_TOKENIZE_ORACLE)
+def stream_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per arriving doc: word/char/BPE-token counts + fertility under the
+    merge table train_bpe_merges learns on the batch corpus. The oracle
+    replays the training rounds (shared _BPE_W0_CTE chain) and then the
+    doc-level merge chain, so the learned literals and the replayed m1..mN
+    are provably the same merges."""
+    from ..operators.bpe import train_bpe
+
+    merges, _enc = train_bpe(
+        bpe_word_freqs(load_table(spark, sf_dir, "documents")), _BPE_ROUNDS
+    )
+    return run_to_table(
+        spark, stream_bpe_tokenize_plan(spark, sf_dir, merges), "append"
+    )

@@ -2256,19 +2256,67 @@ def _bpe_round_ctes(i: int) -> str:
              FROM w{i-1} CROSS JOIN m{i} m)"""
 
 
-TRAIN_BPE_ORACLE = f"""
-    WITH w0 AS (
+# w0 + the unrolled merge rounds, shared between the trainer's oracle and
+# the streaming tokenizer's (which replays the training to obtain the same
+# m1..m{_BPE_ROUNDS} the Spark side embeds as literals). The emitted
+# TRAIN_BPE_ORACLE text is byte-identical to its pre-refactor form.
+_BPE_W0_CTE = """w0 AS (
         SELECT word, CAST(count(*) AS BIGINT) AS cnt,
                regexp_replace(word, '(.)', ' \\1 ', 'g') AS enc
         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         WHERE regexp_matches(word, '^[a-z]+$')
         GROUP BY word
-    ),
+    )"""
+
+TRAIN_BPE_ORACLE = f"""
+    WITH {_BPE_W0_CTE},
     {','.join(_bpe_round_ctes(i) for i in range(1, _BPE_ROUNDS + 1))}
     SELECT CAST(rnd AS BIGINT) AS rnd, a AS sym_a, b AS sym_b, merged,
            pc AS pair_count
     FROM ({' UNION ALL '.join(f'SELECT * FROM m{i}'
                               for i in range(1, _BPE_ROUNDS + 1))})
+    """
+
+
+def _bpe_doc_ctes(i: int) -> str:
+    """Round i of the doc-level merge replay (streaming tokenizer oracle):
+    the SAME single-pass replace the trainer's w{i} CTE applies to words,
+    applied to the doc-level encoding d{i-1} — patterns never span the
+    '|' word separators, so per-doc application equals per-word."""
+    return f"""
+    d{i} AS (SELECT doc_id, n_words, n_chars_az,
+                regexp_replace(enc, ' ' || m.a || '  ' || m.b || ' ',
+                               ' ' || m.a || m.b || ' ', 'g') AS enc
+             FROM d{i-1} CROSS JOIN m{i} m)"""
+
+
+# The doc encoding: each [a-z]+ word space-encoded like the trainer
+# (' a  b  c '), words joined with '|'. A merge pattern ' a  b ' needs the
+# two-space gap, and at a word boundary the encoding reads 'c | d' — one
+# space each side of the separator — so merges can never cross words.
+_BPE_DOC_WORDS_SQL = (
+    "list_filter(string_split(text, ' '), w -> regexp_matches(w, '^[a-z]+$'))"
+)
+
+STREAM_BPE_TOKENIZE_ORACLE = f"""
+    WITH {_BPE_W0_CTE},
+    {','.join(_bpe_round_ctes(i) for i in range(1, _BPE_ROUNDS + 1))},
+    d0 AS (
+        SELECT doc_id,
+               array_to_string(list_transform({_BPE_DOC_WORDS_SQL},
+                   w -> regexp_replace(w, '(.)', ' \\1 ', 'g')), '|') AS enc,
+               len({_BPE_DOC_WORDS_SQL}) AS n_words,
+               length(array_to_string({_BPE_DOC_WORDS_SQL}, '')) AS n_chars_az
+        FROM documents
+    ),
+    {','.join(_bpe_doc_ctes(i) for i in range(1, _BPE_ROUNDS + 1))}
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_chars_az AS BIGINT) AS n_chars_az,
+           CAST(len(regexp_extract_all(enc, '[a-z]+')) AS BIGINT) AS n_tokens,
+           round(CAST(len(regexp_extract_all(enc, '[a-z]+')) AS DOUBLE)
+                 / n_words, 4) AS fertility
+    FROM d{_BPE_ROUNDS} WHERE n_words > 0
     """
 
 

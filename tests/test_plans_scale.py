@@ -861,3 +861,27 @@ def test_stream_bloom_probe_broadcast_pinned(spark, sf_dir):
     assert "hashpartitioning" not in physical, (
         "shuffle exchange in the stateless at-ingest arm"
     )
+
+
+def test_stream_bpe_tokenize_mapside(spark, sf_dir):
+    """At-ingest BPE tokenization (r11): the learned merge table embeds as
+    literal patterns, so the streaming arm must be a pure projection —
+    zero joins, zero exchanges of any kind, zero state."""
+    from spark_streaming_kafka_example_spark.operators.bpe import train_bpe
+    from spark_streaming_kafka_example_spark.plans.stream import (
+        stream_bpe_tokenize_plan,
+    )
+    from spark_streaming_kafka_example_spark.plans.textprep import (
+        _BPE_ROUNDS,
+        bpe_word_freqs,
+    )
+    from spark_streaming_kafka_example_spark.sources import load_table
+
+    merges, _ = train_bpe(
+        bpe_word_freqs(load_table(spark, sf_dir, "documents")), _BPE_ROUNDS
+    )
+    assert merges, "trainer returned no merges"
+    physical = formatted_plan(stream_bpe_tokenize_plan(spark, sf_dir, merges))
+    assert "Join" not in physical, physical
+    assert "Exchange" not in physical, physical
+    assert "Aggregate" not in physical, physical
