@@ -1592,6 +1592,13 @@ from .windows_stats import (  # noqa: E402
 
 @register("stream_quantile_values", _ORACLE_REG["sketch_quantile_values"])
 def stream_quantile_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEPLOYMENT CONTRACT (r10 VERDICT obs. 2): the grid bounds here are
+    computed batch-side BEFORE the stream runs — the bounds are the
+    sketch's epoch CONFIGURATION, exactly like the Bloom filter's bits/m
+    or the BPE serving row's merge table: in production they come from a
+    prior epoch's materialized (mn, mx) and the stream buckets against
+    that fixed grid. A truly self-contained at-ingest build that derives
+    its own bounds is stream_quantile_twophase below."""
     bounds = quantile_bounds(quantile_vals(spark, sf_dir))
     ev = (
         events_stream(spark, sf_dir)
@@ -2007,4 +2014,171 @@ def stream_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return run_to_table(
         spark, stream_bpe_tokenize_plan(spark, sf_dir, merges), "append"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-phase self-contained quantile sketch (r11, r10 VERDICT task 5):
+# stream_quantile_values scores against batch-computed bounds (the
+# epoch-config contract its docstring states); THIS twin derives its own
+# bounds from the stream, making the whole sketch self-contained. Phase 1
+# folds (mn, mx, n) as a complete-mode global aggregation — 1 row of
+# state forever, the minimal mergeable fold. Phase 2 re-drains the
+# bounded source bucketing against the PHASE-1 DRAINED bounds (a
+# stream-static broadcast of one row). In production the two phases are
+# consecutive epochs — today's grid uses yesterday's bounds fold; on a
+# bounded drain the two passes see identical data, so the result equals
+# the batch sketch and shares its oracle verbatim.
+# ---------------------------------------------------------------------------
+
+
+@register("stream_quantile_twophase", _ORACLE_REG["sketch_quantile_values"])
+def stream_quantile_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def vals_stream() -> DataFrame:
+        return (
+            events_stream(spark, sf_dir)
+            .filter(F.col("value").isNotNull())
+            .select(F.col("value").cast("double").alias("value"))
+        )
+
+    # Phase 1: the bounds fold — quantile_bounds works unchanged on a
+    # streaming DataFrame (min/max/count are the textbook mergeable agg).
+    bounds = run_to_table(spark, quantile_bounds(vals_stream()), "complete")
+    # Phase 2: bucket a fresh pass of the source against the drained
+    # 1-row bounds; the <= _QSK_W-cell fold is the only state.
+    cells = run_to_table(
+        spark, quantile_cells(vals_stream(), bounds), "complete"
+    )
+    return quantile_score(spark, sf_dir, cells, bounds)
+
+
+# ---------------------------------------------------------------------------
+# Windowed streaming HLL (r11, r10 VERDICT task 8): approximate distinct
+# users OVER TIME WINDOWS — the distinct-users-per-hour dashboard every
+# serving tier wants, as one streaming query. The register fold keys by
+# (tumbling 1h window, event_type, bucket): complete-mode state is
+# bounded at windows x groups x _HLL_M rows, and in a production
+# append-mode deployment the declared watermark expires closed windows'
+# registers, so the bound is ACTIVE windows x groups x 256 forever.
+# Grid fill + estimate + exact-rank scoring run batch-side on the drained
+# registers through the SAME generalized hll_grid_fill/hll_score the
+# orders twins use (group_cols parametrized, definitions unchanged).
+# Small-range honesty: an hour x type slice holds a few hundred distinct
+# users (n/m ~ 1), squarely the linear-counting regime — zero_regs > 0
+# and the wide err_pct ARE the surface, not hidden behind a
+# cross-engine-unsafe ln() correction (the sketch_hll_distinct contract).
+# ---------------------------------------------------------------------------
+
+from .windows_stats import (  # noqa: E402
+    _HLL_ALPHA,
+    _HLL_M,
+    _HLL_NIBS,
+    _HLL_SHIFT,
+    _hll_w_sql,
+)
+
+_HLL_EV_H_SQL = "md5('hll:' || CAST(user_id AS VARCHAR))"
+
+HLL_WINDOWED_ORACLE = f"""
+    WITH ev AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+                   AS window_end,
+               event_type, user_id
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    hashed AS (
+        SELECT window_start, window_end, event_type,
+               (strpos('{_HLL_NIBS}', substring({_HLL_EV_H_SQL}, 1, 1)) - 1) * 16
+                 + (strpos('{_HLL_NIBS}', substring({_HLL_EV_H_SQL}, 2, 1)) - 1)
+                 AS bucket,
+               CAST(61 - length(trim(LEADING '0'
+                                     FROM bin({_hll_w_sql(_HLL_EV_H_SQL)})))
+                    AS BIGINT) AS r
+        FROM ev
+    ),
+    regs AS (SELECT window_start, window_end, event_type, bucket, max(r) AS r
+             FROM hashed GROUP BY 1, 2, 3, 4),
+    grid AS (SELECT window_start, window_end, event_type, b.range AS bucket
+             FROM (SELECT DISTINCT window_start, window_end, event_type
+                   FROM ev)
+             CROSS JOIN range({_HLL_M}) b),
+    full_regs AS (
+        SELECT grid.window_start, grid.window_end, grid.event_type,
+               grid.bucket, coalesce(regs.r, 0) AS register
+        FROM grid LEFT JOIN regs
+          ON regs.window_start = grid.window_start
+         AND regs.window_end = grid.window_end
+         AND regs.event_type = grid.event_type
+         AND regs.bucket = grid.bucket
+    ),
+    sk AS (
+        SELECT window_start, window_end, event_type,
+               sum(CASE WHEN register > {_HLL_SHIFT} THEN 0
+                        ELSE (1::BIGINT << ({_HLL_SHIFT} - register)) END)
+                   AS s,
+               sum(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS zero_regs
+        FROM full_regs GROUP BY 1, 2, 3
+    ),
+    exact AS (SELECT window_start, window_end, event_type,
+                     count(DISTINCT user_id) AS n
+              FROM ev GROUP BY 1, 2, 3),
+    est AS (
+        SELECT sk.window_start, sk.window_end, sk.event_type,
+               CAST(exact.n AS BIGINT) AS exact_n,
+               {_HLL_ALPHA}::DOUBLE * {float(_HLL_M * _HLL_M)}::DOUBLE
+                 * {float(2 ** _HLL_SHIFT)}::DOUBLE / CAST(sk.s AS DOUBLE)
+                 AS est_raw,
+               CAST(sk.zero_regs AS BIGINT) AS zero_regs
+        FROM sk JOIN exact
+          USING (window_start, window_end, event_type)
+    )
+    SELECT window_start, window_end, event_type, exact_n,
+           round(est_raw, 4) AS est, zero_regs,
+           round((est_raw - exact_n) * 100.0 / exact_n, 4) + 0 AS err_pct
+    FROM est
+    """
+
+_HLL_WIN_GCOLS = ("window_start", "window_end", "event_type")
+
+
+@register("stream_hll_windowed", HLL_WINDOWED_ORACLE)
+def stream_hll_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select("ts", "event_type", "user_id")
+    )
+    folded = (
+        hll_hashed(ev, key="user_id", group_cols=("ts", "event_type"))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "event_type", "bucket")
+        .agg(F.max("r").alias("r"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type", "bucket", "r",
+        )
+    )
+    regs_drained = run_to_table(spark, folded, "complete")
+    ev_b = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(F.window("ts", "1 hour").alias("window"), "event_type",
+                "user_id")
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type", "user_id",
+        )
+    )
+    groups = ev_b.select(*_HLL_WIN_GCOLS).distinct()
+    exact = ev_b.groupBy(*_HLL_WIN_GCOLS).agg(
+        F.countDistinct("user_id").alias("n")
+    )
+    return hll_score(
+        spark, sf_dir,
+        hll_grid_fill(regs_drained, groups, group_cols=_HLL_WIN_GCOLS),
+        group_cols=_HLL_WIN_GCOLS,
+        exact=exact,
     )

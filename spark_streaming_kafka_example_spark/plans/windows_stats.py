@@ -1949,20 +1949,26 @@ def _hll_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def hll_hashed(ord_df: DataFrame) -> DataFrame:
+def hll_hashed(
+    ord_df: DataFrame,
+    key: str = "o_orderkey",
+    group_cols: tuple[str, ...] = ("o_orderpriority",),
+) -> DataFrame:
     """(group, bucket, r): one md5 per key occurrence — bucket from the
     first hash byte (shared nibble idiom), rank from the next 60 bits via
     conv() on the Spark side (exact for < 2^63; the oracle replays it with
-    the 15-term nibble sum)."""
+    the 15-term nibble sum). ``key``/``group_cols`` parametrize the keyed
+    variants (r11: the windowed twin counts user_id per time window) with
+    defaults preserving the original orders-table signature."""
     from ..operators.dedup import _nibble
 
-    h = F.md5(F.concat(F.lit("hll:"), F.col("o_orderkey").cast("string")))
+    h = F.md5(F.concat(F.lit("hll:"), F.col(key).cast("string")))
     return ord_df.select(
-        "o_orderpriority",
+        *group_cols,
         (_nibble(h, 0) * 16 + _nibble(h, 1)).cast("long").alias("bucket"),
         F.conv(F.substring(h, 3, 15), 16, 10).cast("long").alias("w"),
     ).select(
-        "o_orderpriority",
+        *group_cols,
         "bucket",
         # bin() drops leading zeros on both engines; trimming '0' makes
         # w=0 -> '' -> rho 61 without a special case
@@ -1972,26 +1978,32 @@ def hll_hashed(ord_df: DataFrame) -> DataFrame:
     )
 
 
-def hll_fold(hashed: DataFrame) -> DataFrame:
+def hll_fold(
+    hashed: DataFrame, group_cols: tuple[str, ...] = ("o_orderpriority",)
+) -> DataFrame:
     """The register fold — MAX is the sketch's combine, so this is
     partial-aggregated batch-side, how two independently-built register
     tables union (test_hll_sketch_merges), and exactly what the streaming
     twin maintains as complete-mode state (<= groups x _HLL_M rows
     regardless of stream length)."""
-    return hashed.groupBy("o_orderpriority", "bucket").agg(
+    return hashed.groupBy(*group_cols, "bucket").agg(
         F.max("r").alias("r")
     )
 
 
-def hll_grid_fill(regs: DataFrame, groups: DataFrame) -> DataFrame:
+def hll_grid_fill(
+    regs: DataFrame,
+    groups: DataFrame,
+    group_cols: tuple[str, ...] = ("o_orderpriority",),
+) -> DataFrame:
     """Materialize empty registers as 0 against the all-buckets broadcast
     grid so the indicator sum sees all _HLL_M cells per group."""
     spark = regs.sparkSession
     grid = groups.crossJoin(
         F.broadcast(spark.range(_HLL_M).select(F.col("id").alias("bucket")))
     )
-    return grid.join(regs, ["o_orderpriority", "bucket"], "left").select(
-        "o_orderpriority",
+    return grid.join(regs, [*group_cols, "bucket"], "left").select(
+        *group_cols,
         "bucket",
         F.coalesce("r", F.lit(0)).cast("long").alias("register"),
     )
@@ -2004,13 +2016,21 @@ def hll_registers(hashed: DataFrame, groups: DataFrame) -> DataFrame:
     return hll_grid_fill(hll_fold(hashed), groups)
 
 
-def hll_score(spark: SparkSession, sf_dir: str, regs: DataFrame) -> DataFrame:
+def hll_score(
+    spark: SparkSession,
+    sf_dir: str,
+    regs: DataFrame,
+    group_cols: tuple[str, ...] = ("o_orderpriority",),
+    exact: DataFrame | None = None,
+) -> DataFrame:
     """Estimate + exact-distinct error surface against a GIVEN register
     relation (the cms_score / quantile_score idiom: one definition both a
     future streaming twin and the batch query share). Fixed-point
     indicator sum (BIGINT, exact); ONE float division at the end with the
-    multiplication order pinned to the oracle's."""
-    sk = regs.groupBy("o_orderpriority").agg(
+    multiplication order pinned to the oracle's. ``exact`` overrides the
+    default orders-table exact arm with any (group_cols..., n) relation
+    (r11: the windowed twin's per-window countDistinct)."""
+    sk = regs.groupBy(*group_cols).agg(
         F.sum(
             F.expr(
                 f"CASE WHEN register > {_HLL_SHIFT} THEN CAST(0 AS BIGINT) "
@@ -2022,17 +2042,18 @@ def hll_score(spark: SparkSession, sf_dir: str, regs: DataFrame) -> DataFrame:
         .cast("long")
         .alias("zero_regs"),
     )
-    exact = _hll_orders(spark, sf_dir).groupBy("o_orderpriority").agg(
-        F.countDistinct("o_orderkey").alias("n")
-    )
+    if exact is None:
+        exact = _hll_orders(spark, sf_dir).groupBy("o_orderpriority").agg(
+            F.countDistinct("o_orderkey").alias("n")
+        )
     est_raw = (
         F.lit(_HLL_ALPHA)
         * F.lit(float(_HLL_M * _HLL_M))
         * F.lit(float(2 ** _HLL_SHIFT))
         / F.col("s").cast("double")
     )
-    return sk.join(exact, "o_orderpriority").select(
-        "o_orderpriority",
+    return sk.join(exact, list(group_cols)).select(
+        *group_cols,
         F.col("n").cast("long").alias("exact_n"),
         F.round(est_raw, 4).alias("est"),
         F.col("zero_regs").cast("long").alias("zero_regs"),
