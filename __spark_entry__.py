@@ -261,6 +261,15 @@ ROTATION_PRIORITY = [
     "sketch_quantile_values",
     "stream_quantile_values",
     "stream_pretrain_gate",
+    # r11-new registrations (r10 VERDICT tasks 1/4/5/8): the streaming
+    # Bloom probe (completes sketch batch+stream symmetry), at-ingest BPE
+    # tokenization, the self-contained two-phase quantile twin, windowed
+    # HLL. sketch_bloom_decontaminate re-enters via FORCE_RECHECK (oracle
+    # text change), not here.
+    "stream_bloom_decontaminate",
+    "stream_bpe_tokenize",
+    "stream_quantile_twophase",
+    "stream_hll_windowed",
 ]
 
 

@@ -130,6 +130,12 @@ HEADLINE = [
     "sketch_hll_distinct",
     "stream_hll_distinct",
     "sketch_bloom_decontaminate",
+    # r11-new rows: the four streaming twins closing sketch/tokenizer
+    # batch+stream symmetry.
+    "stream_bloom_decontaminate",
+    "stream_bpe_tokenize",
+    "stream_quantile_twophase",
+    "stream_hll_windowed",
 ]
 
 
@@ -195,6 +201,37 @@ def _calibration(spark) -> dict[str, float]:
     }
 
 
+def emit_line(timings: dict[str, float], sf, calibration: dict) -> str:
+    """The ONE output line. r11 (r10 VERDICT task 3): the driver's capture
+    keeps only the TAIL (~3.5 KB observed) — r09 moved the totals after
+    the map so they survive, but r10 still lost the first ~16 per-query
+    times. Three shrink/ordering moves keep the whole line inside the
+    window: compact JSON separators, 2-decimal per-query times, and the
+    map emitted in REVERSE driver-window order (_ordered_names), so if a
+    shorter capture ever truncates the head again it drops the
+    most-recently-re-verified, most history-redundant entries first while
+    the newest rows sit nearest the kept tail.
+    tests/test_bench_contract.py pins the worst-case emitted length."""
+    from __spark_entry__ import _ordered_names
+
+    pos = {n: i for i, n in enumerate(reversed(_ordered_names()))}
+    ordered = dict(
+        sorted(timings.items(), key=lambda kv: pos.get(kv[0], -1))
+    )
+    total = round(sum(timings.values()), 3)
+    return json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "queries": ordered,
+            "sf": sf,
+            "unit": "sec",
+            "value": total,
+            "calibration": calibration,
+        },
+        separators=(",", ":"),
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -230,24 +267,17 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
-        timings[name] = round(min(samples), 3)
+        timings[name] = round(min(samples), 2)
 
-    total = round(sum(timings.values()), 3)
     # Field order matters (r09 VERDICT task 3): the driver's capture keeps
-    # the TAIL of the line, and BENCH_r09's head (metric/value) was lost
-    # once `queries` outgrew the buffer — so the totals and calibration go
-    # AFTER the per-query map, where a tail-truncated capture preserves
-    # them. Still exactly ONE JSON line.
+    # the TAIL of the line, so totals and calibration go AFTER the
+    # per-query map. Still exactly ONE JSON line; emit_line documents the
+    # r11 shrink/ordering moves.
     print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "unit": "sec",
-                "value": total,
-                "calibration": _calibration(spark),
-            }
+        emit_line(
+            timings,
+            float(sf) if sf.replace(".", "").isdigit() else sf,
+            _calibration(spark),
         )
     )
     spark.stop()

@@ -2071,3 +2071,30 @@ def test_bloom_pos_col_matches_row_form(spark):
     for g in grams:
         expect = sorted(cols[(g, j)] for j in range(_BLOOM_K))
         assert sorted(got[g]) == expect, g
+
+
+def test_bench_line_fits_driver_capture():
+    """emit_line's worst case (every HEADLINE query at a 4-digit time,
+    full calibration block) must stay comfortably inside the driver's
+    observed ~3.5 KB tail capture — BENCH_r10 lost 16 per-query times to
+    this (r10 VERDICT task 3), so the length is now a pinned contract."""
+    import bench
+
+    worst = {n: 9999.99 for n in bench.HEADLINE}
+    line = bench.emit_line(
+        worst, 0.1,
+        {"jvm_agg_sec": 999.999, "jvm_agg32_sec": 999.999,
+         "python_hash_sec": 999.999},
+    )
+    assert "\n" not in line
+    assert len(line) <= 3300, len(line)
+    import json
+
+    parsed = json.loads(line)
+    assert set(parsed["queries"]) == set(bench.HEADLINE)
+    assert parsed["value"] == round(sum(worst.values()), 3)
+    # newest rows must sit nearest the kept tail (after every CORE pin)
+    keys = list(parsed["queries"])
+    assert keys.index("stream_hll_windowed") < keys.index(
+        "flagship_sliding_alert"
+    )
