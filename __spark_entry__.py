@@ -270,6 +270,11 @@ ROTATION_PRIORITY = [
     "stream_bpe_tokenize",
     "stream_quantile_twophase",
     "stream_hll_windowed",
+    # r11 beyond-the-directives rows: at-ingest MinHash near-dup text
+    # probe (within-row signatures, eighth unhinted builder), windowed
+    # count-min heavy hitters (the frequency companion to windowed HLL).
+    "stream_minhash_probe",
+    "stream_countmin_windowed",
 ]
 
 

@@ -131,11 +131,14 @@ HEADLINE = [
     "stream_hll_distinct",
     "sketch_bloom_decontaminate",
     # r11-new rows: the four streaming twins closing sketch/tokenizer
-    # batch+stream symmetry.
+    # batch+stream symmetry, plus the at-ingest MinHash probe and the
+    # windowed count-min dashboard.
     "stream_bloom_decontaminate",
     "stream_bpe_tokenize",
     "stream_quantile_twophase",
     "stream_hll_windowed",
+    "stream_minhash_probe",
+    "stream_countmin_windowed",
 ]
 
 

@@ -136,6 +136,35 @@ def minhash_signatures(
     return with_h.groupBy(id_col).agg(*aggs)
 
 
+def lsh_band_values(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band_id, band_val): the banded-signature relation — factored
+    out of lsh_candidate_pairs (r11) so at-ingest probes can equi-join a
+    band-value CATALOG directly instead of self-joining. band_val =
+    md5('|'-joined band of signature components); the stack melt stays in
+    codegen."""
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[F.col(f"sig_{b * rows_per_band + r}")
+                  for r in range(rows_per_band)],
+            )
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    stack_expr = ", ".join(f"{b}, band_{b}" for b in range(bands))
+    return banded.selectExpr(
+        id_col, f"stack({bands}, {stack_expr}) AS (band_id, band_val)"
+    )
+
+
 def lsh_candidate_pairs(
     sig: DataFrame,
     id_col: str = "doc_id",
@@ -157,21 +186,7 @@ def lsh_candidate_pairs(
     parity for the registered queries; set it (e.g. 1000) on real corpora.
     The same guard applies conceptually to the simhash chunk buckets and
     hyperplane code buckets."""
-    rows_per_band = num_hashes // bands
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|", *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
-            )
-        ).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select(F.col(id_col), *band_cols)
-    # melt to (id, band_id, band_val): stack stays in codegen
-    stack_expr = ", ".join(f"{b}, band_{b}" for b in range(bands))
-    melted = banded.selectExpr(
-        id_col, f"stack({bands}, {stack_expr}) AS (band_id, band_val)"
-    )
+    melted = lsh_band_values(sig, id_col, num_hashes, bands)
     # Materialize the banded signatures ONCE: the self-join otherwise
     # recomputes the whole shingle->md5->min-agg pipeline per side. At
     # cluster scale this is the "write the signature table" step; locally

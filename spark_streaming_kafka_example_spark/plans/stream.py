@@ -2182,3 +2182,279 @@ def stream_hll_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=_HLL_WIN_GCOLS,
         exact=exact,
     )
+
+
+# ---------------------------------------------------------------------------
+# At-ingest MinHash near-dup probe (r11): the TEXT near-dup member of the
+# at-ingest probe matrix — stream_image_phash/audio/video probe media
+# fingerprints, stream_dedup_fingerprint probes EXACT text fingerprints;
+# this probes NEAR-dup text the production way: MinHash + LSH bands. The
+# stream arm is completely stateless because the per-doc signature is
+# computed WITHIN THE ROW — sig_j = array_min over the doc's shingle-hash
+# array of the affine permutation (a_j*h + b_j) % P, the same constants
+# operators/dedup.minhash_signatures min-aggregates (min over a set is
+# min over its array) — so no streaming groupBy is needed; the 5 band
+# values are md5s of signature slices (identical to lsh_band_values') and
+# stack-explode to (band_id, band_val) rows that equi-join the STORE's
+# banded catalog. The catalog is corpus-proportional: checkpoint-
+# materialized, UNHINTED (the r08 rule; eighth builder in
+# test_stream_static_joins_unhinted_equi). Arriving = odd docs + tail-
+# truncated (4/5) copies of every 10th doc under +400000 — the planted
+# near-dups land at Jaccard ~0.75 where 5x3 banding recalls ~95%. Hits
+# drain append-mode; the per-doc candidate count collapses batch-side.
+# ---------------------------------------------------------------------------
+
+from .llm import (  # noqa: E402
+    _BANDS as _MH_BANDS,
+    _BASE_H as _MH_BASE_H,
+    _NUM_HASHES as _MH_NUM_HASHES,
+    _SIG_MINS as _MH_SIG_MINS,
+    _BAND_SELECTS as _MH_BAND_SELECTS,
+    SHINGLES_CTE as _MH_SHINGLES_CTE,
+)
+from ..operators import dedup as _DD  # noqa: E402
+
+STREAM_MINHASH_PROBE_ORACLE = f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 400000 AS doc_id,
+               substring(text, 1, CAST(floor(4*length(text)/5.0) AS INT))
+                   AS text
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    {_MH_SHINGLES_CTE.strip()},
+    hashed AS (SELECT doc_id, {_MH_BASE_H} AS h FROM sh),
+    sig AS (
+        SELECT doc_id,
+           {_MH_SIG_MINS}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+    {_MH_BAND_SELECTS}
+    ),
+    hits AS (
+        SELECT DISTINCT a.doc_id, s.doc_id AS store_id
+        FROM bands a JOIN bands s
+          ON a.band_id = s.band_id AND a.band_val = s.band_val
+        WHERE (a.doc_id % 2 = 1 OR a.doc_id >= 400000)
+          AND s.doc_id % 2 = 0 AND s.doc_id < 400000
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_store_candidates
+    FROM hits GROUP BY doc_id
+    """
+
+
+def stream_minhash_probe_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-drain streaming plan (within-row signature -> band explode ->
+    unhinted catalog equi-join), exposed for the hint-free plan test."""
+    from ..functions.text import shingles_from_words
+    from ..operators.dedup import MINHASH_PRIME, _minhash_a, _minhash_b
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store_sig = _DD.minhash_signatures(
+        _DD.doc_shingles(docs.filter(F.col("doc_id") % 2 == 0),
+                         distinct=False),
+        num_hashes=_MH_NUM_HASHES,
+    )
+    catalog = (
+        _DD.lsh_band_values(
+            store_sig, num_hashes=_MH_NUM_HASHES, bands=_MH_BANDS
+        )
+        .withColumnRenamed("doc_id", "store_id")
+        .localCheckpoint()
+    )
+
+    ds = documents_stream(spark, sf_dir).select("doc_id", "text")
+    plants = ds.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, CAST(floor(4*length(text)/5.0) AS INT))"
+        ).alias("text"),
+    )
+    arriving = ds.filter(F.col("doc_id") % 2 == 1).unionByName(plants)
+    hashed = (
+        arriving.select("doc_id", F.split("text", " ").alias("_w"))
+        .select("doc_id", shingles_from_words("_w", 3).alias("_sh"))
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(_sh, g -> CAST(conv(substring(md5(g), 1, 8),"
+                " 16, 10) AS BIGINT))"
+            ).alias("_hs"),
+        )
+    )
+    # Within-row signature: array_min over the shingle-hash array of the
+    # SAME affine family minhash_signatures min-aggregates — a pure
+    # projection, so the arriving side never shuffles or holds state.
+    sig_cols = [
+        F.expr(
+            f"array_min(transform(_hs, h -> ({_minhash_a(j)} * h"
+            f" + {_minhash_b(j)}) % {MINHASH_PRIME}))"
+        ).alias(f"sig_{j}")
+        for j in range(_MH_NUM_HASHES)
+    ]
+    probe_bands = _DD.lsh_band_values(
+        hashed.select("doc_id", *sig_cols),
+        num_hashes=_MH_NUM_HASHES,
+        bands=_MH_BANDS,
+    )
+    return probe_bands.join(catalog, ["band_id", "band_val"]).select(
+        "doc_id", "store_id"
+    )
+
+
+@register("stream_minhash_probe", STREAM_MINHASH_PROBE_ORACLE)
+def stream_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per arriving doc with >= 1 LSH band hit against the ingested-store
+    catalog: the number of DISTINCT store docs it banded with — the
+    candidate set a production gate would verify (or drop on, at the
+    recall/precision point the band geometry sets). Collapse runs
+    batch-side on the bounded drain (a doc's band hits need no order)."""
+    drained = run_to_table(
+        spark, stream_minhash_probe_plan(spark, sf_dir), "append"
+    )
+    return drained.groupBy("doc_id").agg(
+        F.countDistinct("store_id").cast("long").alias("n_store_candidates")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed streaming count-min (r11): heavy hitters PER TIME WINDOW — the
+# frequency companion to stream_hll_windowed's windowed distinct count,
+# completing the sketches-over-windows surface (count-min x windows,
+# HLL x windows). ONE streaming query folds the d x w cell table keyed by
+# (tumbling 1h window, j, bucket): complete-mode state is windows x 1024
+# cells on the bounded drain, watermark-expired to ACTIVE windows x 1024
+# in append-mode deployments. Scoring (exact per-window top-5 via a
+# deterministic row_number tie-break, min-cell estimates, overcount >= 0
+# one-sided error) runs batch-side on the drained cells. Unlike the
+# global twin, the drained cell relation GROWS with retained windows —
+# so the scoring join is UNHINTED (the FIXED-K rule: only constant-
+# bounded sides get a broadcast hint; cms_score's 1024-cell broadcast is
+# correct there, wrong here).
+# ---------------------------------------------------------------------------
+
+from .windows_stats import (  # noqa: E402
+    _CMS_D,
+    _cms_bucket_col,
+    _cms_bucket_sql,
+    _cms_js,
+)
+
+_CMS_WIN_TOPN = 5
+
+CMS_WINDOWED_ORACLE = f"""
+    WITH ev AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+                   AS window_end,
+               user_id
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    js AS (SELECT unnest(range(0, {_CMS_D})) AS j),
+    cells AS (
+        SELECT window_start, window_end, j,
+               {_cms_bucket_sql('user_id', 'j')} AS bucket,
+               count(*) AS c
+        FROM ev CROSS JOIN js
+        GROUP BY 1, 2, 3, 4
+    ),
+    exact AS (SELECT window_start, window_end, user_id, count(*) AS n
+              FROM ev GROUP BY 1, 2, 3),
+    top AS (
+        SELECT window_start, window_end, user_id, n FROM (
+            SELECT *, row_number() OVER (PARTITION BY window_start
+                          ORDER BY n DESC, user_id) AS rk
+            FROM exact
+        ) WHERE rk <= {_CMS_WIN_TOPN}
+    ),
+    cand AS (
+        SELECT window_start, window_end, user_id, n, j,
+               {_cms_bucket_sql('user_id', 'j')} AS bucket
+        FROM top CROSS JOIN js
+    ),
+    scored AS (
+        SELECT cand.window_start, cand.window_end, cand.user_id, cand.n,
+               min(cells.c) AS est_n
+        FROM cand JOIN cells
+          ON cells.window_start = cand.window_start
+         AND cells.window_end = cand.window_end
+         AND cells.j = cand.j AND cells.bucket = cand.bucket
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT window_start, window_end, user_id,
+           CAST(n AS BIGINT) AS exact_n,
+           CAST(est_n AS BIGINT) AS est_n,
+           CAST(est_n - n AS BIGINT) AS overcount
+    FROM scored
+    """
+
+_CMS_WIN_GCOLS = ("window_start", "window_end")
+
+
+@register("stream_countmin_windowed", CMS_WINDOWED_ORACLE)
+def stream_countmin_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select("ts", "user_id")
+    )
+    folded = (
+        ev.select("ts", "user_id", _cms_js())
+        .select(
+            "ts", "j",
+            _cms_bucket_col(F.col("user_id"), F.col("j")).alias("bucket"),
+        )
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "j", "bucket", "c",
+        )
+    )
+    cells = run_to_table(spark, folded, "complete")
+    ev_b = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(F.window("ts", "1 hour").alias("window"), "user_id")
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "user_id",
+        )
+    )
+    exact = ev_b.groupBy(*_CMS_WIN_GCOLS, "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    top = (
+        exact.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("window_start")
+                .orderBy(F.desc("n"), F.asc("user_id"))
+            ),
+        )
+        .filter(F.col("rk") <= _CMS_WIN_TOPN)
+        .drop("rk")
+    )
+    cand = top.select(*_CMS_WIN_GCOLS, "user_id", "n", _cms_js()).select(
+        *_CMS_WIN_GCOLS, "user_id", "n", "j",
+        _cms_bucket_col(F.col("user_id"), F.col("j")).alias("bucket"),
+    )
+    # UNHINTED: the drained cells grow with retained windows (never
+    # constant-bounded), so the planner chooses from the memory table's
+    # true stats — the stream-static-side rule applied batch-side.
+    scored = cand.join(cells, [*_CMS_WIN_GCOLS, "j", "bucket"]).groupBy(
+        *_CMS_WIN_GCOLS, "user_id", "n"
+    ).agg(F.min("c").alias("est_n"))
+    return scored.select(
+        *_CMS_WIN_GCOLS, "user_id",
+        F.col("n").cast("long").alias("exact_n"),
+        F.col("est_n").cast("long").alias("est_n"),
+        (F.col("est_n") - F.col("n")).cast("long").alias("overcount"),
+    )
