@@ -275,6 +275,7 @@ ROTATION_PRIORITY = [
     # count-min heavy hitters (the frequency companion to windowed HLL).
     "stream_minhash_probe",
     "stream_countmin_windowed",
+    "stream_hll_sliding",
 ]
 
 

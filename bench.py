@@ -139,6 +139,7 @@ HEADLINE = [
     "stream_hll_windowed",
     "stream_minhash_probe",
     "stream_countmin_windowed",
+    "stream_hll_sliding",
 ]
 
 

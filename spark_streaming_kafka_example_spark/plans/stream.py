@@ -2458,3 +2458,121 @@ def stream_countmin_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_n").cast("long").alias("est_n"),
         (F.col("est_n") - F.col("n")).cast("long").alias("overcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window streaming HLL (r11): distinct users over a TRAILING 3-hour
+# window sliding hourly — the "unique visitors, last 3 hours, refreshed
+# hourly" dashboard. Composes the two machineries this repo already pins:
+# sliding windows (every event lands in 3 hourly-spaced panes, the a3
+# replay) and the HLL register fold (MAX-merge, 256 registers). State =
+# panes x 256 rows in complete mode on the bounded drain — 3x the tumbling
+# twin's per-window cost, watermark-expired to ACTIVE panes in append
+# deployments. Exercises the generalized helpers under a second group
+# shape (gcols = window bounds only, no event_type) so the
+# parametrization is proven on more than one caller.
+# ---------------------------------------------------------------------------
+
+HLL_SLIDING_ORACLE = f"""
+    WITH ev0 AS (SELECT ts, user_id FROM events WHERE user_id IS NOT NULL),
+    ev AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) - i.i * INTERVAL '1 hour'
+                   AS window_start,
+               time_bucket(INTERVAL '1 hour', ts) - i.i * INTERVAL '1 hour'
+                   + INTERVAL '3 hours' AS window_end,
+               user_id
+        FROM ev0, range(3) i(i)
+    ),
+    hashed AS (
+        SELECT window_start, window_end,
+               (strpos('{_HLL_NIBS}', substring({_HLL_EV_H_SQL}, 1, 1)) - 1) * 16
+                 + (strpos('{_HLL_NIBS}', substring({_HLL_EV_H_SQL}, 2, 1)) - 1)
+                 AS bucket,
+               CAST(61 - length(trim(LEADING '0'
+                                     FROM bin({_hll_w_sql(_HLL_EV_H_SQL)})))
+                    AS BIGINT) AS r
+        FROM ev
+    ),
+    regs AS (SELECT window_start, window_end, bucket, max(r) AS r
+             FROM hashed GROUP BY 1, 2, 3),
+    grid AS (SELECT window_start, window_end, b.range AS bucket
+             FROM (SELECT DISTINCT window_start, window_end FROM ev)
+             CROSS JOIN range({_HLL_M}) b),
+    full_regs AS (
+        SELECT grid.window_start, grid.window_end, grid.bucket,
+               coalesce(regs.r, 0) AS register
+        FROM grid LEFT JOIN regs
+          ON regs.window_start = grid.window_start
+         AND regs.window_end = grid.window_end
+         AND regs.bucket = grid.bucket
+    ),
+    sk AS (
+        SELECT window_start, window_end,
+               sum(CASE WHEN register > {_HLL_SHIFT} THEN 0
+                        ELSE (1::BIGINT << ({_HLL_SHIFT} - register)) END)
+                   AS s,
+               sum(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS zero_regs
+        FROM full_regs GROUP BY 1, 2
+    ),
+    exact AS (SELECT window_start, window_end,
+                     count(DISTINCT user_id) AS n
+              FROM ev GROUP BY 1, 2),
+    est AS (
+        SELECT sk.window_start, sk.window_end,
+               CAST(exact.n AS BIGINT) AS exact_n,
+               {_HLL_ALPHA}::DOUBLE * {float(_HLL_M * _HLL_M)}::DOUBLE
+                 * {float(2 ** _HLL_SHIFT)}::DOUBLE / CAST(sk.s AS DOUBLE)
+                 AS est_raw,
+               CAST(sk.zero_regs AS BIGINT) AS zero_regs
+        FROM sk JOIN exact
+          USING (window_start, window_end)
+    )
+    SELECT window_start, window_end, exact_n,
+           round(est_raw, 4) AS est, zero_regs,
+           round((est_raw - exact_n) * 100.0 / exact_n, 4) + 0 AS err_pct
+    FROM est
+    """
+
+_HLL_SLIDE_GCOLS = ("window_start", "window_end")
+
+
+@register("stream_hll_sliding", HLL_SLIDING_ORACLE)
+def stream_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select("ts", "user_id")
+    )
+    folded = (
+        hll_hashed(ev, key="user_id", group_cols=("ts",))
+        .withWatermark("ts", "4 hours")
+        .groupBy(F.window("ts", "3 hours", "1 hour"), "bucket")
+        .agg(F.max("r").alias("r"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "bucket", "r",
+        )
+    )
+    regs_drained = run_to_table(spark, folded, "complete")
+    ev_b = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(F.window("ts", "3 hours", "1 hour").alias("window"),
+                "user_id")
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "user_id",
+        )
+    )
+    groups = ev_b.select(*_HLL_SLIDE_GCOLS).distinct()
+    exact = ev_b.groupBy(*_HLL_SLIDE_GCOLS).agg(
+        F.countDistinct("user_id").alias("n")
+    )
+    return hll_score(
+        spark, sf_dir,
+        hll_grid_fill(regs_drained, groups, group_cols=_HLL_SLIDE_GCOLS),
+        group_cols=_HLL_SLIDE_GCOLS,
+        exact=exact,
+    )

@@ -2098,3 +2098,60 @@ def test_bench_line_fits_driver_capture():
     assert keys.index("stream_hll_windowed") < keys.index(
         "flagship_sliding_alert"
     )
+
+
+def test_minhash_within_row_sigs_match_groupby(spark):
+    """The streaming probe's WITHIN-ROW signature (array_min over the
+    shingle-hash array) must equal minhash_signatures' groupBy min-agg on
+    the same docs for every component — one affine family, two
+    evaluation shapes (min over a set = min over its array)."""
+    from spark_streaming_kafka_example_spark.functions.text import (
+        shingles_from_words,
+    )
+    from spark_streaming_kafka_example_spark.operators.dedup import (
+        MINHASH_PRIME,
+        _minhash_a,
+        _minhash_b,
+        doc_shingles,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs today"),
+            (3, "the quick brown fox jumps over the lazy cat"),
+        ],
+        "doc_id long, text string",
+    )
+    n = 15
+    batch = {
+        r["doc_id"]: [r[f"sig_{j}"] for j in range(n)]
+        for r in minhash_signatures(
+            doc_shingles(docs, distinct=False), num_hashes=n
+        ).collect()
+    }
+    within = {
+        r["doc_id"]: [r[f"sig_{j}"] for j in range(n)]
+        for r in docs.select("doc_id", F.split("text", " ").alias("_w"))
+        .select("doc_id", shingles_from_words("_w", 3).alias("_sh"))
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(_sh, g -> CAST(conv(substring(md5(g), 1, 8),"
+                " 16, 10) AS BIGINT))"
+            ).alias("_hs"),
+        )
+        .select(
+            "doc_id",
+            *[
+                F.expr(
+                    f"array_min(transform(_hs, h -> ({_minhash_a(j)} * h"
+                    f" + {_minhash_b(j)}) % {MINHASH_PRIME}))"
+                ).alias(f"sig_{j}")
+                for j in range(n)
+            ],
+        )
+        .collect()
+    }
+    assert batch == within
