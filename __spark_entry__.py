@@ -276,6 +276,7 @@ ROTATION_PRIORITY = [
     "stream_minhash_probe",
     "stream_countmin_windowed",
     "stream_hll_sliding",
+    "layout_bloom_prefilter",
 ]
 
 

@@ -140,6 +140,7 @@ HEADLINE = [
     "stream_minhash_probe",
     "stream_countmin_windowed",
     "stream_hll_sliding",
+    "layout_bloom_prefilter",
 ]
 
 

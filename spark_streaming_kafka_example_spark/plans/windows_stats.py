@@ -2075,3 +2075,90 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ord_df = _hll_orders(spark, sf_dir)
     regs = hll_registers(hll_hashed(ord_df), ord_df.select("o_orderpriority").distinct())
     return hll_score(spark, sf_dir, regs)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-pruned join (r11): the layout family's third technique after
+# z-order and bucketing — RUNTIME-FILTER join pruning, hand-rolled with
+# the deterministic Bloom machinery. The selective dimension side's join
+# keys build a self-sizing Bloom filter (textprep.bloom_m/bloom_bits:
+# constant-capped at 2^22 bits); the FACT scan probes it with _BLOOM_K
+# chained broadcast equi-joins (bloom_pos_col's column form) BEFORE the
+# join — so at 100 TB only the ~|dim-selectivity| fraction of fact rows
+# (plus a few % false positives) ever reaches the join exchange, the
+# pattern Spark's native AQE runtime bloom filter
+# (spark.sql.optimizer.runtimeFilter.bloomFilter.enabled) automates.
+# Correctness is FREE: the filter is one-sided (never drops a true key)
+# and the exact join afterwards kills the false positives, so the result
+# equals the plain join — which is exactly what the oracle runs, with no
+# bloom at all: the sketch layer is a pure plan technique, invisible to
+# values. The final join stays UNHINTED: the prune pays off precisely
+# when the dim is too big to broadcast and the planner must shuffle.
+# ---------------------------------------------------------------------------
+
+_BLOOM_JOIN_MIN_PRICE = 470000.0  # ~6% of orders at every testdata sf
+
+
+@register(
+    "layout_bloom_prefilter",
+    f"""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > {_BLOOM_JOIN_MIN_PRICE}
+    GROUP BY o_orderpriority
+    """,
+)
+def layout_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of lineitems belonging to high-value orders, computed
+    through a Bloom-pruned join: bits built from the selected orders'
+    keys, fact rows pre-screened by k chained broadcast probes, exact
+    join + aggregation after. Plan pinned by
+    test_bloom_prefilter_probe_broadcast (k probe BroadcastHashJoins, no
+    cartesian, partial aggregation)."""
+    from .textprep import _BLOOM_K, bloom_bits, bloom_m, bloom_pos_col
+
+    orders_sel = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > _BLOOM_JOIN_MIN_PRICE)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    # The bloom machinery is keyed on a 'gram' string column (its textprep
+    # origin); integer keys enter as their canonical decimal rendering —
+    # build and probe use the SAME cast, which is all one-sidedness needs.
+    keys = (
+        orders_sel.select(F.col("o_orderkey").cast("string").alias("gram"))
+        .distinct()
+        .localCheckpoint()
+    )
+    mrel = bloom_m(keys).localCheckpoint()
+    bits = bloom_bits(keys, mrel).localCheckpoint()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    pruned = li.join(F.broadcast(mrel)).select(
+        "l_orderkey", "l_extendedprice", "l_discount",
+        *[
+            bloom_pos_col(F.col("l_orderkey").cast("string"), F.col("m"), j)
+            for j in range(_BLOOM_K)
+        ],
+    )
+    for j in range(_BLOOM_K):
+        bj = bits.withColumnRenamed("pos", f"bpos{j}")
+        pruned = pruned.join(
+            F.broadcast(bj), F.col(f"pos{j}") == F.col(f"bpos{j}")
+        ).drop(f"bpos{j}", f"pos{j}")
+    # Exact join (unhinted) eliminates the Bloom's false positives; the
+    # aggregation partial-combines map-side as usual.
+    return (
+        pruned.join(
+            orders_sel, pruned["l_orderkey"] == orders_sel["o_orderkey"]
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )

@@ -885,3 +885,18 @@ def test_stream_bpe_tokenize_mapside(spark, sf_dir):
     assert "Join" not in physical, physical
     assert "Exchange" not in physical, physical
     assert "Aggregate" not in physical, physical
+
+
+def test_bloom_prefilter_probe_broadcast(plan_of):
+    """Bloom-pruned join (r11): the fact scan must be pre-screened by
+    exactly _BLOOM_K broadcast probe joins before the exact join — the
+    runtime-filter shape — with no cartesian anywhere and the final
+    aggregation partial-combining map-side."""
+    from spark_streaming_kafka_example_spark.plans.textprep import _BLOOM_K
+
+    plan = plan_of("layout_bloom_prefilter")
+    # k probe joins + (locally) a broadcast final join; formatted mode
+    # prints each node twice (tree + detail)
+    assert plan.count("BroadcastHashJoin") >= 2 * _BLOOM_K
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
