@@ -216,7 +216,8 @@ def emit_line(timings: dict[str, float], sf, calibration: dict) -> str:
     shorter capture ever truncates the head again it drops the
     most-recently-re-verified, most history-redundant entries first while
     the newest rows sit nearest the kept tail.
-    tests/test_bench_contract.py pins the worst-case emitted length."""
+    tests/test_operators.py::test_bench_line_fits_driver_capture pins the
+    worst-case emitted length."""
     from __spark_entry__ import _ordered_names
 
     pos = {n: i for i, n in enumerate(reversed(_ordered_names()))}

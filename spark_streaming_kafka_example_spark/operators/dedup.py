@@ -136,6 +136,30 @@ def minhash_signatures(
     return with_h.groupBy(id_col).agg(*aggs)
 
 
+#: shingle-hash array from a `_sh` string-array column — the within-row
+#: twin of minhash_signatures' md5 base hash (same 8-hex-digit uint32).
+MINHASH_HASH_ARRAY_SQL = (
+    "transform(_sh, g -> CAST(conv(substring(md5(g), 1, 8), 16, 10)"
+    " AS BIGINT))"
+)
+
+
+def minhash_sig_cols_within_row(num_hashes: int = 16) -> list:
+    """sig_0..sig_{n-1} as WITHIN-ROW columns over a `_hs` shingle-hash
+    array: array_min of the same affine permutations minhash_signatures
+    min-aggregates (min over a set = min over its array). The single
+    definition the streaming probe plan and its parity test share (r11
+    review: a test validating its own inline copy would miss drift in the
+    production expression)."""
+    return [
+        F.expr(
+            f"array_min(transform(_hs, h -> ({_minhash_a(j)} * h"
+            f" + {_minhash_b(j)}) % {MINHASH_PRIME}))"
+        ).alias(f"sig_{j}")
+        for j in range(num_hashes)
+    ]
+
+
 def lsh_band_values(
     sig: DataFrame,
     id_col: str = "doc_id",

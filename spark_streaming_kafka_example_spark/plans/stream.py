@@ -2079,16 +2079,27 @@ from .windows_stats import (  # noqa: E402
 
 _HLL_EV_H_SQL = "md5('hll:' || CAST(user_id AS VARCHAR))"
 
-HLL_WINDOWED_ORACLE = f"""
-    WITH ev AS (
-        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
-               time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
-                   AS window_end,
-               event_type, user_id
-        FROM events WHERE user_id IS NOT NULL
-    ),
+def _hll_window_oracle(ev_cte: str, gcols: tuple) -> str:
+    """ONE oracle generator for the windowed/sliding HLL twins (r11
+    review: the register-sum and estimate SQL were restated per variant
+    and could drift). ``ev_cte`` must end by defining ev(gcols...,
+    user_id); the chain replays windows_stats.HLL_SKETCH_ORACLE's
+    hashed -> regs -> grid -> full_regs -> sk -> exact -> est stages
+    keyed by ``gcols`` — the register-rank derivation, fixed-point
+    indicator sum, and pinned est_raw op order MUST stay textually in
+    sync with that batch oracle (its text is driver-green and cannot
+    change without a FORCE_RECHECK slot, so it stays the canonical
+    copy)."""
+    g = ", ".join(gcols)
+    grid_g = ", ".join(f"grid.{c}" for c in gcols)
+    sk_g = ", ".join(f"sk.{c}" for c in gcols)
+    on_eq = "\n         AND ".join(f"regs.{c} = grid.{c}" for c in gcols)
+    nums = ", ".join(str(i + 1) for i in range(len(gcols)))
+    nums_b = ", ".join(str(i + 1) for i in range(len(gcols) + 1))
+    return f"""
+    WITH {ev_cte.strip()},
     hashed AS (
-        SELECT window_start, window_end, event_type,
+        SELECT {g},
                (strpos('{_HLL_NIBS}', substring({_HLL_EV_H_SQL}, 1, 1)) - 1) * 16
                  + (strpos('{_HLL_NIBS}', substring({_HLL_EV_H_SQL}, 2, 1)) - 1)
                  AS bucket,
@@ -2097,47 +2108,55 @@ HLL_WINDOWED_ORACLE = f"""
                     AS BIGINT) AS r
         FROM ev
     ),
-    regs AS (SELECT window_start, window_end, event_type, bucket, max(r) AS r
-             FROM hashed GROUP BY 1, 2, 3, 4),
-    grid AS (SELECT window_start, window_end, event_type, b.range AS bucket
-             FROM (SELECT DISTINCT window_start, window_end, event_type
-                   FROM ev)
+    regs AS (SELECT {g}, bucket, max(r) AS r
+             FROM hashed GROUP BY {nums_b}),
+    grid AS (SELECT {g}, b.range AS bucket
+             FROM (SELECT DISTINCT {g} FROM ev)
              CROSS JOIN range({_HLL_M}) b),
     full_regs AS (
-        SELECT grid.window_start, grid.window_end, grid.event_type,
-               grid.bucket, coalesce(regs.r, 0) AS register
+        SELECT {grid_g}, grid.bucket,
+               coalesce(regs.r, 0) AS register
         FROM grid LEFT JOIN regs
-          ON regs.window_start = grid.window_start
-         AND regs.window_end = grid.window_end
-         AND regs.event_type = grid.event_type
+          ON {on_eq}
          AND regs.bucket = grid.bucket
     ),
     sk AS (
-        SELECT window_start, window_end, event_type,
+        SELECT {g},
                sum(CASE WHEN register > {_HLL_SHIFT} THEN 0
                         ELSE (1::BIGINT << ({_HLL_SHIFT} - register)) END)
                    AS s,
                sum(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS zero_regs
-        FROM full_regs GROUP BY 1, 2, 3
+        FROM full_regs GROUP BY {nums}
     ),
-    exact AS (SELECT window_start, window_end, event_type,
-                     count(DISTINCT user_id) AS n
-              FROM ev GROUP BY 1, 2, 3),
+    exact AS (SELECT {g}, count(DISTINCT user_id) AS n
+              FROM ev GROUP BY {nums}),
     est AS (
-        SELECT sk.window_start, sk.window_end, sk.event_type,
+        SELECT {sk_g},
                CAST(exact.n AS BIGINT) AS exact_n,
                {_HLL_ALPHA}::DOUBLE * {float(_HLL_M * _HLL_M)}::DOUBLE
                  * {float(2 ** _HLL_SHIFT)}::DOUBLE / CAST(sk.s AS DOUBLE)
                  AS est_raw,
                CAST(sk.zero_regs AS BIGINT) AS zero_regs
-        FROM sk JOIN exact
-          USING (window_start, window_end, event_type)
+        FROM sk JOIN exact USING ({g})
     )
-    SELECT window_start, window_end, event_type, exact_n,
+    SELECT {g}, exact_n,
            round(est_raw, 4) AS est, zero_regs,
            round((est_raw - exact_n) * 100.0 / exact_n, 4) + 0 AS err_pct
     FROM est
     """
+
+
+_HLL_WIN_EV_CTE = """ev AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+                   AS window_end,
+               event_type, user_id
+        FROM events WHERE user_id IS NOT NULL
+    )"""
+
+HLL_WINDOWED_ORACLE = _hll_window_oracle(
+    _HLL_WIN_EV_CTE, ("window_start", "window_end", "event_type")
+)
 
 _HLL_WIN_GCOLS = ("window_start", "window_end", "event_type")
 
@@ -2249,7 +2268,6 @@ def stream_minhash_probe_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-drain streaming plan (within-row signature -> band explode ->
     unhinted catalog equi-join), exposed for the hint-free plan test."""
     from ..functions.text import shingles_from_words
-    from ..operators.dedup import MINHASH_PRIME, _minhash_a, _minhash_b
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     store_sig = _DD.minhash_signatures(
@@ -2278,22 +2296,14 @@ def stream_minhash_probe_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", shingles_from_words("_w", 3).alias("_sh"))
         .select(
             "doc_id",
-            F.expr(
-                "transform(_sh, g -> CAST(conv(substring(md5(g), 1, 8),"
-                " 16, 10) AS BIGINT))"
-            ).alias("_hs"),
+            F.expr(_DD.MINHASH_HASH_ARRAY_SQL).alias("_hs"),
         )
     )
     # Within-row signature: array_min over the shingle-hash array of the
     # SAME affine family minhash_signatures min-aggregates — a pure
-    # projection, so the arriving side never shuffles or holds state.
-    sig_cols = [
-        F.expr(
-            f"array_min(transform(_hs, h -> ({_minhash_a(j)} * h"
-            f" + {_minhash_b(j)}) % {MINHASH_PRIME}))"
-        ).alias(f"sig_{j}")
-        for j in range(_MH_NUM_HASHES)
-    ]
+    # projection, so the arriving side never shuffles or holds state
+    # (single definition shared with the parity test).
+    sig_cols = _DD.minhash_sig_cols_within_row(_MH_NUM_HASHES)
     probe_bands = _DD.lsh_band_values(
         hashed.select("doc_id", *sig_cols),
         num_hashes=_MH_NUM_HASHES,
@@ -2473,8 +2483,8 @@ def stream_countmin_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # parametrization is proven on more than one caller.
 # ---------------------------------------------------------------------------
 
-HLL_SLIDING_ORACLE = f"""
-    WITH ev0 AS (SELECT ts, user_id FROM events WHERE user_id IS NOT NULL),
+_HLL_SLIDE_EV_CTE = """ev0 AS (SELECT ts, user_id FROM events
+            WHERE user_id IS NOT NULL),
     ev AS (
         SELECT time_bucket(INTERVAL '1 hour', ts) - i.i * INTERVAL '1 hour'
                    AS window_start,
@@ -2482,56 +2492,11 @@ HLL_SLIDING_ORACLE = f"""
                    + INTERVAL '3 hours' AS window_end,
                user_id
         FROM ev0, range(3) i(i)
-    ),
-    hashed AS (
-        SELECT window_start, window_end,
-               (strpos('{_HLL_NIBS}', substring({_HLL_EV_H_SQL}, 1, 1)) - 1) * 16
-                 + (strpos('{_HLL_NIBS}', substring({_HLL_EV_H_SQL}, 2, 1)) - 1)
-                 AS bucket,
-               CAST(61 - length(trim(LEADING '0'
-                                     FROM bin({_hll_w_sql(_HLL_EV_H_SQL)})))
-                    AS BIGINT) AS r
-        FROM ev
-    ),
-    regs AS (SELECT window_start, window_end, bucket, max(r) AS r
-             FROM hashed GROUP BY 1, 2, 3),
-    grid AS (SELECT window_start, window_end, b.range AS bucket
-             FROM (SELECT DISTINCT window_start, window_end FROM ev)
-             CROSS JOIN range({_HLL_M}) b),
-    full_regs AS (
-        SELECT grid.window_start, grid.window_end, grid.bucket,
-               coalesce(regs.r, 0) AS register
-        FROM grid LEFT JOIN regs
-          ON regs.window_start = grid.window_start
-         AND regs.window_end = grid.window_end
-         AND regs.bucket = grid.bucket
-    ),
-    sk AS (
-        SELECT window_start, window_end,
-               sum(CASE WHEN register > {_HLL_SHIFT} THEN 0
-                        ELSE (1::BIGINT << ({_HLL_SHIFT} - register)) END)
-                   AS s,
-               sum(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS zero_regs
-        FROM full_regs GROUP BY 1, 2
-    ),
-    exact AS (SELECT window_start, window_end,
-                     count(DISTINCT user_id) AS n
-              FROM ev GROUP BY 1, 2),
-    est AS (
-        SELECT sk.window_start, sk.window_end,
-               CAST(exact.n AS BIGINT) AS exact_n,
-               {_HLL_ALPHA}::DOUBLE * {float(_HLL_M * _HLL_M)}::DOUBLE
-                 * {float(2 ** _HLL_SHIFT)}::DOUBLE / CAST(sk.s AS DOUBLE)
-                 AS est_raw,
-               CAST(sk.zero_regs AS BIGINT) AS zero_regs
-        FROM sk JOIN exact
-          USING (window_start, window_end)
-    )
-    SELECT window_start, window_end, exact_n,
-           round(est_raw, 4) AS est, zero_regs,
-           round((est_raw - exact_n) * 100.0 / exact_n, 4) + 0 AS err_pct
-    FROM est
-    """
+    )"""
+
+HLL_SLIDING_ORACLE = _hll_window_oracle(
+    _HLL_SLIDE_EV_CTE, ("window_start", "window_end")
+)
 
 _HLL_SLIDE_GCOLS = ("window_start", "window_end")
 

@@ -2104,15 +2104,17 @@ def test_minhash_within_row_sigs_match_groupby(spark):
     """The streaming probe's WITHIN-ROW signature (array_min over the
     shingle-hash array) must equal minhash_signatures' groupBy min-agg on
     the same docs for every component — one affine family, two
-    evaluation shapes (min over a set = min over its array)."""
+    evaluation shapes (min over a set = min over its array). Uses the
+    SAME shared builders the production plan uses
+    (MINHASH_HASH_ARRAY_SQL / minhash_sig_cols_within_row), so drift in
+    the production expression fails here, not only downstream."""
     from spark_streaming_kafka_example_spark.functions.text import (
         shingles_from_words,
     )
     from spark_streaming_kafka_example_spark.operators.dedup import (
-        MINHASH_PRIME,
-        _minhash_a,
-        _minhash_b,
+        MINHASH_HASH_ARRAY_SQL,
         doc_shingles,
+        minhash_sig_cols_within_row,
         minhash_signatures,
     )
 
@@ -2135,23 +2137,8 @@ def test_minhash_within_row_sigs_match_groupby(spark):
         r["doc_id"]: [r[f"sig_{j}"] for j in range(n)]
         for r in docs.select("doc_id", F.split("text", " ").alias("_w"))
         .select("doc_id", shingles_from_words("_w", 3).alias("_sh"))
-        .select(
-            "doc_id",
-            F.expr(
-                "transform(_sh, g -> CAST(conv(substring(md5(g), 1, 8),"
-                " 16, 10) AS BIGINT))"
-            ).alias("_hs"),
-        )
-        .select(
-            "doc_id",
-            *[
-                F.expr(
-                    f"array_min(transform(_hs, h -> ({_minhash_a(j)} * h"
-                    f" + {_minhash_b(j)}) % {MINHASH_PRIME}))"
-                ).alias(f"sig_{j}")
-                for j in range(n)
-            ],
-        )
+        .select("doc_id", F.expr(MINHASH_HASH_ARRAY_SQL).alias("_hs"))
+        .select("doc_id", *minhash_sig_cols_within_row(n))
         .collect()
     }
     assert batch == within
