@@ -277,6 +277,7 @@ ROTATION_PRIORITY = [
     "stream_countmin_windowed",
     "stream_hll_sliding",
     "layout_bloom_prefilter",
+    "sim_pq_adc_recall",
 ]
 
 

@@ -141,6 +141,7 @@ HEADLINE = [
     "stream_countmin_windowed",
     "stream_hll_sliding",
     "layout_bloom_prefilter",
+    "sim_pq_adc_recall",
 ]
 
 
