@@ -86,6 +86,13 @@ def doc_shingles(
 # oracle reproduces signatures exactly.
 MINHASH_PRIME = 4294967311
 
+# The production family standard (r12, r11 ADVICE): every registered
+# MinHash query uses 15 hashes in 5 bands of 3 — these are THE defaults, so
+# a caller relying on them builds signatures/bands consistent with every
+# stored catalog. plans/llm.py re-exports them as _NUM_HASHES/_BANDS.
+NUM_HASHES = 15
+BANDS = 5
+
 
 def _minhash_a(j: int) -> int:
     # Knuth-multiplicative mixing, capped < 2^30 so a*h (h < 2^32) stays
@@ -101,7 +108,7 @@ def _minhash_b(j: int) -> int:
 def minhash_signatures(
     sh: DataFrame,
     id_col: str = "doc_id",
-    num_hashes: int = 16,
+    num_hashes: int = NUM_HASHES,
     hash_fn: str = "md5",
 ) -> DataFrame:
     """MinHash signature per doc: sig_j = min over shingles of
@@ -144,7 +151,7 @@ MINHASH_HASH_ARRAY_SQL = (
 )
 
 
-def minhash_sig_cols_within_row(num_hashes: int = 16) -> list:
+def minhash_sig_cols_within_row(num_hashes: int = NUM_HASHES) -> list:
     """sig_0..sig_{n-1} as WITHIN-ROW columns over a `_hs` shingle-hash
     array: array_min of the same affine permutations minhash_signatures
     min-aggregates (min over a set = min over its array). The single
@@ -163,8 +170,8 @@ def minhash_sig_cols_within_row(num_hashes: int = 16) -> list:
 def lsh_band_values(
     sig: DataFrame,
     id_col: str = "doc_id",
-    num_hashes: int = 16,
-    bands: int = 4,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
 ) -> DataFrame:
     """(id, band_id, band_val): the banded-signature relation — factored
     out of lsh_candidate_pairs (r11) so at-ingest probes can equi-join a
@@ -192,8 +199,8 @@ def lsh_band_values(
 def lsh_candidate_pairs(
     sig: DataFrame,
     id_col: str = "doc_id",
-    num_hashes: int = 16,
-    bands: int = 4,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: hash each band of rows, bucket-join docs sharing any

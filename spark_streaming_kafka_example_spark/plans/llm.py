@@ -205,8 +205,9 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # 5 bands x 3 rows: at jaccard ~0.75 (the planted truncations) recall is
-# 1-(1-j^3)^5 ~ 0.95, vs 0.80 for 4x4 — and one fewer hash.
-_NUM_HASHES, _BANDS = 15, 5
+# 1-(1-j^3)^5 ~ 0.95, vs 0.80 for 4x4 — and one fewer hash. The authority
+# is operators/dedup.py (r12: also the helpers' defaults, r11 ADVICE).
+_NUM_HASHES, _BANDS = DD.NUM_HASHES, DD.BANDS
 # 32-bit base hash from the first 8 md5 hex digits (nibble arithmetic —
 # DuckDB has no conv()); must equal Spark's conv(substring(md5,1,8),16,10).
 _BASE_H = " + ".join(

@@ -2012,6 +2012,13 @@ def stream_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges, _enc = train_bpe(
         bpe_word_freqs(load_table(spark, sf_dir, "documents")), _BPE_ROUNDS
     )
+    # The oracle unrolls exactly _BPE_ROUNDS doc-level CTEs; a trainer that
+    # exhausted pairs early would empty the oracle's m{i} CROSS JOIN and
+    # fail parity confusingly downstream — fail HERE instead (r11 ADVICE).
+    assert len(merges) == _BPE_ROUNDS, (
+        f"train_bpe returned {len(merges)} merges, oracle unrolls "
+        f"{_BPE_ROUNDS} — corpus too small for the fixed round count"
+    )
     return run_to_table(
         spark, stream_bpe_tokenize_plan(spark, sf_dir, merges), "append"
     )
@@ -2233,11 +2240,18 @@ from .llm import (  # noqa: E402
 )
 from ..operators import dedup as _DD  # noqa: E402
 
+# Planted near-dups land at source doc_id + this offset. Both sides use it
+# symmetrically (r11 ADVICE: the Spark store side previously relied on
+# max(doc_id) < offset implicitly while the oracle filtered explicitly) —
+# the store is "even AND below the plant range" in BOTH texts, so a corpus
+# whose ids ever crossed the offset would diverge loudly in neither.
+_MH_PLANT_OFFSET = 400000
+
 STREAM_MINHASH_PROBE_ORACLE = f"""
     WITH corpus AS (
         SELECT doc_id, text FROM documents
         UNION ALL
-        SELECT doc_id + 400000 AS doc_id,
+        SELECT doc_id + {_MH_PLANT_OFFSET} AS doc_id,
                substring(text, 1, CAST(floor(4*length(text)/5.0) AS INT))
                    AS text
         FROM documents WHERE doc_id % 10 = 0
@@ -2256,8 +2270,8 @@ STREAM_MINHASH_PROBE_ORACLE = f"""
         SELECT DISTINCT a.doc_id, s.doc_id AS store_id
         FROM bands a JOIN bands s
           ON a.band_id = s.band_id AND a.band_val = s.band_val
-        WHERE (a.doc_id % 2 = 1 OR a.doc_id >= 400000)
-          AND s.doc_id % 2 = 0 AND s.doc_id < 400000
+        WHERE (a.doc_id % 2 = 1 OR a.doc_id >= {_MH_PLANT_OFFSET})
+          AND s.doc_id % 2 = 0 AND s.doc_id < {_MH_PLANT_OFFSET}
     )
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_store_candidates
     FROM hits GROUP BY doc_id
@@ -2271,8 +2285,13 @@ def stream_minhash_probe_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     store_sig = _DD.minhash_signatures(
-        _DD.doc_shingles(docs.filter(F.col("doc_id") % 2 == 0),
-                         distinct=False),
+        _DD.doc_shingles(
+            docs.filter(
+                (F.col("doc_id") % 2 == 0)
+                & (F.col("doc_id") < _MH_PLANT_OFFSET)
+            ),
+            distinct=False,
+        ),
         num_hashes=_MH_NUM_HASHES,
     )
     catalog = (
@@ -2285,7 +2304,7 @@ def stream_minhash_probe_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ds = documents_stream(spark, sf_dir).select("doc_id", "text")
     plants = ds.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 400000).alias("doc_id"),
+        (F.col("doc_id") + _MH_PLANT_OFFSET).alias("doc_id"),
         F.expr(
             "substring(text, 1, CAST(floor(4*length(text)/5.0) AS INT))"
         ).alias("text"),
