@@ -41,10 +41,18 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # r06: re-pinned a3/q3/sim_topk_bruteforce/p5 per the r05 VERDICT task 3
 # (only 15 queries remain unchecked, so the slack fits them back in) —
 # every §2 family again has a directly-re-checked representative.
+# r12 rotation (r11 VERDICT task 3): four more long-green CORE alumni move
+# to the freshness sort — p1_cast_projection (projections stay pinned by
+# p2/p5/p12), q3_shipping_priority (TPC-H by q1), dedup_minhash_lsh (dedup
+# by dedup_exact; the LSH family keeps pytest recall pins), and
+# sim_topk_bruteforce (similarity by sim_ivf_kmeans_topk). All four are
+# r11-green so they queue behind every staler name. CORE 19 -> 15 widens
+# window slack to 34 re-pins: with the ONE r12 registration
+# (sim_ivfpq_recall) the computed r12 window = 15 CORE + 1 unchecked + ALL
+# 22 r04-stale + the 12 oldest r05-stale names.
 CORE_WINDOW = [
     "flagship_sliding_alert",
     # §2.4 projections / §2.10 UDF / §2.6 join (p8-p10/f1 lifetime-proven)
-    "p1_cast_projection",
     "p2_from_json_flatten",
     "p5_to_json_struct",
     "p12_a1_word_count",
@@ -54,21 +62,13 @@ CORE_WINDOW = [
     # a3_sliding_window_agg rotated out in r10, its slot funds
     # sketch_bloom_decontaminate — the freshness sort re-checks it)
     "a2_tumbling_window_agg",
-    # TPC-H canon (q11, 5 rounds green since its r05 re-arm, moved to the
-    # freshness rotation in r10 to make room for the r09-VERDICT-task-2
-    # staleness drain: CORE 23 -> 21 so the 5 r10-new registrations (4 in
-    # ROTATION_PRIORITY + sketch_hll_distinct via the registration-order
-    # fallback) plus ALL 24 r01/r02-stale re-pins fit the 50-slot window)
+    # TPC-H canon (q11 rotated out r10, q3 rotated out r12 — q1 keeps the
+    # family pinned; the whole TPC-H tail re-greens via the r12 drain)
     "q1_pricing_summary",
-    "q3_shipping_priority",
     # LLM-pipeline families: dedup, similarity, text, multimodal, pipeline
-    # (dedup_embedding_cosine and dedup_clusters rotated out in r10 —
-    # exact/minhash keep the family pinned, the freshness sort re-checks
-    # both, and clusters' slot funds stream_hll_distinct: CORE 21 -> 20 so
-    # the SIXTH r10 registration still leaves all 24 r01/r02 re-pins in)
+    # (dedup_embedding_cosine + dedup_clusters rotated out r10;
+    # dedup_minhash_lsh + sim_topk_bruteforce rotated out r12)
     "dedup_exact",
-    "dedup_minhash_lsh",
-    "sim_topk_bruteforce",
     "sim_ivf_kmeans_topk",
     "text_analysis_profile",
     "multimodal_features",
@@ -278,6 +278,15 @@ ROTATION_PRIORITY = [
     "stream_hll_sliding",
     "layout_bloom_prefilter",
     "sim_pq_adc_recall",
+    # r12-new registrations: the IVF-PQ composition (r11 VERDICT task 5 —
+    # coarse probe + ADC over PQ reconstructions, closing the ANN ladder),
+    # the windowed quantile sketch (completing the sketches-over-windows
+    # matrix: HLL = distinct, count-min = frequency, histogram =
+    # distribution), and the at-ingest IVF-PQ serving probe (the coded
+    # catalog upgrade of stream_ann_probe).
+    "sim_ivfpq_recall",
+    "stream_quantile_windowed",
+    "stream_ivfpq_probe",
 ]
 
 

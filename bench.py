@@ -142,6 +142,12 @@ HEADLINE = [
     "stream_hll_sliding",
     "layout_bloom_prefilter",
     "sim_pq_adc_recall",
+    # r12-new: the IVF-PQ composition tier (coarse probe + ADC over PQ
+    # reconstructions), the windowed quantile sketch, and the at-ingest
+    # IVF-PQ serving probe.
+    "sim_ivfpq_recall",
+    "stream_quantile_windowed",
+    "stream_ivfpq_probe",
 ]
 
 
@@ -207,36 +213,54 @@ def _calibration(spark) -> dict[str, float]:
     }
 
 
+# The driver's capture keeps only the trailing 2000 BYTES of stdout —
+# measured exactly on both BENCH_r10 and BENCH_r11 (the earlier "~3.5 KB
+# observed" premise was wrong; r11 VERDICT task 1). The emitted line
+# self-sizes to this budget so the WHOLE line (JSON head included)
+# survives and the driver's parse finally succeeds. 1900 leaves margin
+# for a stray trailing newline / shell prompt byte. The env override is a
+# DEV escape hatch for recording full per-query maps in BENCH_NOISE files
+# — the driver never sets it, so its line keeps the pinned budget.
+_EMIT_BUDGET = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1900"))
+
+
 def emit_line(timings: dict[str, float], sf, calibration: dict) -> str:
-    """The ONE output line. r11 (r10 VERDICT task 3): the driver's capture
-    keeps only the TAIL (~3.5 KB observed) — r09 moved the totals after
-    the map so they survive, but r10 still lost the first ~16 per-query
-    times. Three shrink/ordering moves keep the whole line inside the
-    window: compact JSON separators, 2-decimal per-query times, and the
-    map emitted in REVERSE driver-window order (_ordered_names), so if a
-    shorter capture ever truncates the head again it drops the
-    most-recently-re-verified, most history-redundant entries first while
-    the newest rows sit nearest the kept tail.
-    tests/test_operators.py::test_bench_line_fits_driver_capture pins the
-    worst-case emitted length."""
+    """The ONE output line, guaranteed <= _EMIT_BUDGET bytes (r12, r11
+    VERDICT task 1): per-query entries are ordered oldest-first (REVERSE
+    driver-window order — the r11 move) and dropped OLDEST-first until
+    the serialized line fits, so the newest / CORE rows always survive
+    and the head of the JSON is never truncated. `value` stays the total
+    over ALL sampled queries (not just the emitted map); `n_queries` /
+    `n_emitted` record the coverage so a reader knows when entries were
+    dropped. tests/test_operators.py::test_bench_line_fits_driver_capture
+    pins the worst-case emitted length against the measured capture."""
     from __spark_entry__ import _ordered_names
 
     pos = {n: i for i, n in enumerate(reversed(_ordered_names()))}
-    ordered = dict(
-        sorted(timings.items(), key=lambda kv: pos.get(kv[0], -1))
-    )
+    names = sorted(timings, key=lambda n: pos.get(n, -1))  # oldest first
     total = round(sum(timings.values()), 3)
-    return json.dumps(
-        {
-            "metric": "headline_queries_total",
-            "queries": ordered,
-            "sf": sf,
-            "unit": "sec",
-            "value": total,
-            "calibration": calibration,
-        },
-        separators=(",", ":"),
-    )
+
+    def render(keep: list[str]) -> str:
+        return json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "queries": {n: timings[n] for n in keep},
+                "sf": sf,
+                "unit": "sec",
+                "value": total,
+                "n_queries": len(timings),
+                "n_emitted": len(keep),
+                "calibration": calibration,
+            },
+            separators=(",", ":"),
+        )
+
+    keep = list(names)
+    line = render(keep)
+    while len(line) > _EMIT_BUDGET and keep:
+        keep.pop(0)
+        line = render(keep)
+    return line
 
 
 def main() -> None:

@@ -30,6 +30,7 @@ from ..functions.vectors import cosine_pandas
 __all__ = [
     "brute_force_topk",
     "kmeans_centroids",
+    "probe_buckets",
     "ivf_topk",
     "build_ivf_index",
     "ivf_topk_indexed",
@@ -156,6 +157,32 @@ def assign_buckets(
     )
 
 
+def probe_buckets(
+    queries: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(q_id, qv, bucket): each query's ``n_probe`` nearest centroid
+    buckets — the probe half of every IVF variant (r12: factored out of
+    ivf_topk / ivf_topk_indexed, now also the IVF-PQ composition's coarse
+    probe). Centroids broadcast (FIXED-K); rank ties break on cent_id so
+    the probed set is reproducible across engines."""
+    c = centroids.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv"))
+    qprobe = (
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
+        .crossJoin(F.broadcast(c))
+        .select("q_id", "qv", "cent_id", F.round(cosine_pandas("qv", "cv"), 4).alias("ccos"))
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
+    return (
+        qprobe.withColumn("prnk", F.row_number().over(wq))
+        .filter(F.col("prnk") <= n_probe)
+        .select("q_id", "qv", F.col("cent_id").alias("bucket"))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -169,18 +196,7 @@ def ivf_topk(
     Output (q_id, n_id, cos, rnk) — approximate: recall < 1 when a true
     neighbor lives in an unprobed bucket."""
     assigned = assign_buckets(corpus, centroids, id_col, vec_col)
-    c = centroids.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv"))
-    qprobe = (
-        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
-        .crossJoin(F.broadcast(c))
-        .select("q_id", "qv", "cent_id", F.round(cosine_pandas("qv", "cv"), 4).alias("ccos"))
-    )
-    wq = Window.partitionBy("q_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
-    probed = (
-        qprobe.withColumn("prnk", F.row_number().over(wq))
-        .filter(F.col("prnk") <= n_probe)
-        .select("q_id", "qv", F.col("cent_id").alias("bucket"))
-    )
+    probed = probe_buckets(queries, centroids, n_probe, id_col, vec_col)
     scored = (
         F.broadcast(probed)
         .join(assigned, "bucket")
@@ -223,18 +239,7 @@ def ivf_topk_indexed(
     """Query the materialized index: per query find the n_probe nearest
     centroids, then scan ONLY those bucket partitions (`bucket IN (...)`
     prunes at plan time). Same output contract as ivf_topk."""
-    c = centroids.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv"))
-    qprobe = (
-        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
-        .crossJoin(F.broadcast(c))
-        .select("q_id", "qv", "cent_id", F.round(cosine_pandas("qv", "cv"), 4).alias("ccos"))
-    )
-    wq = Window.partitionBy("q_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
-    probed = (
-        qprobe.withColumn("prnk", F.row_number().over(wq))
-        .filter(F.col("prnk") <= n_probe)
-        .select("q_id", "qv", F.col("cent_id").alias("bucket"))
-    )
+    probed = probe_buckets(queries, centroids, n_probe, id_col, vec_col)
     index = spark.read.parquet(index_path)
     scored = (
         F.broadcast(probed)

@@ -2168,16 +2168,18 @@ HLL_WINDOWED_ORACLE = _hll_window_oracle(
 _HLL_WIN_GCOLS = ("window_start", "window_end", "event_type")
 
 
-@register("stream_hll_windowed", HLL_WINDOWED_ORACLE)
-def stream_hll_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = (
-        events_stream(spark, sf_dir)
-        .filter(F.col("user_id").isNotNull())
-        .select("ts", "event_type", "user_id")
-    )
-    folded = (
+def hll_windowed_fold(ev: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """The windowed HLL register fold — hash each (ts, event_type, user)
+    row to (bucket, rank), watermark, and max-fold registers per
+    (tumbling 1h window, event_type, bucket). THE production definition
+    stream_hll_windowed drains and
+    tests/test_streaming.py::test_windowed_sketch_watermark_expires_state
+    runs in append mode across micro-batches (r12, r11 VERDICT task 4):
+    the watermark bound ("state = ACTIVE windows x groups x 256") is a
+    pinned contract, not prose."""
+    return (
         hll_hashed(ev, key="user_id", group_cols=("ts", "event_type"))
-        .withWatermark("ts", "2 hours")
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour"), "event_type", "bucket")
         .agg(F.max("r").alias("r"))
         .select(
@@ -2186,7 +2188,16 @@ def stream_hll_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "bucket", "r",
         )
     )
-    regs_drained = run_to_table(spark, folded, "complete")
+
+
+@register("stream_hll_windowed", HLL_WINDOWED_ORACLE)
+def stream_hll_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select("ts", "event_type", "user_id")
+    )
+    regs_drained = run_to_table(spark, hll_windowed_fold(ev), "complete")
     ev_b = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull())
@@ -2487,6 +2498,236 @@ def stream_countmin_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_n").cast("long").alias("est_n"),
         (F.col("est_n") - F.col("n")).cast("long").alias("overcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Windowed streaming quantile sketch (r12): per-hour value percentiles —
+# the THIRD windowed sketch, completing the sketches-over-windows matrix
+# (windowed HLL = distinct, windowed count-min = frequency, this =
+# distribution; the Bloom filter has no windowed form — membership is not
+# time-decomposable). The grid bounds stay the sketch's epoch
+# CONFIGURATION (batch-computed 1-row relation, broadcast — the
+# stream_quantile_values contract); each arriving value buckets map-side
+# against that fixed GLOBAL grid and the fold keys by (tumbling 1h
+# window, bucket) — complete-mode state = windows x <= _QSK_W cells on
+# the bounded drain, watermark-expired to ACTIVE windows in append
+# deployments (the bound test_windowed_sketch_watermark_expires_state
+# pins for the fold family). A global grid is what makes per-window
+# sketches MERGEABLE ACROSS WINDOWS too: any set of windows' cells sum
+# into the coarser rollup with no re-bucketing. Scoring runs batch-side
+# through the SAME group_cols-parametrized quantile_score (per-window
+# target ranks come from n = sum(c) within the window — derivable from
+# the sketch itself); per-window estimate/target relations GROW with
+# retained windows, so those joins are UNHINTED (the FIXED-K rule).
+# ---------------------------------------------------------------------------
+
+from .windows_stats import _QSK_QS, _QSK_W, quantile_bucket_col  # noqa: E402
+
+QUANTILE_WINDOWED_ORACLE = f"""
+    WITH v AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+                   AS window_end,
+               CAST(value AS DOUBLE) AS value
+        FROM events WHERE value IS NOT NULL
+    ),
+    b AS (SELECT min(value) AS mn, max(value) AS mx FROM v),
+    cells AS (
+        SELECT window_start, window_end,
+               least(CAST(floor((value - mn) * {_QSK_W} / (mx - mn)) AS BIGINT),
+                     {_QSK_W - 1}) AS bucket,
+               count(*) AS c
+        FROM v CROSS JOIN b GROUP BY 1, 2, 3
+    ),
+    wn AS (SELECT window_start, window_end, sum(c) AS n
+           FROM cells GROUP BY 1, 2),
+    cum AS (SELECT window_start, window_end, bucket,
+                   sum(c) OVER (PARTITION BY window_start, window_end
+                                ORDER BY bucket) AS cumc
+            FROM cells),
+    qs AS (SELECT unnest([{', '.join(str(q) for q in _QSK_QS)}]::DOUBLE[]) AS q),
+    targets AS (SELECT window_start, window_end, q,
+                       CAST(ceil(q * n) AS BIGINT) AS target_rank
+                FROM wn CROSS JOIN qs),
+    est AS (
+        SELECT t.window_start, t.window_end, t.q, t.target_rank,
+               mn + min(cum.bucket) * (mx - mn) / {_QSK_W} AS est_val
+        FROM targets t
+        JOIN cum ON cum.window_start = t.window_start
+                AND cum.window_end = t.window_end
+                AND cum.cumc >= t.target_rank
+        CROSS JOIN b
+        GROUP BY 1, 2, 3, 4, mn, mx
+    ),
+    ranks AS (
+        SELECT e.window_start, e.window_end, e.q, e.target_rank, e.est_val,
+               count(v.value) AS est_rank
+        FROM est e LEFT JOIN v ON v.window_start = e.window_start
+                              AND v.window_end = e.window_end
+                              AND v.value <= e.est_val
+        GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT window_start, window_end, q, target_rank,
+           est_val + 0 AS est,
+           CAST(est_rank AS BIGINT) AS est_rank,
+           CAST(est_rank - target_rank AS BIGINT) AS rank_err
+    FROM ranks
+    """
+
+_QSK_WIN_GCOLS = ("window_start", "window_end")
+
+
+def quantile_windowed_fold(
+    ev: DataFrame, bounds: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """The windowed histogram fold: bucket each (ts, value) row map-side
+    against the broadcast 1-row epoch bounds, then count per (tumbling 1h
+    window, bucket) under the watermark — the quantile member of the
+    windowed-fold family hll_windowed_fold anchors."""
+    return (
+        ev.join(F.broadcast(bounds.select("mn", "mx")))
+        .select(
+            "ts",
+            quantile_bucket_col(F.col("value"), F.col("mn"), F.col("mx"))
+            .alias("bucket"),
+        )
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "bucket", "c",
+        )
+    )
+
+
+@register("stream_quantile_windowed", QUANTILE_WINDOWED_ORACLE)
+def stream_quantile_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p95/p99 of events.value PER HOUR from the windowed
+    histogram fold, with the per-window exact-rank error surface."""
+    bounds = quantile_bounds(quantile_vals(spark, sf_dir))
+    ev = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("ts", F.col("value").cast("double").alias("value"))
+    )
+    cells = run_to_table(
+        spark, quantile_windowed_fold(ev, bounds), "complete"
+    )
+    vals_w = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.window("ts", "1 hour").alias("window"),
+            F.col("value").cast("double").alias("value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "value",
+        )
+    )
+    return quantile_score(
+        spark, sf_dir, cells, bounds,
+        group_cols=_QSK_WIN_GCOLS, vals=vals_w,
+    )
+
+
+# ---------------------------------------------------------------------------
+# At-ingest IVF-PQ probe (r12): the serving twin of sim_ivfpq_recall and
+# the compressed-tier upgrade of stream_ann_probe — arriving query vectors
+# rank the CODED catalog (bucket + PQ reconstruction per corpus vector)
+# instead of raw vectors. Stream arm stays the proven stream_ann_probe
+# shape: coarse centroids embed as FIXED-K plan literals
+# (_centroid_literal_array, guarded), probe selection is a map-side
+# slice(array_sort(transform(...))) inside codegen, and per-query top-k is
+# ONE streaming aggregation. The catalog (assignment + reconstruction) is
+# corpus-proportional: checkpoint-materialized, UNHINTED equi-join on
+# bucket. At 100 TB the catalog column rv IS the stored 4-byte code
+# decoded on read — the stream probe touches probe/k of the corpus as
+# codes, never raw floats. Drained availableNow result == the IVF-PQ
+# top-k, so the oracle (shared _IVFPQ_BASE_CTES) replays coarse + subspace
+# trainings + encode + restricted ADC ranking exactly.
+# ---------------------------------------------------------------------------
+
+from .llm import (  # noqa: E402
+    _IVFPQ_TOPK_SQL,
+    _PQ_RECALL_K as _IVFPQ_K,
+    _pq_reconstruction,
+)
+
+
+@register("stream_ivfpq_probe", _IVFPQ_TOPK_SQL)
+def stream_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import cosine, cosine_pandas
+    from ..operators.similarity import assign_buckets, kmeans_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = kmeans_centroids(emb, k=_KMEANS_K, iterations=2)
+    cent_arr = _centroid_literal_array(cent.collect(), _KMEANS_K)
+    assigned = assign_buckets(
+        emb,
+        cent.select(F.col("cent_id").alias("vec_id"),
+                    F.col("cv").alias("embedding")),
+    ).select(F.col("vec_id").alias("n_id"), "bucket")
+    # The coded catalog: one bucket id + one reconstruction per corpus
+    # vector, materialized once (at scale: the written IVF-PQ index).
+    catalog = assigned.join(
+        _pq_reconstruction(emb, out_col="rv")
+        .withColumnRenamed("vec_id", "n_id"),
+        "n_id",
+    ).localCheckpoint()
+
+    q = (
+        embeddings_stream(spark, sf_dir)
+        .filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    )
+    scored_cents = F.transform(
+        cent_arr,
+        lambda s: F.struct(
+            (-F.round(cosine(F.col("qv"), s["cv"]), 4)).alias("neg"),
+            s["cent_id"].alias("cent_id"),
+        ),
+    )
+    probed = q.select(
+        "q_id", "qv",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(scored_cents), 1, 2),
+                lambda s: s["cent_id"],
+            )
+        ).alias("bucket"),
+    )
+    cand = (
+        probed.join(catalog, "bucket")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id", "n_id", F.round(cosine_pandas("qv", "rv"), 4).alias("cos")
+        )
+    )
+    topk = (
+        cand.groupBy("q_id")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct((-F.col("cos")).alias("neg"), "n_id", "cos")
+                    )
+                ),
+                1, _IVFPQ_K,
+            ).alias("top")
+        )
+        .select("q_id", F.posexplode("top").alias("pos", "s"))
+        .select(
+            "q_id",
+            F.col("s.n_id").alias("n_id"),
+            F.col("s.cos").alias("cos"),
+            (F.col("pos") + 1).cast("int").alias("rnk"),
+        )
+    )
+    return run_to_table(spark, topk, "complete")
 
 
 # ---------------------------------------------------------------------------

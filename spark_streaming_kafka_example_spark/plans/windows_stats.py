@@ -1799,7 +1799,12 @@ def quantile_cells(vals: DataFrame, bounds: DataFrame) -> DataFrame:
 
 
 def quantile_score(
-    spark: SparkSession, sf_dir: str, cells: DataFrame, bounds: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    cells: DataFrame,
+    bounds: DataFrame,
+    group_cols: tuple = (),
+    vals: DataFrame | None = None,
 ) -> DataFrame:
     """Quantile read-off + exact-rank error surface against a GIVEN
     (cells, bounds) sketch — the single definition shared by the batch and
@@ -1809,37 +1814,103 @@ def quantile_score(
     cumulative window runs over the <= _QSK_W-row cell table (fixed-size;
     the one-partition window is the bounded exception to the
     no-global-window rule), and the exact-rank count joins the value scan
-    against the broadcast 4-row estimate relation."""
+    against the broadcast 4-row estimate relation.
+
+    ``group_cols`` (r12, the hll_grid_fill/hll_score convention): scores a
+    sketch keyed by extra columns (the windowed twin) — ``cells`` carries
+    them, ``vals`` must too (for the window-scoped rank audit), target
+    ranks come from per-group n = sum(c) (derivable from the sketch
+    itself — the global grid makes per-group bounds unnecessary), and the
+    target/estimate relations GROW with retained groups so their joins
+    are UNHINTED (the FIXED-K rule), unlike the default path's
+    constant-4-row broadcasts. Defaults keep the global twins'
+    plans byte-identical."""
     from pyspark.sql.window import Window as W
 
-    vals = quantile_vals(spark, sf_dir)
+    g = list(group_cols)
+    if vals is None:
+        vals = quantile_vals(spark, sf_dir)
     cum = cells.select(
-        "bucket", F.sum("c").over(W.orderBy("bucket")).alias("cumc")
+        *g, "bucket",
+        F.sum("c").over(W.partitionBy(*g).orderBy("bucket")).alias("cumc"),
     )
     qs = F.explode(F.array(*[F.lit(float(q)) for q in _QSK_QS])).alias("q")
-    targets = bounds.select(qs, "mn", "mx", "n").select(
-        "q", F.ceil(F.col("q") * F.col("n")).cast("long").alias("target_rank"),
-        "mn", "mx",
-    )
+    if g:
+        per_group_n = cells.groupBy(*g).agg(F.sum("c").alias("n"))
+        targets = (
+            per_group_n.join(F.broadcast(bounds.select("mn", "mx")))
+            .select(*g, qs, "mn", "mx", "n")
+            .select(
+                *g, "q",
+                F.ceil(F.col("q") * F.col("n")).cast("long")
+                .alias("target_rank"),
+                "mn", "mx",
+            )
+        )
+        # targets and cum BOTH derive from cells — rename cum's group cols
+        # so the equi-conditions don't collapse to trivially-true
+        # self-comparisons (Spark resolves both sides to the same lineage).
+        cum_r = cum.select(
+            *[F.col(c).alias(f"_cum_{c}") for c in g], "bucket", "cumc"
+        )
+        joined = targets.join(
+            cum_r,
+            [F.col(f"_cum_{c}") == F.col(c) for c in g]
+            + [F.col("cumc") >= F.col("target_rank")],
+        ).drop(*[f"_cum_{c}" for c in g])
+    else:
+        targets = bounds.select(qs, "mn", "mx", "n").select(
+            "q",
+            F.ceil(F.col("q") * F.col("n")).cast("long").alias("target_rank"),
+            "mn", "mx",
+        )
+        joined = F.broadcast(targets).join(
+            cum, cum["cumc"] >= targets["target_rank"]
+        )
     est = (
-        F.broadcast(targets)
-        .join(cum, cum["cumc"] >= targets["target_rank"])
-        .groupBy("q", "target_rank", "mn", "mx")
+        joined.groupBy(*g, "q", "target_rank", "mn", "mx")
         .agg(F.min("bucket").alias("bucket"))
         .select(
-            "q", "target_rank",
+            *g, "q", "target_rank",
             (F.col("mn") + F.col("bucket") * (F.col("mx") - F.col("mn"))
              / _QSK_W).alias("est_val"),
         )
     )
-    ranks = (
-        vals.join(F.broadcast(est), vals["value"] <= est["est_val"])
-        .groupBy("q", "target_rank", "est_val")
-        .agg(F.count(F.lit(1)).alias("est_rank"))
-    )
+    if g:
+        # LEFT join: a sparse group whose estimate undercuts every value
+        # (single-occupant cells put est at the cell's LOWER edge) must
+        # still report its row with est_rank = 0, not vanish — with the
+        # global inner-join text that group would silently drop, which is
+        # fine when cells are dense (the proven global twins) but loses
+        # whole windows at per-hour occupancy.
+        ranks = (
+            est.join(
+                vals,
+                [vals[c] == est[c] for c in g]
+                + [vals["value"] <= est["est_val"]],
+                "left_outer",
+            )
+            .drop(*[vals[c] for c in g])
+            .groupBy(*g, "q", "target_rank", "est_val")
+            .agg(F.count("value").alias("est_rank"))
+        )
+    else:
+        ranks = (
+            vals.join(F.broadcast(est), vals["value"] <= est["est_val"])
+            .groupBy("q", "target_rank", "est_val")
+            .agg(F.count(F.lit(1)).alias("est_rank"))
+        )
+    # est_val is bit-deterministic cross-engine (min/max selections +
+    # the pinned mn + bucket*(mx-mn)/W op order, where /W is an exact
+    # power-of-two scaling) — so the grouped path emits it RAW: rounding
+    # to 4 dp is the only non-identical step (Spark BigDecimal HALF_UP vs
+    # DuckDB's float-scaled round diverge on ties, observed 4/2124 rows
+    # at sf0.01). The global path keeps round(4) — its oracle text is
+    # driver-frozen and its dense estimates never landed on a tie.
+    est_col = F.col("est_val") if g else F.round(F.col("est_val"), 4)
     return ranks.select(
-        "q", "target_rank",
-        F.round(F.col("est_val"), 4).alias("est"),
+        *g, "q", "target_rank",
+        est_col.alias("est"),
         F.col("est_rank").cast("long").alias("est_rank"),
         (F.col("est_rank") - F.col("target_rank")).cast("long")
             .alias("rank_err"),

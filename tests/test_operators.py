@@ -1761,6 +1761,85 @@ def test_quantile_sketch_rank_bound(spark, sf_dir):
     assert [r.target_rank for r in by_q] == sorted(r.target_rank for r in by_q)
 
 
+def test_quantile_windowed_monotone_and_bounded(spark, sf_dir):
+    """The windowed quantile sketch's read-off semantics per window:
+    estimates are MONOTONE in q within every window (the cumulative
+    read-off can only move right), every window's |rank_err| obeys the
+    histogram guarantee against that window's own largest cell, and the
+    window set matches the hours that actually carry values."""
+    from spark_streaming_kafka_example_spark.plans import stream as S
+    from spark_streaming_kafka_example_spark.plans.windows_stats import (
+        _QSK_QS,
+    )
+
+    rows = S.stream_quantile_windowed(spark, sf_dir).collect()
+    assert rows
+    by_win: dict = {}
+    for r in rows:
+        by_win.setdefault((r.window_start, r.window_end), []).append(r)
+    hours = (
+        S.load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(F.date_trunc("hour", "ts").alias("h"))
+        .distinct()
+        .count()
+    )
+    assert len(by_win) == hours
+    for win_rows in by_win.values():
+        assert len(win_rows) == len(_QSK_QS)
+        by_q = sorted(win_rows, key=lambda r: r.q)
+        ests = [r.est for r in by_q]
+        assert ests == sorted(ests), by_q
+        # per-window histogram guarantee: the crossing cell can misplace
+        # at most the window's row count (trivial but non-vacuous at the
+        # sparse per-hour occupancy); est_rank 0 is the sparse-window
+        # lower-edge case the left-join keeps visible
+        n_win = max(r.target_rank for r in by_q)
+        assert all(0 <= r.est_rank and abs(r.rank_err) <= n_win
+                   for r in by_q)
+
+
+def test_pq_reconstruction_recovers_clustered_structure(spark):
+    """_pq_reconstruction's semantic contract beyond oracle parity: on
+    data WITH cluster structure (the regime PQ exists for — the honest
+    docstrings call uniform-random testdata the worst case), the decoded
+    reconstruction must stay close to the original vector. 8 tight
+    clusters in 64 dims, one member of each among vec_id 0..7 (the
+    deterministic k-means init), per-coordinate noise << cluster
+    separation -> cos(v, recon(v)) >= 0.95 for every vector."""
+    import math
+
+    from spark_streaming_kafka_example_spark.functions.vectors import (
+        cosine_pandas,
+    )
+    from spark_streaming_kafka_example_spark.plans.llm import (
+        _pq_reconstruction,
+    )
+
+    rows = []
+    for i in range(160):
+        cl = i % 8
+        vec = [
+            (1.0 if (d % 8) == cl else 0.0)
+            + 0.05 * math.sin(1.0 + 0.7 * i + 0.31 * d)
+            for d in range(64)
+        ]
+        rows.append((i, vec))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    recon = _pq_reconstruction(emb, out_col="rv")
+    scored = (
+        emb.join(recon, "vec_id")
+        .select(F.round(cosine_pandas("embedding", "rv"), 4).alias("cos"))
+        .collect()
+    )
+    assert len(scored) == 160
+    assert all(r.cos >= 0.95 for r in scored), sorted(
+        r.cos for r in scored
+    )[:5]
+
+
 def test_quantile_sketch_merges(spark, sf_dir):
     """Executor-mergeability, the property that makes the sketch a sketch:
     cells built on two disjoint halves of the data, merged by summing per
@@ -2075,29 +2154,40 @@ def test_bloom_pos_col_matches_row_form(spark):
 
 def test_bench_line_fits_driver_capture():
     """emit_line's worst case (every HEADLINE query at a 4-digit time,
-    full calibration block) must stay comfortably inside the driver's
-    observed ~3.5 KB tail capture — BENCH_r10 lost 16 per-query times to
-    this (r10 VERDICT task 3), so the length is now a pinned contract."""
+    full calibration block) must fit ENTIRELY inside the driver's capture,
+    which both BENCH_r10 and BENCH_r11 measured at exactly 2000 trailing
+    bytes (r11 VERDICT task 1 — the earlier 3300-byte bound assumed a
+    ~3.5 KB capture that does not exist, so the r10/r11 lines arrived
+    head-truncated and unparseable). The line self-sizes by dropping the
+    OLDEST per-query entries; totals cover ALL queries regardless."""
     import bench
 
     worst = {n: 9999.99 for n in bench.HEADLINE}
-    line = bench.emit_line(
-        worst, 0.1,
-        {"jvm_agg_sec": 999.999, "jvm_agg32_sec": 999.999,
-         "python_hash_sec": 999.999},
-    )
+    calib = {"jvm_agg_sec": 999.999, "jvm_agg32_sec": 999.999,
+             "python_hash_sec": 999.999}
+    line = bench.emit_line(worst, 0.1, calib)
     assert "\n" not in line
-    assert len(line) <= 3300, len(line)
+    assert len(line) <= bench._EMIT_BUDGET, len(line)
     import json
 
     parsed = json.loads(line)
-    assert set(parsed["queries"]) == set(bench.HEADLINE)
+    # totals always cover the FULL sample set, even when entries drop
     assert parsed["value"] == round(sum(worst.values()), 3)
-    # newest rows must sit nearest the kept tail (after every CORE pin)
-    keys = list(parsed["queries"])
-    assert keys.index("stream_hll_windowed") < keys.index(
-        "flagship_sliding_alert"
-    )
+    assert parsed["n_queries"] == len(bench.HEADLINE)
+    assert parsed["n_emitted"] == len(parsed["queries"])
+    # the survivors must be exactly the NEWEST-by-window-order suffix:
+    # dropping anything else would sacrifice rows with no bench history
+    from __spark_entry__ import _ordered_names
+
+    pos = {n: i for i, n in enumerate(reversed(_ordered_names()))}
+    by_age = sorted(worst, key=lambda n: pos.get(n, -1))
+    assert list(parsed["queries"]) == by_age[-parsed["n_emitted"]:]
+    # every CORE pin and the newest registration survive worst case
+    from __spark_entry__ import CORE_WINDOW
+
+    survivors = set(parsed["queries"])
+    assert "sim_ivfpq_recall" in survivors
+    assert set(CORE_WINDOW) & set(bench.HEADLINE) <= survivors
 
 
 def test_minhash_within_row_sigs_match_groupby(spark):

@@ -887,6 +887,82 @@ def test_pretrain_gate_planted_semantics(spark, sf_dir):
     )
 
 
+def test_windowed_sketch_watermark_expires_state(spark, tmp_path):
+    """The windowed-sketch state bound as a CONTRACT (r11 VERDICT task 4):
+    the three windowed twins (stream_hll_windowed/sliding,
+    stream_countmin_windowed) document "watermark expires closed windows'
+    registers, so state = ACTIVE windows x groups x m". The bounded
+    complete-mode drains can't show that, so this runs the SAME fold
+    (hll_windowed_fold, the production definition) in APPEND mode across
+    micro-batches: a batch far past the watermark must (a) emit the closed
+    window's registers exactly once and (b) shrink the state store to the
+    still-active window's rows only — state does not grow with window
+    history."""
+    from spark_streaming_kafka_example_spark.plans.stream import (
+        hll_windowed_fold,
+    )
+
+    src = str(tmp_path / "wm_sketch_src")
+    ev_schema = "ts timestamp, event_type string, user_id long"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, ev_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    import datetime as dt
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    write_batch([(t(0, 10), "click", 1), (t(0, 20), "click", 2),
+                 (t(0, 20), "click", 3)])
+    stream = spark.readStream.schema(ev_schema).parquet(src)
+    name = "t_wm_sketch"
+    q = (
+        hll_windowed_fold(stream, watermark="2 hours")
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation", str(tmp_path / "wm_sketch_ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # hour-0's window end (01:00) is not yet 2h behind the max event
+        # time (00:20) -> nothing emitted, registers buffered in state.
+        assert spark.table(name).count() == 0
+        hour0_state = _state_rows(q)
+        assert 1 <= hour0_state <= 3  # <=3 users' buckets (md5 collisions ok)
+
+        # Batch 2: one event 10 hours later -> watermark 08:00 passes the
+        # hour-0 window, which must emit once and leave the state store.
+        write_batch([(t(10), "click", 9)])
+        q.processAllAvailable()
+        emitted = spark.table(name).collect()
+        assert {r.window_start for r in emitted} == {t(0)}
+        assert len(emitted) == hour0_state  # every buffered register, once
+        assert _state_rows(q) == 1  # ONLY the active hour-10 row survives
+
+        # Batch 3: another jump -> hour-10 emits once, hour-0 is NOT
+        # re-emitted, state again holds only the newest window.
+        write_batch([(t(20), "click", 9)])
+        q.processAllAvailable()
+        emitted = spark.table(name).collect()
+        assert sum(r.window_start == t(0) for r in emitted) == hour0_state
+        assert sum(r.window_start == t(10) for r in emitted) == 1
+        assert _state_rows(q) == 1
+    finally:
+        q.stop()
+
+
+def _state_rows(q) -> int:
+    """numRowsTotal of the query's (single) stateful operator, from the
+    most recent progress event that carried state metrics."""
+    for p in reversed(q.recentProgress):
+        ops = p.get("stateOperators") or []
+        if ops:
+            return ops[0]["numRowsTotal"]
+    raise AssertionError("no state operator progress found")
+
+
 def test_minhash_probe_recalls_planted_near_dups(spark, sf_dir):
     """The at-ingest MinHash probe's recall claim as a contract (r11
     ADVICE): the planted tail-truncated re-uploads (source +
