@@ -287,6 +287,10 @@ ROTATION_PRIORITY = [
     "sim_ivfpq_recall",
     "stream_quantile_windowed",
     "stream_ivfpq_probe",
+    # r12: tumbling + sliding symmetry for ALL THREE windowed sketches —
+    # the quantile and count-min sliding twins join stream_hll_sliding.
+    "stream_quantile_sliding",
+    "stream_countmin_sliding",
 ]
 
 

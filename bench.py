@@ -143,11 +143,13 @@ HEADLINE = [
     "layout_bloom_prefilter",
     "sim_pq_adc_recall",
     # r12-new: the IVF-PQ composition tier (coarse probe + ADC over PQ
-    # reconstructions), the windowed quantile sketch, and the at-ingest
-    # IVF-PQ serving probe.
+    # reconstructions), its at-ingest serving probe, and the windowed +
+    # sliding quantile / sliding count-min sketches.
     "sim_ivfpq_recall",
     "stream_quantile_windowed",
     "stream_ivfpq_probe",
+    "stream_quantile_sliding",
+    "stream_countmin_sliding",
 ]
 
 

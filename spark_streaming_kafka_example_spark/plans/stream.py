@@ -2384,14 +2384,14 @@ from .windows_stats import (  # noqa: E402
 
 _CMS_WIN_TOPN = 5
 
-CMS_WINDOWED_ORACLE = f"""
-    WITH ev AS (
-        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
-               time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
-                   AS window_end,
-               user_id
-        FROM events WHERE user_id IS NOT NULL
-    ),
+
+def _cms_window_oracle(ev_cte: str) -> str:
+    """ONE oracle generator for the windowed/sliding count-min twins (r12,
+    the _hll_window_oracle convention): ``ev_cte`` must end by defining
+    ev(window_start, window_end, user_id). The tumbling render is
+    byte-identical to the r11 driver-green CMS_WINDOWED_ORACLE text."""
+    return f"""
+    WITH {ev_cte.strip()},
     js AS (SELECT unnest(range(0, {_CMS_D})) AS j),
     cells AS (
         SELECT window_start, window_end, j,
@@ -2430,11 +2430,29 @@ CMS_WINDOWED_ORACLE = f"""
     FROM scored
     """
 
+
+_CMS_WIN_EV_CTE = """ev AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+                   AS window_end,
+               user_id
+        FROM events WHERE user_id IS NOT NULL
+    )"""
+
+CMS_WINDOWED_ORACLE = _cms_window_oracle(_CMS_WIN_EV_CTE)
+
 _CMS_WIN_GCOLS = ("window_start", "window_end")
 
 
-@register("stream_countmin_windowed", CMS_WINDOWED_ORACLE)
-def stream_countmin_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cms_windowed_query(
+    spark: SparkSession, sf_dir: str, win: tuple, watermark: str
+) -> DataFrame:
+    """The windowed count-min query body, parametrized by the window spec
+    (r12: factored from stream_countmin_windowed so the sliding twin
+    extends via parameters — the hll fold convention). ``win`` is the
+    F.window argument tail after "ts": ("1 hour",) tumbling or
+    ("3 hours", "1 hour") sliding (batch F.window replicates panes the
+    same way the streaming fold does, so both arms key identically)."""
     from pyspark.sql.window import Window as W
 
     ev = (
@@ -2448,8 +2466,8 @@ def stream_countmin_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts", "j",
             _cms_bucket_col(F.col("user_id"), F.col("j")).alias("bucket"),
         )
-        .withWatermark("ts", "2 hours")
-        .groupBy(F.window("ts", "1 hour"), "j", "bucket")
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", *win), "j", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
         .select(
             F.col("window.start").alias("window_start"),
@@ -2461,7 +2479,7 @@ def stream_countmin_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_b = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull())
-        .select(F.window("ts", "1 hour").alias("window"), "user_id")
+        .select(F.window("ts", *win).alias("window"), "user_id")
         .select(
             F.col("window.start").alias("window_start"),
             F.col("window.end").alias("window_end"),
@@ -2500,6 +2518,39 @@ def stream_countmin_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("stream_countmin_windowed", CMS_WINDOWED_ORACLE)
+def stream_countmin_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cms_windowed_query(spark, sf_dir, ("1 hour",), "2 hours")
+
+
+_CMS_SLIDE_EV_CTE = """ev0 AS (SELECT ts, user_id FROM events
+            WHERE user_id IS NOT NULL),
+    ev AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) - i.i * INTERVAL '1 hour'
+                   AS window_start,
+               time_bucket(INTERVAL '1 hour', ts) - i.i * INTERVAL '1 hour'
+                   + INTERVAL '3 hours' AS window_end,
+               user_id
+        FROM ev0, range(3) i(i)
+    )"""
+
+CMS_SLIDING_ORACLE = _cms_window_oracle(_CMS_SLIDE_EV_CTE)
+
+
+@register("stream_countmin_sliding", CMS_SLIDING_ORACLE)
+def stream_countmin_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over a TRAILING 3-hour window sliding hourly — the
+    frequency companion to stream_hll_sliding, completing tumbling +
+    sliding symmetry for the count-min sketch (r12). Every event feeds 3
+    hourly-spaced panes (the pinned sliding replay); state = panes x
+    {_CMS_D} x {_CMS_W} cells in complete mode on the bounded drain,
+    watermark-expired to ACTIVE panes in append deployments (the fold
+    family's expiry contract). Scoring is the same per-window top-5 +
+    min-cell estimate, over the pane-replicated exact arm."""
+    return _cms_windowed_query(spark, sf_dir, ("3 hours", "1 hour"),
+                               "4 hours")
+
+
 # ---------------------------------------------------------------------------
 # Windowed streaming quantile sketch (r12): per-hour value percentiles —
 # the THIRD windowed sketch, completing the sketches-over-windows matrix
@@ -2523,14 +2574,14 @@ def stream_countmin_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .windows_stats import _QSK_QS, _QSK_W, quantile_bucket_col  # noqa: E402
 
-QUANTILE_WINDOWED_ORACLE = f"""
-    WITH v AS (
-        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
-               time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
-                   AS window_end,
-               CAST(value AS DOUBLE) AS value
-        FROM events WHERE value IS NOT NULL
-    ),
+
+def _quantile_window_oracle(v_cte: str) -> str:
+    """ONE oracle generator for the windowed/sliding quantile twins:
+    ``v_cte`` must end by defining v(window_start, window_end, value).
+    min/max are taken over v — pane replication leaves them unchanged, so
+    both renders share the Spark side's global epoch bounds."""
+    return f"""
+    WITH {v_cte.strip()},
     b AS (SELECT min(value) AS mn, max(value) AS mx FROM v),
     cells AS (
         SELECT window_start, window_end,
@@ -2574,16 +2625,30 @@ QUANTILE_WINDOWED_ORACLE = f"""
     FROM ranks
     """
 
+
+_QSK_WIN_V_CTE = """v AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+                   AS window_end,
+               CAST(value AS DOUBLE) AS value
+        FROM events WHERE value IS NOT NULL
+    )"""
+
+QUANTILE_WINDOWED_ORACLE = _quantile_window_oracle(_QSK_WIN_V_CTE)
+
 _QSK_WIN_GCOLS = ("window_start", "window_end")
 
 
 def quantile_windowed_fold(
-    ev: DataFrame, bounds: DataFrame, watermark: str = "2 hours"
+    ev: DataFrame,
+    bounds: DataFrame,
+    win: tuple = ("1 hour",),
+    watermark: str = "2 hours",
 ) -> DataFrame:
     """The windowed histogram fold: bucket each (ts, value) row map-side
-    against the broadcast 1-row epoch bounds, then count per (tumbling 1h
-    window, bucket) under the watermark — the quantile member of the
-    windowed-fold family hll_windowed_fold anchors."""
+    against the broadcast 1-row epoch bounds, then count per (window
+    spec ``win``, bucket) under the watermark — the quantile member of
+    the windowed-fold family hll_windowed_fold anchors."""
     return (
         ev.join(F.broadcast(bounds.select("mn", "mx")))
         .select(
@@ -2592,7 +2657,7 @@ def quantile_windowed_fold(
             .alias("bucket"),
         )
         .withWatermark("ts", watermark)
-        .groupBy(F.window("ts", "1 hour"), "bucket")
+        .groupBy(F.window("ts", *win), "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
         .select(
             F.col("window.start").alias("window_start"),
@@ -2602,24 +2667,25 @@ def quantile_windowed_fold(
     )
 
 
-@register("stream_quantile_windowed", QUANTILE_WINDOWED_ORACLE)
-def stream_quantile_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """p50/p90/p95/p99 of events.value PER HOUR from the windowed
-    histogram fold, with the per-window exact-rank error surface."""
+def _quantile_windowed_query(
+    spark: SparkSession, sf_dir: str, win: tuple, watermark: str
+) -> DataFrame:
+    """The windowed quantile query body, parametrized by the window spec
+    (the _cms_windowed_query convention): ``win`` is the F.window argument
+    tail — ("1 hour",) tumbling or ("3 hours", "1 hour") sliding."""
     bounds = quantile_bounds(quantile_vals(spark, sf_dir))
     ev = (
         events_stream(spark, sf_dir)
         .filter(F.col("value").isNotNull())
         .select("ts", F.col("value").cast("double").alias("value"))
     )
-    cells = run_to_table(
-        spark, quantile_windowed_fold(ev, bounds), "complete"
-    )
+    folded = quantile_windowed_fold(ev, bounds, win=win, watermark=watermark)
+    cells = run_to_table(spark, folded, "complete")
     vals_w = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
         .select(
-            F.window("ts", "1 hour").alias("window"),
+            F.window("ts", *win).alias("window"),
             F.col("value").cast("double").alias("value"),
         )
         .select(
@@ -2632,6 +2698,41 @@ def stream_quantile_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, cells, bounds,
         group_cols=_QSK_WIN_GCOLS, vals=vals_w,
     )
+
+
+@register("stream_quantile_windowed", QUANTILE_WINDOWED_ORACLE)
+def stream_quantile_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p95/p99 of events.value PER HOUR from the windowed
+    histogram fold, with the per-window exact-rank error surface."""
+    return _quantile_windowed_query(spark, sf_dir, ("1 hour",), "2 hours")
+
+
+_QSK_SLIDE_V_CTE = """v0 AS (SELECT ts, CAST(value AS DOUBLE) AS value
+             FROM events WHERE value IS NOT NULL),
+    v AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) - i.i * INTERVAL '1 hour'
+                   AS window_start,
+               time_bucket(INTERVAL '1 hour', ts) - i.i * INTERVAL '1 hour'
+                   + INTERVAL '3 hours' AS window_end,
+               value
+        FROM v0, range(3) i(i)
+    )"""
+
+QUANTILE_SLIDING_ORACLE = _quantile_window_oracle(_QSK_SLIDE_V_CTE)
+
+
+@register("stream_quantile_sliding", QUANTILE_SLIDING_ORACLE)
+def stream_quantile_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-3h value percentiles refreshed hourly — the distribution
+    companion to stream_hll_sliding/stream_countmin_sliding, completing
+    tumbling + sliding symmetry for ALL THREE windowed sketches (r12).
+    Every value feeds 3 hourly-spaced panes; state = panes x <= _QSK_W
+    cells in complete mode on the bounded drain, watermark-expired to
+    ACTIVE panes in append deployments. The shared global grid means a
+    pane's cells are the SUM of its 3 tumbling hours' cells — the
+    mergeability the epoch-bounds design buys."""
+    return _quantile_windowed_query(spark, sf_dir, ("3 hours", "1 hour"),
+                                    "4 hours")
 
 
 # ---------------------------------------------------------------------------
