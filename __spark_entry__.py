@@ -291,6 +291,9 @@ ROTATION_PRIORITY = [
     # the quantile and count-min sliding twins join stream_hll_sliding.
     "stream_quantile_sliding",
     "stream_countmin_sliding",
+    # r12: the full IVFADC layout — PQ codes trained on and encoding
+    # RESIDUALS (v - coarse centroid), measured against the raw-code tier.
+    "sim_ivfpq_residual_recall",
 ]
 
 

@@ -150,6 +150,7 @@ HEADLINE = [
     "stream_ivfpq_probe",
     "stream_quantile_sliding",
     "stream_countmin_sliding",
+    "sim_ivfpq_residual_recall",
 ]
 
 

@@ -2898,12 +2898,19 @@ _PQ_CTE_NAMES = ["e", "c0", "s1", "a1", "d1", "m1", "c1",
                  "s2", "a2", "d2", "m2", "c2", "code", "rc"]
 
 
-def _pq_chain(m: int) -> str:
+def _pq_chain(m: int, src: str = "e") -> str:
+    """One subspace's renamed train/encode/decode CTE chain. ``src`` is
+    the relation the subvector slice reads from — "e" (raw vectors, the
+    proven default whose renders are byte-frozen) or a residual relation
+    (r12, sim_ivfpq_residual_recall)."""
     lo, hi = m * _PQ_SUBDIM + 1, (m + 1) * _PQ_SUBDIM
     renamed = _rename_ctes(
         _PQ_RAW_CHAIN, {n: f"p{n}{m}" for n in _PQ_CTE_NAMES}
     )
-    return f"pe{m} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM e),\n    " + renamed
+    return (
+        f"pe{m} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM {src}),\n    "
+        + renamed
+    )
 
 
 _PQ_ADC_SQL = f"""
@@ -3133,6 +3140,156 @@ def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         F.broadcast(probed)
         .join(assigned, "bucket")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .join(recon, "vec_id")
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            F.round(cosine_pandas("qv", "rv"), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    ivfpq = (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _PQ_RECALL_K)
+        .select("q_id", "n_id", F.lit(1).alias("hit"))
+    )
+    brute = brute_force_topk(emb, queries, k=_PQ_RECALL_K).select(
+        "q_id", "n_id"
+    )
+    return (
+        brute.join(ivfpq, ["q_id", "n_id"], "left_outer")
+        .groupBy("q_id")
+        .agg(
+            F.count("hit").alias("hits"),
+            F.round(F.count("hit") / float(_PQ_RECALL_K), 4).alias("recall"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Residual IVF-PQ (r12): the textbook IVFADC detail sim_ivfpq_recall
+# omits — PQ codebooks train on and encode RESIDUALS v - coarse_centroid(v)
+# instead of raw vectors, and ADC scores queries against coarse_cv +
+# decoded_residual. Residuals concentrate around zero once the coarse
+# quantizer absorbs the vector's bucket-level position, so the same
+# 4 x 8-entry codebooks spend their resolution on a much smaller spread —
+# measured here: mean recall@5 0.36 vs raw IVF-PQ's 0.24 at sf0.01, on
+# uniform-random data where quantization is hardest (the honest-surface
+# convention). All arithmetic stays bit-deterministic: the residual is an
+# exact IEEE subtraction per dimension (list_zip x[1]-x[2] == zip_with
+# x - y), the reconstruction an exact addition, and the shared kmeans /
+# cosine machinery is unchanged — so the oracle replays coarse training,
+# residualization, all four residual-subspace trainings (_pq_chain with
+# src='res'), decode, and both rankings exactly.
+# ---------------------------------------------------------------------------
+
+_IVFPQ_RES_SQL = f"""
+    WITH {_EMB_D},
+    {_IVF_COARSE_CTES},
+    res AS (
+        SELECT a.vec_id,
+               list_transform(list_zip(a.v, c.cv), x -> x[1] - x[2]) AS v
+        FROM assigned a JOIN c2 c ON c.cent_id = a.bucket
+    ),
+    {','.join(_pq_chain(m, src='res') for m in range(_PQ_M))},
+    rres AS (
+        SELECT prc0.vec_id, prc0.cv || prc1.cv || prc2.cv || prc3.cv AS rv
+        FROM prc0 JOIN prc1 USING (vec_id) JOIN prc2 USING (vec_id)
+             JOIN prc3 USING (vec_id)
+    ),
+    recon AS (
+        SELECT rr.vec_id,
+               list_transform(list_zip(c.cv, rr.rv), x -> x[1] + x[2]) AS rv
+        FROM rres rr JOIN assigned a ON a.vec_id = rr.vec_id
+             JOIN c2 c ON c.cent_id = a.bucket
+    ),
+    qscored AS (
+        SELECT p.q_id, a.vec_id AS n_id,
+               round({_DOT.format(a='p.qv', b='r.rv')}
+                     / ({_NORM.format(a='p.qv')} * {_NORM.format(a='r.rv')}), 4) AS cos
+        FROM probed p JOIN assigned a ON p.bucket = a.bucket
+             JOIN recon r ON r.vec_id = a.vec_id
+        WHERE a.vec_id <> p.q_id
+    ),
+    ivfpq AS (
+        SELECT q_id, n_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+                                         ORDER BY cos DESC, n_id) AS rnk
+            FROM qscored)
+        WHERE rnk <= {_PQ_RECALL_K}
+    ),
+    qbscored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id, {_COS_QC} AS cos
+        FROM e q, e c
+        WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+    ),
+    qbrute AS (
+        SELECT q_id, n_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+                                         ORDER BY cos DESC, n_id) AS rnk
+            FROM qbscored)
+        WHERE rnk <= {_PQ_RECALL_K}
+    )
+    SELECT b.q_id, CAST(count(a.n_id) AS BIGINT) AS hits,
+           round(count(a.n_id) / {_PQ_RECALL_K}.0, 4) AS recall
+    FROM qbrute b LEFT JOIN ivfpq a ON b.q_id = a.q_id AND b.n_id = a.n_id
+    GROUP BY b.q_id
+    """
+
+
+@register("sim_ivfpq_residual_recall", _IVFPQ_RES_SQL)
+def sim_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@{k} of RESIDUAL IVF-PQ vs exact brute force — the full
+    IVFADC layout: coarse probe restricts candidates, PQ codes encode the
+    residual v - coarse_cv, ADC scores against coarse_cv + decoded
+    residual. Compare sim_ivfpq_recall (raw-subvector codes): residual
+    coding lifts mean recall 0.24 -> 0.36 at sf0.01 on the uniform-random
+    worst case, because the coarse quantizer absorbs bucket-level
+    position and the codebooks quantize the remaining small spread. Same
+    constant-size trained relations (8 coarse centroids + 4x8 residual
+    codebooks, broadcast); the corpus-proportional residual/reconstruction
+    relations stay UNHINTED."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine_pandas
+    from ..operators.similarity import (
+        assign_buckets,
+        kmeans_centroids,
+        probe_buckets,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 5)
+    coarse = kmeans_centroids(emb, k=_KMEANS_K, iterations=2)
+    cent_as_emb = coarse.select(
+        F.col("cent_id").alias("vec_id"), F.col("cv").alias("embedding")
+    )
+    assigned_v = assign_buckets(emb, cent_as_emb)
+    res = (
+        assigned_v.join(
+            F.broadcast(coarse), assigned_v["bucket"] == coarse["cent_id"]
+        )
+        .select(
+            "vec_id",
+            F.zip_with("embedding", "cv", lambda x, y: x - y)
+            .alias("embedding"),
+            "bucket",
+        )
+    )
+    rres = _pq_reconstruction(res.select("vec_id", "embedding"), out_col="rres")
+    recon = (
+        rres.join(res.select("vec_id", "bucket"), "vec_id")
+        .join(F.broadcast(coarse), F.col("bucket") == coarse["cent_id"])
+        .select(
+            "vec_id",
+            F.zip_with("cv", "rres", lambda x, y: x + y).alias("rv"),
+        )
+    )
+    probed = probe_buckets(queries, cent_as_emb, n_probe=2)
+    cand = (
+        F.broadcast(probed)
+        .join(assigned_v.select("vec_id", "bucket"), "bucket")
         .filter(F.col("q_id") != F.col("vec_id"))
         .join(recon, "vec_id")
         .select(

@@ -1799,22 +1799,11 @@ def test_quantile_windowed_monotone_and_bounded(spark, sf_dir):
                    for r in by_q)
 
 
-def test_pq_reconstruction_recovers_clustered_structure(spark):
-    """_pq_reconstruction's semantic contract beyond oracle parity: on
-    data WITH cluster structure (the regime PQ exists for — the honest
-    docstrings call uniform-random testdata the worst case), the decoded
-    reconstruction must stay close to the original vector. 8 tight
-    clusters in 64 dims, one member of each among vec_id 0..7 (the
-    deterministic k-means init), per-coordinate noise << cluster
-    separation -> cos(v, recon(v)) >= 0.95 for every vector."""
+def _clustered_embeddings(spark):
+    """8 tight clusters in 64 dims, one member of each among vec_id 0..7
+    (the deterministic k-means init), per-coordinate noise << cluster
+    separation — the structured regime PQ/IVF exist for."""
     import math
-
-    from spark_streaming_kafka_example_spark.functions.vectors import (
-        cosine_pandas,
-    )
-    from spark_streaming_kafka_example_spark.plans.llm import (
-        _pq_reconstruction,
-    )
 
     rows = []
     for i in range(160):
@@ -1825,9 +1814,23 @@ def test_pq_reconstruction_recovers_clustered_structure(spark):
             for d in range(64)
         ]
         rows.append((i, vec))
-    emb = spark.createDataFrame(
-        rows, "vec_id long, embedding array<double>"
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_reconstruction_recovers_clustered_structure(spark):
+    """_pq_reconstruction's semantic contract beyond oracle parity: on
+    data WITH cluster structure (the regime PQ exists for — the honest
+    docstrings call uniform-random testdata the worst case), the decoded
+    reconstruction must stay close to the original vector:
+    cos(v, recon(v)) >= 0.95 for every vector."""
+    from spark_streaming_kafka_example_spark.functions.vectors import (
+        cosine_pandas,
     )
+    from spark_streaming_kafka_example_spark.plans.llm import (
+        _pq_reconstruction,
+    )
+
+    emb = _clustered_embeddings(spark)
     recon = _pq_reconstruction(emb, out_col="rv")
     scored = (
         emb.join(recon, "vec_id")
@@ -1836,6 +1839,59 @@ def test_pq_reconstruction_recovers_clustered_structure(spark):
     )
     assert len(scored) == 160
     assert all(r.cos >= 0.95 for r in scored), sorted(
+        r.cos for r in scored
+    )[:5]
+
+
+def test_residual_pq_roundtrip_on_clustered_data(spark):
+    """The residual IVFADC round-trip (subtract coarse centroid ->
+    quantize residual -> add back) must be a NEAR-EXACT reconstruction on
+    clustered data: once the coarse quantizer absorbs the cluster
+    position, residuals are just the small noise, so coarse_cv + decoded
+    residual recovers the vector even more tightly than raw-subvector PQ
+    — cos(v, coarse_cv + rres(v)) >= 0.995 for every vector. Pins the
+    residual plumbing sim_ivfpq_residual_recall builds on."""
+    from spark_streaming_kafka_example_spark.functions.vectors import (
+        cosine_pandas,
+    )
+    from spark_streaming_kafka_example_spark.operators.similarity import (
+        assign_buckets,
+        kmeans_centroids,
+    )
+    from spark_streaming_kafka_example_spark.plans.llm import (
+        _KMEANS_K,
+        _pq_reconstruction,
+    )
+
+    emb = _clustered_embeddings(spark)
+    coarse = kmeans_centroids(emb, k=_KMEANS_K, iterations=2)
+    assigned_v = assign_buckets(
+        emb,
+        coarse.select(F.col("cent_id").alias("vec_id"),
+                      F.col("cv").alias("embedding")),
+    )
+    res = assigned_v.join(
+        F.broadcast(coarse), assigned_v["bucket"] == coarse["cent_id"]
+    ).select(
+        "vec_id",
+        F.zip_with("embedding", "cv", lambda x, y: x - y).alias("embedding"),
+        "bucket",
+    )
+    rres = _pq_reconstruction(res.select("vec_id", "embedding"),
+                              out_col="rres")
+    recon = (
+        rres.join(res.select("vec_id", "bucket"), "vec_id")
+        .join(F.broadcast(coarse), F.col("bucket") == coarse["cent_id"])
+        .select("vec_id",
+                F.zip_with("cv", "rres", lambda x, y: x + y).alias("rv"))
+    )
+    scored = (
+        emb.join(recon, "vec_id")
+        .select(F.round(cosine_pandas("embedding", "rv"), 4).alias("cos"))
+        .collect()
+    )
+    assert len(scored) == 160
+    assert all(r.cos >= 0.995 for r in scored), sorted(
         r.cos for r in scored
     )[:5]
 
