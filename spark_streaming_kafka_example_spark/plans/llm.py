@@ -3074,9 +3074,14 @@ _IVFPQ_TOPK_SQL = f"""
     WHERE rnk <= {_PQ_RECALL_K}
     """
 
-_IVFPQ_SQL = f"""
+def _ivfpq_recall_sql(base_ctes: str) -> str:
+    """ONE recall-vs-brute scaffold (rank qscored -> exact brute top-k ->
+    per-query hit count) shared by the raw and residual IVF-PQ oracles
+    (r12 review: the ~35-line scaffold was restated verbatim).
+    ``base_ctes`` must end by defining qscored(q_id, n_id, cos)."""
+    return f"""
     WITH {_EMB_D},
-    {_IVFPQ_BASE_CTES},
+    {base_ctes},
     ivfpq AS (
         SELECT q_id, n_id FROM (
             SELECT *, row_number() OVER (PARTITION BY q_id
@@ -3101,6 +3106,9 @@ _IVFPQ_SQL = f"""
     FROM qbrute b LEFT JOIN ivfpq a ON b.q_id = a.q_id AND b.n_id = a.n_id
     GROUP BY b.q_id
     """
+
+
+_IVFPQ_SQL = _ivfpq_recall_sql(_IVFPQ_BASE_CTES)
 
 
 @register("sim_ivfpq_recall", _IVFPQ_SQL)
@@ -3184,9 +3192,7 @@ def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # src='res'), decode, and both rankings exactly.
 # ---------------------------------------------------------------------------
 
-_IVFPQ_RES_SQL = f"""
-    WITH {_EMB_D},
-    {_IVF_COARSE_CTES},
+_IVFPQ_RES_BASE_CTES = f"""{_IVF_COARSE_CTES},
     res AS (
         SELECT a.vec_id,
                list_transform(list_zip(a.v, c.cv), x -> x[1] - x[2]) AS v
@@ -3211,31 +3217,9 @@ _IVFPQ_RES_SQL = f"""
         FROM probed p JOIN assigned a ON p.bucket = a.bucket
              JOIN recon r ON r.vec_id = a.vec_id
         WHERE a.vec_id <> p.q_id
-    ),
-    ivfpq AS (
-        SELECT q_id, n_id FROM (
-            SELECT *, row_number() OVER (PARTITION BY q_id
-                                         ORDER BY cos DESC, n_id) AS rnk
-            FROM qscored)
-        WHERE rnk <= {_PQ_RECALL_K}
-    ),
-    qbscored AS (
-        SELECT q.vec_id AS q_id, c.vec_id AS n_id, {_COS_QC} AS cos
-        FROM e q, e c
-        WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
-    ),
-    qbrute AS (
-        SELECT q_id, n_id FROM (
-            SELECT *, row_number() OVER (PARTITION BY q_id
-                                         ORDER BY cos DESC, n_id) AS rnk
-            FROM qbscored)
-        WHERE rnk <= {_PQ_RECALL_K}
-    )
-    SELECT b.q_id, CAST(count(a.n_id) AS BIGINT) AS hits,
-           round(count(a.n_id) / {_PQ_RECALL_K}.0, 4) AS recall
-    FROM qbrute b LEFT JOIN ivfpq a ON b.q_id = a.q_id AND b.n_id = a.n_id
-    GROUP BY b.q_id
-    """
+    )"""
+
+_IVFPQ_RES_SQL = _ivfpq_recall_sql(_IVFPQ_RES_BASE_CTES)
 
 
 @register("sim_ivfpq_residual_recall", _IVFPQ_RES_SQL)
@@ -3265,7 +3249,13 @@ def sim_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_as_emb = coarse.select(
         F.col("cent_id").alias("vec_id"), F.col("cv").alias("embedding")
     )
-    assigned_v = assign_buckets(emb, cent_as_emb)
+    # Lazy lineage cuts (the kmeans_centroids idiom): assigned_v feeds the
+    # residual chain AND the candidate join, and res is sliced by all four
+    # subspace trainings plus the reconstruction join — without the cuts
+    # one action replays the corpus x centroids argmax derivation many
+    # times over (r12 review). At cluster scale these are "write the
+    # assignment / residual tables once".
+    assigned_v = assign_buckets(emb, cent_as_emb).localCheckpoint(eager=False)
     res = (
         assigned_v.join(
             F.broadcast(coarse), assigned_v["bucket"] == coarse["cent_id"]
@@ -3276,6 +3266,7 @@ def sim_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("embedding"),
             "bucket",
         )
+        .localCheckpoint(eager=False)
     )
     rres = _pq_reconstruction(res.select("vec_id", "embedding"), out_col="rres")
     recon = (

@@ -2014,11 +2014,13 @@ def stream_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The oracle unrolls exactly _BPE_ROUNDS doc-level CTEs; a trainer that
     # exhausted pairs early would empty the oracle's m{i} CROSS JOIN and
-    # fail parity confusingly downstream — fail HERE instead (r11 ADVICE).
-    assert len(merges) == _BPE_ROUNDS, (
-        f"train_bpe returned {len(merges)} merges, oracle unrolls "
-        f"{_BPE_ROUNDS} — corpus too small for the fixed round count"
-    )
+    # fail parity confusingly downstream — fail HERE instead (r11 ADVICE;
+    # a real raise, not assert, so python -O can't strip the guard).
+    if len(merges) != _BPE_ROUNDS:
+        raise ValueError(
+            f"train_bpe returned {len(merges)} merges, oracle unrolls "
+            f"{_BPE_ROUNDS} — corpus too small for the fixed round count"
+        )
     return run_to_table(
         spark, stream_bpe_tokenize_plan(spark, sf_dir, merges), "append"
     )
@@ -2759,8 +2761,12 @@ from .llm import (  # noqa: E402
 )
 
 
-@register("stream_ivfpq_probe", _IVFPQ_TOPK_SQL)
-def stream_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_ivfpq_probe_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-drain streaming plan (literal-centroid probe -> unhinted coded
+    catalog join -> one streaming top-k aggregation), exposed for the
+    hint-free plan test (ninth builder in
+    test_stream_static_joins_unhinted_equi — the catalog grows with the
+    corpus, so a hard-coded broadcast would be the r08 regression class)."""
     from ..functions.vectors import cosine, cosine_pandas
     from ..operators.similarity import assign_buckets, kmeans_centroids
 
@@ -2828,7 +2834,14 @@ def stream_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pos") + 1).cast("int").alias("rnk"),
         )
     )
-    return run_to_table(spark, topk, "complete")
+    return topk
+
+
+@register("stream_ivfpq_probe", _IVFPQ_TOPK_SQL)
+def stream_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_table(
+        spark, stream_ivfpq_probe_plan(spark, sf_dir), "complete"
+    )
 
 
 # ---------------------------------------------------------------------------

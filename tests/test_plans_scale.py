@@ -740,7 +740,10 @@ def test_ivf_index_path_distinct_per_sf_dir(spark, sf_dir, tmp_path):
     ["stream_cohort_retention_plan", "stream_funnel_plan",
      "stream_image_phash_plan", "stream_audio_envelope_plan",
      "stream_audio_spectral_plan", "stream_video_frames_plan",
-     "stream_pretrain_gate_plan", "stream_minhash_probe_plan"],
+     "stream_pretrain_gate_plan", "stream_minhash_probe_plan",
+     # r12: the coded-catalog ANN probe — the catalog (bucket + PQ
+     # reconstruction per corpus vector) grows with the corpus.
+     "stream_ivfpq_probe_plan"],
 )
 def test_stream_static_joins_unhinted_equi(spark, sf_dir, builder):
     from spark_streaming_kafka_example_spark.plans import stream as st

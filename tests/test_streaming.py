@@ -966,11 +966,11 @@ def _state_rows(q) -> int:
 def test_minhash_probe_recalls_planted_near_dups(spark, sf_dir):
     """The at-ingest MinHash probe's recall claim as a contract (r11
     ADVICE): the planted tail-truncated re-uploads (source +
-    _MH_PLANT_OFFSET, Jaccard ~0.75 vs their even-id source) must mostly
-    surface with >= 1 store candidate — 5x3 banding at j~0.75 recalls
-    1-(1-j^3)^5 ~ 0.93 per plant, so well over half of the ~n/10 plants
-    must band. Only plants of EVEN sources can match (odd sources are not
-    in the store catalog), so recall is measured against those."""
+    _MH_PLANT_OFFSET, Jaccard ~0.75 vs their source — every plant source
+    is doc_id % 10 == 0, hence even, hence IN the store catalog) must
+    mostly surface with >= 1 store candidate — 5x3 banding at j~0.75
+    recalls 1-(1-j^3)^5 ~ 0.93 per plant, so well over half of the ~n/10
+    plants must band."""
     from spark_streaming_kafka_example_spark.plans.stream import (
         _MH_PLANT_OFFSET,
         stream_minhash_probe,
@@ -979,7 +979,7 @@ def test_minhash_probe_recalls_planted_near_dups(spark, sf_dir):
 
     n_src = (
         load_table(spark, sf_dir, "documents")
-        .filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 2 == 0))
+        .filter(F.col("doc_id") % 10 == 0)
         .count()
     )
     rows = stream_minhash_probe(spark, sf_dir).collect()
@@ -987,7 +987,6 @@ def test_minhash_probe_recalls_planted_near_dups(spark, sf_dir):
         r.doc_id - _MH_PLANT_OFFSET: r.n_store_candidates
         for r in rows
         if r.doc_id >= _MH_PLANT_OFFSET
-        and (r.doc_id - _MH_PLANT_OFFSET) % 2 == 0
     }
     assert n_src >= 5  # the plant population exists at this sf
     recall = len(found) / n_src
