@@ -1896,6 +1896,50 @@ def test_residual_pq_roundtrip_on_clustered_data(spark):
     )[:5]
 
 
+def test_sliding_quantile_panes_sum_tumbling_cells(spark, sf_dir):
+    """The mergeability claim behind the shared global grid, pinned
+    exactly (r12): a sliding 3h/1h pane's cells must equal the SUM of its
+    three tumbling hours' cells — window rollups need no re-bucketing.
+    Both sides run the SAME quantile_windowed_fold (watermark is a no-op
+    on a batch DataFrame), so this also proves Spark's sliding F.window
+    pane assignment equals the explicit shift-replicate construction the
+    DuckDB oracles use."""
+    from spark_streaming_kafka_example_spark.plans.stream import (
+        quantile_windowed_fold,
+    )
+    from spark_streaming_kafka_example_spark.plans.windows_stats import (
+        quantile_bounds,
+        quantile_vals,
+    )
+    from spark_streaming_kafka_example_spark.sources import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("ts", F.col("value").cast("double").alias("value"))
+    )
+    bounds = quantile_bounds(quantile_vals(spark, sf_dir))
+    tumb = quantile_windowed_fold(ev, bounds)
+    slide = quantile_windowed_fold(ev, bounds, win=("3 hours", "1 hour"))
+    expected = (
+        tumb.select(
+            F.explode(F.array(*[F.lit(i) for i in range(3)])).alias("i"),
+            "window_start", "bucket", "c",
+        )
+        .select(
+            F.expr("window_start - INTERVAL '1' HOUR * i").alias("window_start"),
+            F.expr(
+                "window_start - INTERVAL '1' HOUR * i + INTERVAL '3' HOUR"
+            ).alias("window_end"),
+            "bucket", "c",
+        )
+        .groupBy("window_start", "window_end", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    diff = slide.exceptAll(expected).unionAll(expected.exceptAll(slide))
+    assert diff.count() == 0
+
+
 def test_quantile_sketch_merges(spark, sf_dir):
     """Executor-mergeability, the property that makes the sketch a sketch:
     cells built on two disjoint halves of the data, merged by summing per

@@ -887,23 +887,25 @@ def test_pretrain_gate_planted_semantics(spark, sf_dir):
     )
 
 
-def test_windowed_sketch_watermark_expires_state(spark, tmp_path):
+@pytest.mark.parametrize("sketch", ["hll", "quantile"])
+def test_windowed_sketch_watermark_expires_state(spark, tmp_path, sketch):
     """The windowed-sketch state bound as a CONTRACT (r11 VERDICT task 4):
-    the three windowed twins (stream_hll_windowed/sliding,
-    stream_countmin_windowed) document "watermark expires closed windows'
-    registers, so state = ACTIVE windows x groups x m". The bounded
-    complete-mode drains can't show that, so this runs the SAME fold
-    (hll_windowed_fold, the production definition) in APPEND mode across
-    micro-batches: a batch far past the watermark must (a) emit the closed
-    window's registers exactly once and (b) shrink the state store to the
-    still-active window's rows only — state does not grow with window
-    history."""
+    the windowed twins document "watermark expires closed windows'
+    registers/cells, so state = ACTIVE windows x groups x m". The bounded
+    complete-mode drains can't show that, so this runs the SAME folds the
+    production queries drain (hll_windowed_fold / quantile_windowed_fold
+    — the count-min fold shares the identical watermark+window+agg shape
+    inside _cms_windowed_query) in APPEND mode across micro-batches: a
+    batch far past the watermark must (a) emit the closed window's rows
+    exactly once and (b) shrink the state store to the still-active
+    window's rows only — state does not grow with window history."""
     from spark_streaming_kafka_example_spark.plans.stream import (
         hll_windowed_fold,
+        quantile_windowed_fold,
     )
 
     src = str(tmp_path / "wm_sketch_src")
-    ev_schema = "ts timestamp, event_type string, user_id long"
+    ev_schema = "ts timestamp, event_type string, user_id long, value double"
 
     def write_batch(rows):
         spark.createDataFrame(rows, ev_schema).coalesce(1).write.mode(
@@ -913,12 +915,21 @@ def test_windowed_sketch_watermark_expires_state(spark, tmp_path):
     import datetime as dt
 
     t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
-    write_batch([(t(0, 10), "click", 1), (t(0, 20), "click", 2),
-                 (t(0, 20), "click", 3)])
+    # 3 distinct users / 3 well-separated values -> 1..3 state rows in
+    # the hour-0 window for either fold.
+    write_batch([(t(0, 10), "click", 1, 10.0), (t(0, 20), "click", 2, 50.0),
+                 (t(0, 20), "click", 3, 90.0)])
     stream = spark.readStream.schema(ev_schema).parquet(src)
-    name = "t_wm_sketch"
+    if sketch == "hll":
+        folded = hll_windowed_fold(stream, watermark="2 hours")
+    else:
+        bounds = spark.createDataFrame(
+            [(0.0, 100.0, 3)], "mn double, mx double, n long"
+        )  # the batch-computed epoch grid configuration
+        folded = quantile_windowed_fold(stream, bounds, watermark="2 hours")
+    name = f"t_wm_sketch_{sketch}"
     q = (
-        hll_windowed_fold(stream, watermark="2 hours")
+        folded
         .writeStream.outputMode("append").format("memory").queryName(name)
         .option("checkpointLocation", str(tmp_path / "wm_sketch_ckpt"))
         .trigger(processingTime="200 milliseconds")
@@ -930,20 +941,20 @@ def test_windowed_sketch_watermark_expires_state(spark, tmp_path):
         # time (00:20) -> nothing emitted, registers buffered in state.
         assert spark.table(name).count() == 0
         hour0_state = _state_rows(q)
-        assert 1 <= hour0_state <= 3  # <=3 users' buckets (md5 collisions ok)
+        assert 1 <= hour0_state <= 3  # <=3 buckets (hash/grid collisions ok)
 
         # Batch 2: one event 10 hours later -> watermark 08:00 passes the
         # hour-0 window, which must emit once and leave the state store.
-        write_batch([(t(10), "click", 9)])
+        write_batch([(t(10), "click", 9, 42.0)])
         q.processAllAvailable()
         emitted = spark.table(name).collect()
         assert {r.window_start for r in emitted} == {t(0)}
-        assert len(emitted) == hour0_state  # every buffered register, once
+        assert len(emitted) == hour0_state  # every buffered row, once
         assert _state_rows(q) == 1  # ONLY the active hour-10 row survives
 
         # Batch 3: another jump -> hour-10 emits once, hour-0 is NOT
         # re-emitted, state again holds only the newest window.
-        write_batch([(t(20), "click", 9)])
+        write_batch([(t(20), "click", 9, 42.0)])
         q.processAllAvailable()
         emitted = spark.table(name).collect()
         assert sum(r.window_start == t(0) for r in emitted) == hour0_state
