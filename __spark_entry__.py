@@ -294,6 +294,9 @@ ROTATION_PRIORITY = [
     # r12: the full IVFADC layout — PQ codes trained on and encoding
     # RESIDUALS (v - coarse centroid), measured against the raw-code tier.
     "sim_ivfpq_residual_recall",
+    # r12: int8 scalar quantization's recall surface, completing the
+    # compression-recall table (brute | int8 4x | IVF | PQ 64x | IVF-PQ).
+    "sim_sq8_recall",
 ]
 
 

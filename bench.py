@@ -151,6 +151,7 @@ HEADLINE = [
     "stream_quantile_sliding",
     "stream_countmin_sliding",
     "sim_ivfpq_residual_recall",
+    "sim_sq8_recall",
 ]
 
 

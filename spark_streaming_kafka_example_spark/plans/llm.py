@@ -3222,6 +3222,88 @@ _IVFPQ_RES_BASE_CTES = f"""{_IVF_COARSE_CTES},
 _IVFPQ_RES_SQL = _ivfpq_recall_sql(_IVFPQ_RES_BASE_CTES)
 
 
+# ---------------------------------------------------------------------------
+# Scalar-quantization recall (r12): sim_quantize_int8 ships the 4x int8
+# codes with a per-dimension error bound, but no RANKING-quality number —
+# this closes the compression-recall table with the same recall@k surface
+# every other tier reports (brute 1.0 | int8 ~1.0 at 4x | IVF | PQ ~0.2 at
+# 64x | IVF-PQ), so "which tier do I store" is a measured trade, not a
+# guess. Candidates are ranked by cosine against their DEQUANTIZED vectors
+# round(127*x/scale) * scale/127 — the exact reconstruction the stored
+# codes imply; the round-trip arithmetic is the proven sim_quantize_int8
+# expression (q-value parity already driver-green), so the oracle replays
+# quantize -> dequantize -> both rankings exactly via the shared
+# _ivfpq_recall_sql scaffold.
+# ---------------------------------------------------------------------------
+
+_SQ8_BASE_CTES = f"""sq AS (
+        SELECT vec_id, v,
+               greatest(list_max(list_transform(v, x -> abs(x))), 1e-12)
+                   AS scale
+        FROM e
+    ),
+    dq AS (
+        SELECT vec_id,
+               list_transform(v, x ->
+                   round({_QUANT_LEVELS} * x / scale) * scale
+                       / {_QUANT_LEVELS}) AS rv
+        FROM sq
+    ),
+    qscored AS (
+        SELECT q.vec_id AS q_id, r.vec_id AS n_id,
+               round({_DOT.format(a='q.v', b='r.rv')}
+                     / ({_NORM.format(a='q.v')} * {_NORM.format(a='r.rv')}), 4) AS cos
+        FROM e q, dq r
+        WHERE q.vec_id < 5 AND r.vec_id <> q.vec_id
+    )"""
+
+_SQ8_RECALL_SQL = _ivfpq_recall_sql(_SQ8_BASE_CTES)
+
+
+@register("sim_sq8_recall", _SQ8_RECALL_SQL)
+def sim_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@{k} of int8 scalar quantization vs exact brute force, per
+    query: candidates rank by cosine against their dequantized vectors.
+    Measured ~1.0 — symmetric per-vector int8 barely moves cosine order,
+    which is exactly the storage-tier story: 4x compression ~ free
+    recall, 64x (PQ) costs recall, and the table makes the trade
+    explicit. Scale: dequantization is a zero-exchange projection; the
+    ranking plan is brute force's (broadcast queries, one corpus pass,
+    per-query top-k)."""
+    from ..functions.vectors import cosine_pandas  # noqa: F401 (doc link)
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    v = F.col("embedding")
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-12)
+    )
+    dq = emb.select(
+        "vec_id",
+        F.transform(
+            v,
+            lambda x: F.round(F.lit(_QUANT_LEVELS) * x / scale)
+            * scale / _QUANT_LEVELS,
+        ).alias("embedding"),
+    )
+    sq8 = brute_force_topk(dq, queries, k=_PQ_RECALL_K).select(
+        "q_id", "n_id", F.lit(1).alias("hit")
+    )
+    brute = brute_force_topk(emb, queries, k=_PQ_RECALL_K).select(
+        "q_id", "n_id"
+    )
+    return (
+        brute.join(sq8, ["q_id", "n_id"], "left_outer")
+        .groupBy("q_id")
+        .agg(
+            F.count("hit").alias("hits"),
+            F.round(F.count("hit") / float(_PQ_RECALL_K), 4).alias("recall"),
+        )
+    )
+
+
 @register("sim_ivfpq_residual_recall", _IVFPQ_RES_SQL)
 def sim_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@{k} of RESIDUAL IVF-PQ vs exact brute force — the full
