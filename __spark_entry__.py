@@ -297,6 +297,10 @@ ROTATION_PRIORITY = [
     # r12: int8 scalar quantization's recall surface, completing the
     # compression-recall table (brute | int8 4x | IVF | PQ 64x | IVF-PQ).
     "sim_sq8_recall",
+    # r12: grid mergeability as a driver-checked fact — daily quantiles
+    # served by SUM-merging the hourly cells; the oracle builds daily
+    # cells directly, so the hash match proves the rollup exact.
+    "sketch_quantile_rollup",
 ]
 
 

@@ -152,6 +152,7 @@ HEADLINE = [
     "stream_countmin_sliding",
     "sim_ivfpq_residual_recall",
     "sim_sq8_recall",
+    "sketch_quantile_rollup",
 ]
 
 

@@ -2709,6 +2709,72 @@ def stream_quantile_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _quantile_windowed_query(spark, sf_dir, ("1 hour",), "2 hours")
 
 
+# Hour -> day rollup (r12): the shared-global-grid mergeability claim as
+# a DRIVER-CHECKED fact, not only a pytest — the Spark side builds DAILY
+# quantile sketches by SUM-merging the HOURLY fold's cells (never
+# re-reading values into buckets), while the oracle builds daily cells
+# DIRECTLY from the values. The oracle cannot see the merge, so the hash
+# match proves sum(hourly cells) == daily cells exactly — the property
+# that lets a 100 TB pipeline keep one hourly sketch table and serve
+# hour/day/epoch quantiles from rollups alone.
+_QSK_DAY_V_CTE = """v AS (
+        SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+               time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day'
+                   AS window_end,
+               CAST(value AS DOUBLE) AS value
+        FROM events WHERE value IS NOT NULL
+    )"""
+
+QUANTILE_ROLLUP_ORACLE = _quantile_window_oracle(_QSK_DAY_V_CTE)
+
+
+@register("sketch_quantile_rollup", QUANTILE_ROLLUP_ORACLE)
+def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p50/p90/p95/p99 of events.value served from the HOURLY
+    sketch table: hourly cells (the same quantile_windowed_fold the
+    streaming twin drains — watermark is a no-op on a batch frame)
+    SUM-merge by (day, bucket) into daily sketches, then score against
+    the per-day exact ranks. The merge is one partial-aggregated groupBy
+    over (days x <= _QSK_W) rows — no second pass over the values."""
+    bounds = quantile_bounds(quantile_vals(spark, sf_dir))
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("ts", F.col("value").cast("double").alias("value"))
+    )
+    hourly = quantile_windowed_fold(ev, bounds)
+    daily_cells = (
+        hourly.select(
+            F.date_trunc("day", "window_start").alias("window_start"),
+            "bucket", "c",
+        )
+        .groupBy("window_start", "bucket")
+        .agg(F.sum("c").alias("c"))
+        .select(
+            "window_start",
+            F.expr("window_start + INTERVAL '1' DAY").alias("window_end"),
+            "bucket", "c",
+        )
+    )
+    vals_d = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.window("ts", "1 day").alias("window"),
+            F.col("value").cast("double").alias("value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "value",
+        )
+    )
+    return quantile_score(
+        spark, sf_dir, daily_cells, bounds,
+        group_cols=_QSK_WIN_GCOLS, vals=vals_d,
+    )
+
+
 _QSK_SLIDE_V_CTE = """v0 AS (SELECT ts, CAST(value AS DOUBLE) AS value
              FROM events WHERE value IS NOT NULL),
     v AS (
