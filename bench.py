@@ -229,20 +229,71 @@ def _calibration(spark) -> dict[str, float]:
 _EMIT_BUDGET = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1900"))
 
 
-def emit_line(timings: dict[str, float], sf, calibration: dict) -> str:
-    """The ONE output line, guaranteed <= _EMIT_BUDGET bytes (r12, r11
-    VERDICT task 1): per-query entries are ordered oldest-first (REVERSE
-    driver-window order — the r11 move) and dropped OLDEST-first until
-    the serialized line fits, so the newest / CORE rows always survive
-    and the head of the JSON is never truncated. `value` stays the total
-    over ALL sampled queries (not just the emitted map); `n_queries` /
-    `n_emitted` record the coverage so a reader knows when entries were
-    dropped. tests/test_operators.py::test_bench_line_fits_driver_capture
-    pins the worst-case emitted length against the measured capture."""
-    from __spark_entry__ import _ordered_names
+def _capture_rounds() -> dict[str, int]:
+    """name -> latest driver round whose recorded BENCH_r{N}.json capture
+    window actually holds a per-query time for name (a quote-delimited
+    `"name":` match inside the stored tail — works on the head-truncated
+    r01-r11 lines too; a name whose leading quote was cut off was not
+    legibly captured). Names absent from every capture have NO bench
+    history. BENCH_NOISE_* dev recordings are deliberately excluded: they
+    carry full per-query maps at a raised dev budget, which would mark
+    every name "just captured" and freeze the rotation.
 
-    pos = {n: i for i, n in enumerate(reversed(_ordered_names()))}
-    names = sorted(timings, key=lambda n: pos.get(n, -1))  # oldest first
+    This keying is STABLE across the round lifecycle (r12 VERDICT task 1 /
+    ADVICE): the driver writes BENCH_r{N} and CORRECTNESS_r{N} only AFTER
+    this round's bench run, and neither artifact can reorder a
+    *past* capture — unlike the r12 `_ordered_names()` keying, which
+    flipped the moment CORRECTNESS_r12.json landed and turned the pytest
+    gate red mid-round."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    seen: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                tail = json.load(f).get("tail", "")
+        except Exception:
+            continue
+        for name in re.findall(r'"([A-Za-z0-9_]+)":[0-9]', tail):
+            seen[name] = max(seen.get(name, 0), rnd)
+    return seen
+
+
+def _drop_order(names) -> list[str]:
+    """Emission-eviction order (r13, r12 VERDICT task 5): drop the MOST-
+    recently-captured names first, so every HEADLINE query lands a
+    captured per-query time within ~2 rounds — the names the 61-slot r12
+    line starved rotate in automatically because last round's survivors
+    now sort to the drop-first end. Ties (same latest capture round, and
+    the whole never-captured class at round 0) break by HEADLINE index
+    ascending — registration order, a stable notion of age — so the
+    newest registrations always sit at the kept tail regardless of their
+    driver-green status."""
+    cap = _capture_rounds()
+    idx = {n: i for i, n in enumerate(HEADLINE)}
+    return sorted(names, key=lambda n: (-cap.get(n, 0), idx.get(n, -1)))
+
+
+def emit_line(timings: dict[str, float], sf, calibration: dict) -> str:
+    """The ONE output line, guaranteed <= _EMIT_BUDGET bytes (r11 VERDICT
+    task 1): per-query entries are dropped in `_drop_order` (most-recently-
+    captured first; never-captured and newest registrations survive
+    longest) until the serialized line fits, so the head of the JSON is
+    never truncated and per-query coverage ROTATES across rounds. `value`
+    stays the total over ALL sampled queries (not just the emitted map);
+    `n_queries` / `n_emitted` record the coverage so a reader knows when
+    entries were dropped.
+    tests/test_operators.py::test_bench_line_fits_driver_capture pins the
+    worst-case emitted length against the measured capture — with
+    structural assertions only, so the gate stays green after the
+    driver's round artifacts land (r12 VERDICT task 1)."""
+    names = _drop_order(timings)
     total = round(sum(timings.values()), 3)
 
     def render(keep: list[str]) -> str:

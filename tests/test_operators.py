@@ -2259,7 +2259,16 @@ def test_bench_line_fits_driver_capture():
     bytes (r11 VERDICT task 1 — the earlier 3300-byte bound assumed a
     ~3.5 KB capture that does not exist, so the r10/r11 lines arrived
     head-truncated and unparseable). The line self-sizes by dropping the
-    OLDEST per-query entries; totals cover ALL queries regardless."""
+    MOST-RECENTLY-CAPTURED per-query entries first (r12 VERDICT task 5 —
+    coverage rotates, so every headline query lands a captured time
+    within ~2 rounds); totals cover ALL queries regardless.
+
+    Assertions are STRUCTURAL — re-derived from the same capture-history
+    key emit_line uses, with no hard-coded current-round survivor and no
+    `_ordered_names()` dependence — so the gate stays green both before
+    AND after the driver writes this round's BENCH/CORRECTNESS artifacts
+    (r12 VERDICT task 1: the old keying flipped when the untracked
+    CORRECTNESS_r12.json landed, reddening the committed tree mid-round)."""
     import bench
 
     worst = {n: 9999.99 for n in bench.HEADLINE}
@@ -2275,19 +2284,25 @@ def test_bench_line_fits_driver_capture():
     assert parsed["value"] == round(sum(worst.values()), 3)
     assert parsed["n_queries"] == len(bench.HEADLINE)
     assert parsed["n_emitted"] == len(parsed["queries"])
-    # the survivors must be exactly the NEWEST-by-window-order suffix:
-    # dropping anything else would sacrifice rows with no bench history
-    from __spark_entry__ import _ordered_names
-
-    pos = {n: i for i, n in enumerate(reversed(_ordered_names()))}
-    by_age = sorted(worst, key=lambda n: pos.get(n, -1))
-    assert list(parsed["queries"]) == by_age[-parsed["n_emitted"]:]
-    # every CORE pin and the newest registration survive worst case
-    from __spark_entry__ import CORE_WINDOW
-
-    survivors = set(parsed["queries"])
-    assert "sim_ivfpq_recall" in survivors
-    assert set(CORE_WINDOW) & set(bench.HEADLINE) <= survivors
+    # the survivors must be exactly the kept-priority suffix of the SAME
+    # drop order emit_line used (least-recently-captured kept)
+    order = bench._drop_order(worst)
+    assert list(parsed["queries"]) == order[-parsed["n_emitted"]:]
+    # names with NO bench history (this round's registrations and the
+    # capture-starved tail) all survive: only already-captured names drop
+    history = bench._capture_rounds()
+    dropped = [n for n in worst if n not in parsed["queries"]]
+    assert all(n in history for n in dropped), [
+        n for n in dropped if n not in history
+    ]
+    # rotation is real: every dropped name was captured no earlier than
+    # every surviving captured name (most-recent-first eviction)
+    if dropped:
+        oldest_dropped = min(history[n] for n in dropped)
+        survived_caps = [
+            history[n] for n in parsed["queries"] if n in history
+        ]
+        assert all(c <= oldest_dropped for c in survived_caps)
 
 
 def test_minhash_within_row_sigs_match_groupby(spark):
