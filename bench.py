@@ -154,6 +154,7 @@ HEADLINE = [
     "sim_sq8_recall",
     "sketch_quantile_rollup",
 ]
+_HEADLINE_SET = frozenset(HEADLINE)
 
 
 def _force_ivf_rebuild() -> None:
@@ -261,6 +262,13 @@ def _capture_rounds() -> dict[str, int]:
         except Exception:
             continue
         for name in re.findall(r'"([A-Za-z0-9_]+)":[0-9]', tail):
+            # Envelope keys (sf, value, n_queries, n_emitted, jvm_agg_sec,
+            # ...) match the pattern too; only HEADLINE names are capture
+            # history — without this filter a future query named like an
+            # envelope key would be wrongly marked just-captured and
+            # starved of emission (r13 ADVICE).
+            if name not in _HEADLINE_SET:
+                continue
             seen[name] = max(seen.get(name, 0), rnd)
     return seen
 

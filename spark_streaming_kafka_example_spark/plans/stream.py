@@ -21,7 +21,7 @@ from pyspark.sql import types as T
 from ..analytics import enrich_join
 from ..sources import load_table
 from ..streaming.sinks import memory_sink
-from ..streaming.stateful import stateful_running_count
+from ..streaming.stateful import stateful_running_count, stateful_topk_fold
 from . import register
 
 # Physical schema of events.parquet as the *streaming* reader sees it (file
@@ -795,9 +795,14 @@ def stream_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   scale-killer; r06 VERDICT task 2) — is fetched once to the driver and
 #   embedded as a literal array; slice(array_sort(transform(...))) picks
 #   the n_probe nearest buckets inside codegen;
-# - the per-query top-k is ONE streaming aggregation
-#   (slice(array_sort(collect_list(struct(-cos, n_id, cos))))), state
-#   bounded by the probed buckets' candidates per query.
+# - the per-query top-k is a BOUNDED keyed-state fold
+#   (streaming.stateful.stateful_topk_fold, r14 — r12/r13 VERDICT task 1):
+#   each micro-batch merges its candidates into the stored best-k and keeps
+#   exactly k, so state is O(k) per query key. The r12-era shape
+#   (complete-mode slice(array_sort(collect_list(...)))) held EVERY probed
+#   candidate (~ n_probe/k of the corpus) per query in one state row
+#   before the emit-time slice — the state-space version of the
+#   corpus-proportional-literal problem the FIXED-K rule killed in r06/r07.
 # Drained availableNow result == sim_ivf_kmeans_topk, so it shares that
 # oracle (the SQL replays Lloyd training exactly).
 # ---------------------------------------------------------------------------
@@ -866,25 +871,8 @@ def stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id", "n_id", F.round(cosine_pandas("qv", "nv"), 4).alias("cos")
         )
     )
-    topk = (
-        cand.groupBy("q_id")
-        .agg(
-            F.slice(
-                F.array_sort(
-                    F.collect_list(F.struct((-F.col("cos")).alias("neg"), "n_id", "cos"))
-                ),
-                1, 5,
-            ).alias("top")
-        )
-        .select("q_id", F.posexplode("top").alias("pos", "s"))
-        .select(
-            "q_id",
-            F.col("s.n_id").alias("n_id"),
-            F.col("s.cos").alias("cos"),
-            (F.col("pos") + 1).cast("int").alias("rnk"),
-        )
-    )
-    return run_to_table(spark, topk, "complete")
+    topk = stateful_topk_fold(cand, k=5)
+    return run_to_table(spark, topk, "update")
 
 
 # ---------------------------------------------------------------------------
@@ -2811,7 +2799,8 @@ def stream_quantile_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shape: coarse centroids embed as FIXED-K plan literals
 # (_centroid_literal_array, guarded), probe selection is a map-side
 # slice(array_sort(transform(...))) inside codegen, and per-query top-k is
-# ONE streaming aggregation. The catalog (assignment + reconstruction) is
+# the BOUNDED O(k)-state fold (stateful_topk_fold, r14 — see the
+# stream_ann_probe block). The catalog (assignment + reconstruction) is
 # corpus-proportional: checkpoint-materialized, UNHINTED equi-join on
 # bucket. At 100 TB the catalog column rv IS the stored 4-byte code
 # decoded on read — the stream probe touches probe/k of the corpus as
@@ -2829,7 +2818,7 @@ from .llm import (  # noqa: E402
 
 def stream_ivfpq_probe_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-drain streaming plan (literal-centroid probe -> unhinted coded
-    catalog join -> one streaming top-k aggregation), exposed for the
+    catalog join -> bounded O(k)-state top-k fold), exposed for the
     hint-free plan test (ninth builder in
     test_stream_static_joins_unhinted_equi — the catalog grows with the
     corpus, so a hard-coded broadcast would be the r08 regression class)."""
@@ -2880,33 +2869,13 @@ def stream_ivfpq_probe_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id", "n_id", F.round(cosine_pandas("qv", "rv"), 4).alias("cos")
         )
     )
-    topk = (
-        cand.groupBy("q_id")
-        .agg(
-            F.slice(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct((-F.col("cos")).alias("neg"), "n_id", "cos")
-                    )
-                ),
-                1, _IVFPQ_K,
-            ).alias("top")
-        )
-        .select("q_id", F.posexplode("top").alias("pos", "s"))
-        .select(
-            "q_id",
-            F.col("s.n_id").alias("n_id"),
-            F.col("s.cos").alias("cos"),
-            (F.col("pos") + 1).cast("int").alias("rnk"),
-        )
-    )
-    return topk
+    return stateful_topk_fold(cand, k=_IVFPQ_K)
 
 
 @register("stream_ivfpq_probe", _IVFPQ_TOPK_SQL)
 def stream_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(
-        spark, stream_ivfpq_probe_plan(spark, sf_dir), "complete"
+        spark, stream_ivfpq_probe_plan(spark, sf_dir), "update"
     )
 
 

@@ -26,6 +26,7 @@ __all__ = [
     "stateful_sessionizer",
     "stateful_greedy_packer",
     "stateful_transition_pairs",
+    "stateful_topk_fold",
 ]
 
 _OUTPUT_SCHEMA = T.StructType(
@@ -243,6 +244,103 @@ def stateful_greedy_packer(
         outputStructType=out_schema,
         stateStructType=_PACK_STATE_SCHEMA,
         outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# state per query key: the CURRENT top-k candidate lists (ids + scores,
+# parallel arrays, each <= k) — O(k) per key no matter how many candidates
+# stream past. This is the state-space FIXED-K rule (r06/r07): a streaming
+# top-k whose state is collect_list-of-everything holds ~n_probe/k of the
+# corpus per query before the emit-time slice applies; this fold never
+# holds more than k. The capability traces to the reference's stateful-agg
+# family (reference BasicStreaming.scala:17, TumblingWindow.scala:52-58),
+# where state is O(groups), never O(input).
+_TOPK_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("scores", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _topk_update_fn(k: int, key_col: str, id_col: str, score_col: str):
+    """Build the per-key fold for ``stateful_topk_fold`` (module-level so
+    tests can drive it directly against a fake GroupState and pin the
+    <= k state bound)."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        batches = [pdf for pdf in pdfs if len(pdf)]
+        ids: list[int] = []
+        scores: list[float] = []
+        for pdf in batches:
+            ids.extend(int(i) for i in pdf[id_col])
+            scores.extend(float(s) for s in pdf[score_col])
+        if state.exists:
+            prev_ids, prev_scores = state.get
+            ids = list(prev_ids) + ids
+            scores = list(prev_scores) + scores
+        # Same total order as the batch rankers' array_sort over
+        # struct(neg_score, id): descending score, id breaks ties.
+        order = sorted(range(len(ids)), key=lambda i: (-scores[i], ids[i]))
+        order = order[:k]
+        top_ids = [ids[i] for i in order]
+        top_scores = [scores[i] for i in order]
+        state.update((top_ids, top_scores))
+        yield pd.DataFrame(
+            {
+                key_col: pd.Series([key[0]] * len(top_ids), dtype="int64"),
+                id_col: pd.Series(top_ids, dtype="int64"),
+                score_col: pd.Series(top_scores, dtype="float64"),
+                "rnk": pd.Series(range(1, len(top_ids) + 1), dtype="int32"),
+            }
+        )
+
+    return update
+
+
+def stateful_topk_fold(
+    cand: DataFrame,
+    k: int,
+    key_col: str = "q_id",
+    id_col: str = "n_id",
+    score_col: str = "cos",
+) -> DataFrame:
+    """Bounded streaming top-k: fold (key, id, score) candidate rows into
+    the per-key best k, holding ONLY those k as state.
+
+    Replaces the complete-mode ``slice(array_sort(collect_list(...)), 1, k)``
+    aggregation the at-ingest ANN probes used through r13 (r12/r13 VERDICT
+    task 1): that shape's state row per query held EVERY probed candidate
+    (~ n_probe/k of the corpus) and only applied the slice at emit —
+    unbounded at 100 TB. Here each micro-batch merges its candidates with
+    the stored k, re-ranks, and keeps the best k (descending score, id
+    tie-break — byte-identical to the batch rankers' struct sort), so state
+    is O(k) per query key regardless of corpus size, partitioned by key in
+    the executor-side state store.
+
+    Emits the key's refreshed top-k (with 1-based ``rnk``) every batch the
+    key receives candidates -> update output mode; a bounded single-batch
+    drain equals the batch top-k exactly (``run_to_table`` guards the
+    multi-batch case loudly).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField(score_col, T.DoubleType()),
+            T.StructField("rnk", T.IntegerType()),
+        ]
+    )
+    return cand.groupBy(key_col).applyInPandasWithState(
+        _topk_update_fn(k, key_col, id_col, score_col),
+        outputStructType=out_schema,
+        stateStructType=_TOPK_STATE_SCHEMA,
+        outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 

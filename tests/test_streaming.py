@@ -1003,3 +1003,126 @@ def test_minhash_probe_recalls_planted_near_dups(spark, sf_dir):
     recall = len(found) / n_src
     assert recall >= 0.6, f"planted near-dup recall {recall} ({len(found)}/{n_src})"
     assert all(n >= 1 for n in found.values())
+
+
+# ---------------------------------------------------------------------------
+# r14 (r12/r13 VERDICT task 1): the at-ingest ANN probes' top-k state must
+# be bounded by k, never by the candidate count — the state-space FIXED-K
+# rule. The fold is unit-tested against a fake GroupState (exact state
+# contents) and behaviorally across micro-batches (the stored k is all
+# that survives a batch boundary).
+# ---------------------------------------------------------------------------
+
+
+class _FakeGroupState:
+    def __init__(self):
+        self._t = None
+
+    @property
+    def exists(self):
+        return self._t is not None
+
+    @property
+    def get(self):
+        return self._t
+
+    def update(self, t):
+        self._t = t
+
+
+def test_stateful_topk_fold_state_bounded_by_k():
+    """Feed 20 candidates at k=5: state must hold EXACTLY the best 5 (ids +
+    scores, descending score / id tie-break), the emission must be those 5
+    with rnk 1..5, and a second batch must merge against the stored 5 only
+    — state never exceeds k at any point."""
+    import pandas as pd
+
+    from spark_streaming_kafka_example_spark.streaming.stateful import (
+        _topk_update_fn,
+    )
+
+    update = _topk_update_fn(5, "q_id", "n_id", "cos")
+    state = _FakeGroupState()
+    b1 = pd.DataFrame(
+        {
+            "q_id": [7] * 20,
+            "n_id": list(range(100, 120)),
+            # scores 0.00 .. 0.19 ascending; ids 118/119 tie at the top
+            "cos": [i / 100.0 for i in range(19)] + [0.18],
+        }
+    )
+    (out1,) = list(update((7,), iter([b1]), state))
+    ids, scores = state.get
+    assert len(ids) == 5 and len(scores) == 5
+    # 0.18 ties between n_id 118 and 119 -> lower id first
+    assert ids == [118, 119, 117, 116, 115]
+    assert scores == [0.18, 0.18, 0.17, 0.16, 0.15]
+    assert list(out1["rnk"]) == [1, 2, 3, 4, 5]
+    assert list(out1["n_id"]) == ids
+
+    # batch 2: one candidate beats everything, one lands mid-pack, the
+    # rest are worse than the stored floor — merge sees ONLY the stored 5.
+    b2 = pd.DataFrame(
+        {"q_id": [7] * 3, "n_id": [200, 201, 202],
+         "cos": [0.99, 0.175, 0.01]}
+    )
+    (out2,) = list(update((7,), iter([b2]), state))
+    ids2, _ = state.get
+    assert len(ids2) == 5
+    assert ids2 == [200, 118, 119, 201, 117]
+    assert list(out2["n_id"]) == ids2
+    assert list(out2["rnk"]) == [1, 2, 3, 4, 5]
+
+
+def test_stateful_topk_fold_multibatch_stream(spark, tmp_path):
+    """End-to-end across two micro-batches: after batch 2 the emitted
+    top-k must be the GLOBAL best k — candidates dropped from state in
+    batch 1 stay dropped (11 lost to 21), stored survivors still compete
+    (10 beats 21) — and every emission holds <= k rows per key."""
+    from spark_streaming_kafka_example_spark.streaming.stateful import (
+        stateful_topk_fold,
+    )
+
+    src = str(tmp_path / "topk_src")
+    schema = "q_id long, n_id long, cos double"
+    batches = [
+        [(1, 10, 0.5), (1, 11, 0.4), (1, 12, 0.3)],
+        [(1, 20, 0.9), (1, 21, 0.45)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+    for i in range(len(batches)):
+        for root, _dirs, files in os.walk(f"{src}/b{i}"):
+            for f in files:
+                os.utime(
+                    os.path.join(root, f),
+                    (1_700_000_000 + i, 1_700_000_000 + i),
+                )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        stateful_topk_fold(stream, k=2)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("t_topk_mb")
+        .option("checkpointLocation", str(tmp_path / "topk_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.q_id, r.n_id, r.cos, r.rnk)
+        for r in spark.table("t_topk_mb").collect()
+    }
+    assert got == {
+        (1, 10, 0.5, 1), (1, 11, 0.4, 2),  # batch-1 emission
+        (1, 20, 0.9, 1), (1, 10, 0.5, 2),  # refreshed global top-2
+    }, got
+    # the state operator never held more than k rows' worth per key:
+    # numRowsTotal counts STATE ROWS (one per key), and the stored arrays
+    # are <= k by the unit contract above.
+    assert _state_rows(q) == 1
