@@ -14,6 +14,7 @@ parity and as the template for richer per-key state machines.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -264,31 +265,62 @@ _TOPK_STATE_SCHEMA = T.StructType(
 )
 
 
-def _topk_update_fn(k: int, key_col: str, id_col: str, score_col: str):
+def _topk_update_fn(
+    k: int,
+    key_col: str,
+    id_col: str,
+    score_col: str,
+    ttl_ms: int | None = None,
+):
     """Build the per-key fold for ``stateful_topk_fold`` (module-level so
     tests can drive it directly against a fake GroupState and pin the
-    <= k state bound)."""
+    <= k state bound).
+
+    Merge semantics (r15 ADVICE): candidates DEDUPE BY ID keeping the best
+    score — a re-observed (key, id) pair (source replay after restart, a
+    generator that re-yields) must not occupy two of the k slots — and NaN
+    scores are excluded before ranking, matching the batch rankers, where
+    struct(-score, id) array_sort places -NaN (= NaN, Spark's largest)
+    last, outside the top-k slice."""
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        batches = [pdf for pdf in pdfs if len(pdf)]
-        ids: list[int] = []
-        scores: list[float] = []
-        for pdf in batches:
-            ids.extend(int(i) for i in pdf[id_col])
-            scores.extend(float(s) for s in pdf[score_col])
+        empty = pd.DataFrame(
+            {
+                key_col: pd.Series([], dtype="int64"),
+                id_col: pd.Series([], dtype="int64"),
+                score_col: pd.Series([], dtype="float64"),
+                "rnk": pd.Series([], dtype="int32"),
+            }
+        )
+        if state.hasTimedOut:
+            # Idle served key (no candidates within ttl_ms): drop its
+            # k-row state so serving-state is O(k x ACTIVE keys), the
+            # watermark-expiry analogue for keyed serving state.
+            state.remove()
+            yield empty
+            return
+        best: dict[int, float] = {}
         if state.exists:
             prev_ids, prev_scores = state.get
-            ids = list(prev_ids) + ids
-            scores = list(prev_scores) + scores
+            best.update(zip(prev_ids, prev_scores))
+        for pdf in pdfs:
+            for i, s in zip(pdf[id_col], pdf[score_col]):
+                s = float(s)
+                if math.isnan(s):
+                    continue
+                i = int(i)
+                if i not in best or s > best[i]:
+                    best[i] = s
         # Same total order as the batch rankers' array_sort over
         # struct(neg_score, id): descending score, id breaks ties.
-        order = sorted(range(len(ids)), key=lambda i: (-scores[i], ids[i]))
-        order = order[:k]
-        top_ids = [ids[i] for i in order]
-        top_scores = [scores[i] for i in order]
+        top = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        top_ids = [i for i, _ in top]
+        top_scores = [s for _, s in top]
         state.update((top_ids, top_scores))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(
             {
                 key_col: pd.Series([key[0]] * len(top_ids), dtype="int64"),
@@ -301,12 +333,25 @@ def _topk_update_fn(k: int, key_col: str, id_col: str, score_col: str):
     return update
 
 
+# Recommended served-key TTL for long-running deployments: a query key
+# idle this long has its k-row state dropped. OPT-IN, not the default —
+# measured on this Spark build (FlatMapGroupsWithStateExecBase
+# .shouldRunAnotherBatch, verified in the 4.1.2 bytecode): with
+# ProcessingTimeTimeout the operator requests another micro-batch
+# UNCONDITIONALLY, so a Trigger.AvailableNow drain keeps scheduling
+# no-data batches forever and never terminates — the bounded oracle
+# drains (run_to_table) must therefore stay NoTimeout, which is also why
+# ttl_ms defaults to None below.
+TOPK_TTL_MS = 30 * 60 * 1000
+
+
 def stateful_topk_fold(
     cand: DataFrame,
     k: int,
     key_col: str = "q_id",
     id_col: str = "n_id",
     score_col: str = "cos",
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Bounded streaming top-k: fold (key, id, score) candidate rows into
     the per-key best k, holding ONLY those k as state.
@@ -325,6 +370,26 @@ def stateful_topk_fold(
     key receives candidates -> update output mode; a bounded single-batch
     drain equals the batch top-k exactly (``run_to_table`` guards the
     multi-batch case loudly).
+
+    Candidates dedupe by id (best score wins) and NaN scores are dropped
+    before ranking — the batch rankers' semantics (see _topk_update_fn).
+
+    ``ttl_ms`` (r15, r14 VERDICT task 2): when set, a served key whose
+    state goes idle for ttl_ms is EXPIRED via a processing-time timeout
+    (state.remove on fire), so a long-running serving deployment holds
+    O(k x ACTIVE query keys) — not O(k x keys ever seen), the last
+    unbounded dimension in the streaming state story (capability lineage:
+    watermark state expiry, reference TumblingWindow.scala:51). Pass
+    TOPK_TTL_MS (or a deployment choice) in a continuously-triggered
+    serving stream; expiry is pinned end-to-end by
+    test_stateful_topk_fold_ttl_expires_idle_key. The default is None
+    (NoTimeout) because merely CONFIGURING ProcessingTimeTimeout makes
+    the operator request follow-up micro-batches unconditionally
+    (shouldRunAnotherBatch — see TOPK_TTL_MS comment), so a bounded
+    availableNow oracle drain would never terminate; the r14 VERDICT's
+    "bounded drains are timeout-free" assumption fails at the engine
+    level, and the drained VALUES are TTL-independent anyway (expiry only
+    removes state, never changes emissions).
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -337,11 +402,15 @@ def stateful_topk_fold(
         ]
     )
     return cand.groupBy(key_col).applyInPandasWithState(
-        _topk_update_fn(k, key_col, id_col, score_col),
+        _topk_update_fn(k, key_col, id_col, score_col, ttl_ms=ttl_ms),
         outputStructType=out_schema,
         stateStructType=_TOPK_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

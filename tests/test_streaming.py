@@ -1015,8 +1015,11 @@ def test_minhash_probe_recalls_planted_near_dups(spark, sf_dir):
 
 
 class _FakeGroupState:
-    def __init__(self):
+    def __init__(self, timed_out=False):
         self._t = None
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_durations = []
 
     @property
     def exists(self):
@@ -1028,6 +1031,13 @@ class _FakeGroupState:
 
     def update(self, t):
         self._t = t
+
+    def remove(self):
+        self._t = None
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_durations.append(ms)
 
 
 def test_stateful_topk_fold_state_bounded_by_k():
@@ -1047,7 +1057,8 @@ def test_stateful_topk_fold_state_bounded_by_k():
         {
             "q_id": [7] * 20,
             "n_id": list(range(100, 120)),
-            # scores 0.00 .. 0.19 ascending; ids 118/119 tie at the top
+            # scores 0.00 .. 0.18 ascending, with n_id 119 duplicating
+            # 0.18 to force the id tie-break at the top
             "cos": [i / 100.0 for i in range(19)] + [0.18],
         }
     )
@@ -1072,6 +1083,149 @@ def test_stateful_topk_fold_state_bounded_by_k():
     assert ids2 == [200, 118, 119, 201, 117]
     assert list(out2["n_id"]) == ids2
     assert list(out2["rnk"]) == [1, 2, 3, 4, 5]
+
+
+def test_stateful_topk_fold_dedupes_ids_and_drops_nan():
+    """r15 ADVICE: (a) a re-observed (key, id) candidate — source replay,
+    re-yielding generator — must occupy ONE slot with its best score, in
+    and across batches; (b) NaN scores are excluded before ranking (the
+    batch rankers' semantics: -NaN sorts last in the struct sort, outside
+    the top-k slice)."""
+    import pandas as pd
+
+    from spark_streaming_kafka_example_spark.streaming.stateful import (
+        _topk_update_fn,
+    )
+
+    update = _topk_update_fn(3, "q_id", "n_id", "cos")
+    state = _FakeGroupState()
+    b1 = pd.DataFrame(
+        {
+            "q_id": [1] * 5,
+            # id 10 appears twice (0.3 then 0.5): best score wins, one slot
+            "n_id": [10, 10, 11, 12, 13],
+            "cos": [0.3, 0.5, float("nan"), 0.2, 0.1],
+        }
+    )
+    (out1,) = list(update((1,), iter([b1]), state))
+    ids, scores = state.get
+    # 11's only score is NaN -> excluded entirely; 10 deduped to 0.5
+    assert ids == [10, 12, 13]
+    assert scores == [0.5, 0.2, 0.1]
+    assert list(out1["n_id"]) == ids
+
+    # batch 2 re-observes stored id 10 with a WORSE score (replay) plus a
+    # NaN for a fresh id: 10 keeps 0.5 and one slot; 14's NaN never ranks.
+    b2 = pd.DataFrame(
+        {"q_id": [1] * 2, "n_id": [10, 14], "cos": [0.4, float("nan")]}
+    )
+    list(update((1,), iter([b2]), state))
+    ids2, scores2 = state.get
+    assert ids2 == [10, 12, 13]
+    assert scores2 == [0.5, 0.2, 0.1]
+
+    # batch 3 re-observes 10 with a BETTER score: still one slot, upgraded.
+    b3 = pd.DataFrame({"q_id": [1] * 1, "n_id": [10], "cos": [0.9]})
+    list(update((1,), iter([b3]), state))
+    ids3, scores3 = state.get
+    assert ids3 == [10, 12, 13]
+    assert scores3 == [0.9, 0.2, 0.1]
+
+
+def test_stateful_topk_fold_timeout_removes_state_unit():
+    """r15 (r14 VERDICT task 2): the timed-out invocation drops the key's
+    state entirely and emits nothing; normal batches arm the TTL."""
+    import pandas as pd
+
+    from spark_streaming_kafka_example_spark.streaming.stateful import (
+        _topk_update_fn,
+    )
+
+    update = _topk_update_fn(2, "q_id", "n_id", "cos", ttl_ms=1234)
+    state = _FakeGroupState()
+    b1 = pd.DataFrame({"q_id": [1], "n_id": [10], "cos": [0.5]})
+    list(update((1,), iter([b1]), state))
+    assert state.exists
+    assert state.timeout_durations == [1234]  # every update re-arms
+
+    timed_out = _FakeGroupState(timed_out=True)
+    timed_out.update(([10], [0.5]))
+    (out,) = list(update((1,), iter([]), timed_out))
+    assert timed_out.removed and not timed_out.exists
+    assert len(out) == 0
+    assert list(out.columns) == ["q_id", "n_id", "cos", "rnk"]
+
+
+def test_stateful_topk_fold_ttl_expires_idle_key(spark, tmp_path):
+    """End-to-end TTL expiry (the test_windowed_sketch_watermark_expires_
+    state style, r14 VERDICT task 2), in a CONTINUOUSLY-TRIGGERED stream —
+    not availableNow, which can never terminate under ProcessingTimeTimeout
+    (shouldRunAnotherBatch returns true unconditionally for that conf; see
+    TOPK_TTL_MS). With ttl_ms=1 every served key goes idle after its data
+    batch, so the follow-up micro-batches must fire the timeouts and
+    REMOVE the state rows: the store drains to 0 while the emitted top-k
+    rows stand — expiry drops state, never emissions. (That active keys
+    RETAIN state is the unit contract: test_stateful_topk_fold_timeout_
+    removes_state_unit pins re-arming on every update.)"""
+    import time
+
+    from spark_streaming_kafka_example_spark.streaming.stateful import (
+        stateful_topk_fold,
+    )
+
+    src = str(tmp_path / "topk_ttl_src")
+    schema = "q_id long, n_id long, cos double"
+    batches = [
+        [(1, 10, 0.5)],           # key 1, then idle
+        [(2, 20, 0.9)],           # key 2, then idle
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+    for i in range(len(batches)):
+        for root, _dirs, files in os.walk(f"{src}/b{i}"):
+            for f in files:
+                os.utime(
+                    os.path.join(root, f),
+                    (1_700_000_000 + i, 1_700_000_000 + i),
+                )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        stateful_topk_fold(stream, k=2, ttl_ms=1)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("t_topk_ttl")
+        .option("checkpointLocation", str(tmp_path / "topk_ttl_ckpt"))
+        .start()
+    )
+    # NOTE: no awaitTermination/processAllAvailable — under
+    # ProcessingTimeTimeout the engine keeps scheduling no-data batches
+    # (never signals noNewData), so BOTH block forever; polling is the
+    # only correct wait (measured r15, ~8s to converge).
+    try:
+        got: set = set()
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            got = {
+                (r.q_id, r.n_id, r.cos, r.rnk)
+                for r in spark.table("t_topk_ttl").collect()
+            }
+            try:
+                if len(got) >= 2 and _state_rows(q) == 0:
+                    break
+            except AssertionError:
+                pass  # no state-metric progress yet
+            time.sleep(1.0)
+        assert q.exception() is None, q.exception()
+        assert _state_rows(q) == 0, "idle keys' state was never expired"
+        # expiry emitted nothing: exactly the two served top-k rows exist
+        assert got == {(1, 10, 0.5, 1), (2, 20, 0.9, 1)}, got
+    finally:
+        q.stop()
 
 
 def test_stateful_topk_fold_multibatch_stream(spark, tmp_path):
