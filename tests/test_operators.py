@@ -1083,6 +1083,100 @@ def test_ivf_recall_bound(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.8, recalls
 
 
+def test_clustered_recall_bound_and_tier_order(spark, sf_dir):
+    """r15 (r12 VERDICT task 4): on the deterministic CLUSTERED corpus —
+    where quantization error sits far below the 64-combo cluster structure
+    — the quantized tiers genuinely recover true neighbors: IVF-PQ mean
+    recall@5 >= 0.8 (measured 1.0 at sf0.001/sf0.01, vs 0.2-0.4 on the
+    uniform fixtures where a broken ranker scores the same), and the tier
+    ordering sq8 >= ivfpq >= raw-pq holds. Both inequalities are
+    structural here, not sampled: every query's true top-5 are same-combo
+    members of its own (probed) coarse bucket, so restricting candidates
+    to probed buckets can only REMOVE false competitors (ivfpq >= pq),
+    and 4x scalar quantization perturbs a duplicate's cosine only
+    quadratically, below the round(4) grid (sq8 ~ exact)."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_kafka_example_spark import plans
+    from spark_streaming_kafka_example_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from spark_streaming_kafka_example_spark.plans import llm
+
+    plans.load_all()
+    corpus = llm._clustered_corpus(spark, sf_dir).localCheckpoint()
+    queries = corpus.filter(F.col("vec_id") < 5)
+    k = llm._PQ_RECALL_K
+
+    def topk_sets(ranked_corpus):
+        out: dict = {}
+        for r in brute_force_topk(ranked_corpus, queries, k=k).collect():
+            out.setdefault(r.q_id, set()).add(r.n_id)
+        return out
+
+    brute = topk_sets(corpus)
+    pq = topk_sets(llm._pq_reconstruction(corpus))
+    v = F.col("embedding")
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-12)
+    )
+    sq8 = topk_sets(
+        corpus.select(
+            "vec_id",
+            F.transform(
+                v,
+                lambda x: F.round(F.lit(llm._QUANT_LEVELS) * x / scale)
+                * scale / llm._QUANT_LEVELS,
+            ).alias("embedding"),
+        )
+    )
+
+    def mean_recall(approx: dict) -> float:
+        return sum(
+            len(brute[q] & approx.get(q, set())) / k for q in brute
+        ) / len(brute)
+
+    ivfpq_rows = plans.QUERIES["sim_ivfpq_clustered_recall"](
+        spark, sf_dir
+    ).collect()
+    assert len(ivfpq_rows) == 5
+    ivfpq_mean = sum(r.recall for r in ivfpq_rows) / len(ivfpq_rows)
+    pq_mean, sq8_mean = mean_recall(pq), mean_recall(sq8)
+    assert ivfpq_mean >= 0.8, (ivfpq_mean, ivfpq_rows)
+    assert sq8_mean >= ivfpq_mean >= pq_mean, (sq8_mean, ivfpq_mean, pq_mean)
+
+
+def test_clustered_corpus_structure(spark, sf_dir):
+    """The synthesis invariants the recall surface leans on: 64 distinct
+    combo clusters of EXACT duplicates keyed by (v % 8, (v div 8) % 8),
+    each with >= 5 non-self members at n=500, and vec_ids 0..7 covering
+    all 8 prototypes in every subspace (the k-means seed-coverage
+    property)."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_kafka_example_spark.plans import llm
+
+    corpus = llm._clustered_corpus(spark, sf_dir)
+    P = llm._CLUSTER_PROTOS
+    combos = (
+        corpus.groupBy(F.md5(F.col("embedding").cast("string")).alias("fp"))
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct(
+                (F.col("vec_id") % P) * P
+                + F.expr(f"vec_id div {P}") % P
+            ).alias("n_keys"),
+        )
+        .collect()
+    )
+    assert len(combos) == P * P
+    assert all(c.n_keys == 1 for c in combos)  # cluster == combo key
+    assert all(c.n >= 6 for c in combos)  # >= 5 non-self duplicates
+    for m in range(llm._PQ_M):
+        digits = {((2 * m + 1) * v + m * (v // P)) % P for v in range(P)}
+        assert digits == set(range(P))  # seed coverage per subspace
+
+
 def test_pack_payload_never_exceeds_cap(spark, sf_dir):
     """Greedy no-straddle invariant on the materialized payload: a packed
     sequence never exceeds the cap unless a single oversized doc owns it,
