@@ -963,3 +963,73 @@ def test_native_runtime_bloom_filter_ab(spark, tmp_path):
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, val)
+
+
+def test_aqe_skew_join_split_ab(spark):
+    """Grounds SCALE.md's "AQE splits skewed keys" claim in an OBSERVED
+    final plan (r15, r12 VERDICT task 6; the test_native_runtime_bloom_
+    filter_ab precedent): plant a skewed equi-join — one hot key owning
+    ~83% of the fact side — and read the executed AdaptiveSparkPlan.
+
+    A-arm (default thresholds): skewedPartitionThresholdInBytes defaults
+    to 256MB, so the ~11MB hot partition must NOT trigger a split at test
+    scale — which is why skew handling is an AQE conf story in SCALE.md,
+    not a per-query rewrite.
+    B-arm (thresholds lowered to 16KB): OptimizeSkewedJoin MUST fire —
+    the final plan's join node reads SortMergeJoin(skew=true) and the hot
+    side's AQEShuffleRead reports skewed splits."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # broadcast disabled so the join stays a shuffle join both arms
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    b_only = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+    }
+    saved = {}
+    for key in {**tuned, **b_only}:
+        try:
+            saved[key] = spark.conf.get(key)
+        except Exception:
+            saved[key] = None
+
+    def executed_join_plan():
+        fact = spark.range(0, 300_000).select(
+            F.when(F.col("id") < 250_000, 0)
+            .otherwise(F.col("id") % 64 + 1)
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        dim = spark.range(0, 65).select(
+            F.col("id").alias("k"),
+            F.md5(F.col("id").cast("string")).alias("d"),
+        )
+        j = fact.join(dim, "k")
+        j.collect()  # AQE decides at runtime: read the FINAL plan
+        return formatted_plan(j)
+
+    try:
+        for key, val in tuned.items():
+            spark.conf.set(key, val)
+        # A-arm: default skew thresholds -> no split at this scale.
+        plan_a = executed_join_plan()
+        assert "isFinalPlan=true" in plan_a
+        assert "skew=true" not in plan_a, plan_a[:2000]
+        for key, val in b_only.items():
+            spark.conf.set(key, val)
+        # B-arm: OptimizeSkewedJoin splits the hot partition.
+        plan_b = executed_join_plan()
+        assert "isFinalPlan=true" in plan_b
+        assert "SortMergeJoin(skew=true)" in plan_b, plan_b[:2000]
+        assert "skewed" in plan_b, plan_b[:2000]
+    finally:
+        for key, val in saved.items():
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
