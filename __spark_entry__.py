@@ -133,8 +133,17 @@ FORCE_RECHECK: dict[str, int] = {
     # to the bounded O(k)-state fold (stateful_topk_fold; r12/r13 VERDICT
     # task 1). Same drained values, but the implementation that earned the
     # r12 green rows no longer exists, so force fresh driver rows.
-    "stream_ann_probe": 14,
-    "stream_ivfpq_probe": 14,
+    # (Expired on the r14 green rows; bumped to 15 below.)
+    # r15: the fold changed again — dedupe-by-id, NaN exclusion (ADVICE)
+    # and the ProcessingTimeTimeout TTL (r14 VERDICT task 2). Identical
+    # single-batch drained values, but force fresh rows under the new code.
+    "stream_ann_probe": 15,
+    "stream_ivfpq_probe": 15,
+    # r15: sim_ivfpq_recall's Spark body moved into the shared
+    # _ivfpq_recall_frame (so sim_ivfpq_clustered_recall runs the identical
+    # ranker) — oracle byte-identical, result value-identical (re-measured
+    # 0.24 mean at sf0.01), but the earning implementation was refactored.
+    "sim_ivfpq_recall": 15,
 }
 
 

@@ -153,6 +153,12 @@ HEADLINE = [
     "sim_ivfpq_residual_recall",
     "sim_sq8_recall",
     "sketch_quantile_rollup",
+    # r15 (r14 VERDICT task 6): the raw-vector at-ingest ANN probe's
+    # implementation changed in r14 (the O(k)-state top-k fold) with no
+    # recorded timing — only the coded-catalog twin was measured; plus the
+    # r15-new clustered-corpus recall surface.
+    "stream_ann_probe",
+    "sim_ivfpq_clustered_recall",
 ]
 _HEADLINE_SET = frozenset(HEADLINE)
 
