@@ -3501,5 +3501,12 @@ def sim_ivfpq_clustered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     prototype relation (FIXED-K), then the proven IVF-PQ plan unchanged;
     the oracle replays synthesis + coarse training + all four subspace
     trainings + encode + both rankings via the shared _ivfpq_recall_sql
-    scaffold with only the e CTE swapped."""
-    return _ivfpq_recall_frame(_clustered_corpus(spark, sf_dir))
+    scaffold with only the e CTE swapped. The corpus is lazily
+    checkpointed (the sim_ivfpq_residual_recall lineage-cut idiom): the
+    recall frame consumes it from seven relations, and without the cut
+    each re-derives the synthesis joins (A/B at sf0.1: 8.3-10.2s ->
+    6.4-7.0s); at cluster scale this is 'write the synthesized table
+    once'."""
+    return _ivfpq_recall_frame(
+        _clustered_corpus(spark, sf_dir).localCheckpoint(eager=False)
+    )
