@@ -124,31 +124,32 @@ _SESSION_STATE_SCHEMA = T.StructType(
 )
 
 
-def stateful_sessionizer(
-    events: DataFrame,
-    gap_seconds: int = 1800,
-    key_col: str = "user_id",
-    ts_col: str = "ts",
-    value_col: str = "value",
-) -> DataFrame:
-    """Custom gap-based sessionizer with EXPLICIT user state — the state
-    machine ``session_window`` runs internally, written out as the richer-
-    state template the reference's updateStateByKey hints at (SURVEY T4):
-    per-key state carries (start, last_seen, n, total); an arriving event
-    either extends the open session or closes it (emitting the finished
-    session) and opens a new one.
-
-    Emits CLOSED sessions only; the still-open session per key stays in
-    the state store (bounded by keys, not stream length; pair with a
-    timeout to flush idle keys in production).
-    """
+def _sessionizer_update_fn(
+    gap_seconds: int,
+    ts_col: str,
+    value_col: str,
+    idle_timeout_ms: int | None = None,
+):
+    """Per-key session fold for ``stateful_sessionizer`` (module-level so
+    tests can drive the timeout branch against a fake GroupState, the
+    _topk_update_fn pattern)."""
     import datetime as _dt
 
     gap = _dt.timedelta(seconds=gap_seconds)
+    out_cols = ["user_id", "session_start", "session_end",
+                "n_events", "session_value"]
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # Idle key: flush the open session as closed, drop the state.
+            start, last_seen, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(key[0], start, last_seen, n, total)], columns=out_cols
+            )
+            return
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(ts_col)
         if state.exists:
@@ -168,19 +169,55 @@ def stateful_sessionizer(
             n += 1
             total += float(val)
         state.update((start, last_seen, n, total))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         if closed:
-            yield pd.DataFrame(
-                closed,
-                columns=["user_id", "session_start", "session_end",
-                         "n_events", "session_value"],
-            )
+            yield pd.DataFrame(closed, columns=out_cols)
 
+    return update
+
+
+def stateful_sessionizer(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Custom gap-based sessionizer with EXPLICIT user state — the state
+    machine ``session_window`` runs internally, written out as the richer-
+    state template the reference's updateStateByKey hints at (SURVEY T4):
+    per-key state carries (start, last_seen, n, total); an arriving event
+    either extends the open session or closes it (emitting the finished
+    session) and opens a new one.
+
+    Emits CLOSED sessions only; the still-open session per key stays in
+    the state store (bounded by keys, not stream length).
+
+    ``idle_timeout_ms`` (r15): without it, a key's FINAL session closes
+    only when a later event for that key arrives past the gap — i.e.
+    never, for a user who left. When set, a key idle for idle_timeout_ms
+    of processing time has its open session FLUSHED (emitted as closed,
+    end = last event seen) and its state dropped, via the fold family's
+    opt-in ProcessingTimeTimeout machinery (e2e expiry pinned on the same
+    code path by test_stateful_topk_fold_ttl_expires_idle_key). Opt-in
+    for the same reason as stateful_topk_fold.ttl_ms: the timeout conf
+    itself makes bounded availableNow oracle drains non-terminating (see
+    TOPK_TTL_MS), so the driver-checked drains stay NoTimeout.
+    """
     return events.groupBy(key_col).applyInPandasWithState(
-        update,
+        _sessionizer_update_fn(
+            gap_seconds, ts_col, value_col, idle_timeout_ms
+        ),
         outputStructType=_SESSION_OUTPUT_SCHEMA,
         stateStructType=_SESSION_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -1228,6 +1228,56 @@ def test_stateful_topk_fold_ttl_expires_idle_key(spark, tmp_path):
         q.stop()
 
 
+def test_sessionizer_idle_timeout_flushes_open_session():
+    """r15: stateful_sessionizer's opt-in idle_timeout_ms makes a left
+    user's FINAL session close — the timed-out invocation emits the open
+    session as closed (end = last event seen) and drops the key's state;
+    normal batches arm the timeout and keep the gap semantics unchanged.
+    (E2e timeout firing is pinned on the same applyInPandasWithState +
+    ProcessingTimeTimeout path by test_stateful_topk_fold_ttl_expires_
+    idle_key.)"""
+    import datetime as dt
+
+    import pandas as pd
+
+    from spark_streaming_kafka_example_spark.streaming.stateful import (
+        _sessionizer_update_fn,
+    )
+
+    update = _sessionizer_update_fn(1800, "ts", "value", idle_timeout_ms=5000)
+    state = _FakeGroupState()
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    b1 = pd.DataFrame(
+        {
+            # a 2-event session, then a > gap jump opening a second one
+            "user_id": [9] * 3,
+            "ts": [t0, t0 + dt.timedelta(minutes=5),
+                   t0 + dt.timedelta(hours=2)],
+            "value": [1.0, 2.0, 4.0],
+        }
+    )
+    (out1,) = list(update((9,), iter([b1]), state))
+    # gap semantics unchanged: first session closed by the in-data jump
+    assert len(out1) == 1
+    assert out1.loc[0, "n_events"] == 2 and out1.loc[0, "session_value"] == 3.0
+    # open session (the 1-event tail) held as state, timeout armed
+    start, last_seen, n, total = state.get
+    assert (start, n, total) == (t0 + dt.timedelta(hours=2), 1, 4.0)
+    assert state.timeout_durations == [5000]
+
+    # idle past the timeout: the open session flushes as closed and the
+    # key's state drops — without this, user 9's last session never ends.
+    timed_out = _FakeGroupState(timed_out=True)
+    timed_out.update((start, last_seen, n, total))
+    (out2,) = list(update((9,), iter([]), timed_out))
+    assert timed_out.removed and not timed_out.exists
+    assert len(out2) == 1
+    assert list(out2.loc[0, ["user_id", "session_start", "session_end",
+                             "n_events", "session_value"]]) == [
+        9, start, last_seen, 1, 4.0
+    ]
+
+
 def test_stateful_topk_fold_multibatch_stream(spark, tmp_path):
     """End-to-end across two micro-batches: after batch 2 the emitted
     top-k must be the GLOBAL best k — candidates dropped from state in
