@@ -1145,6 +1145,19 @@ def test_clustered_recall_bound_and_tier_order(spark, sf_dir):
     assert ivfpq_mean >= 0.8, (ivfpq_mean, ivfpq_rows)
     assert sq8_mean >= ivfpq_mean >= pq_mean, (sq8_mean, ivfpq_mean, pq_mean)
 
+    # The discrimination claim as a measured number: a broken ranker
+    # (ignore the query, return the lowest vec_ids) scores ~0 on the SAME
+    # corpus where the real tiers score ~1 — on the uniform fixtures both
+    # land at ~0.2, indistinguishable. Query q's true neighbors are its
+    # combo-cluster duplicates (vec_id = q + 64t), disjoint from the
+    # naive prefix for every fixture query.
+    naive = {
+        q: {i for i in range(6) if i != q}
+        for q in brute
+    }
+    naive_mean = mean_recall({q: set(list(sorted(s))[:k]) for q, s in naive.items()})
+    assert naive_mean <= 0.1 < ivfpq_mean, (naive_mean, ivfpq_mean)
+
 
 def test_clustered_corpus_structure(spark, sf_dir):
     """The synthesis invariants the recall surface leans on: 64 distinct
