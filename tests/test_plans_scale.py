@@ -553,6 +553,18 @@ def test_ivf_recall_no_cartesian_beyond_broadcast(plan_of):
     assert "BroadcastNestedLoopJoin" in plan  # the documented broadcast crossJoins
 
 
+def test_clustered_recall_synthesis_broadcast(plan_of):
+    """sim_ivfpq_clustered_recall's corpus synthesis is four equi-joins
+    against the constant 8-row prototype relation — all broadcast
+    (FIXED-K), with no distributed cartesian anywhere in the composed
+    recall plan (the brute/probe crossJoins stay broadcast, as in
+    sim_ivf_recall)."""
+    plan = plan_of("sim_ivfpq_clustered_recall")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4  # the proto joins
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast crossJoins
+
+
 def test_repeated_spans_topk_and_partial_agg(plan_of):
     """dedup_repeated_spans: map-side partial aggregation before the
     shuffle, top-k via TakeOrderedAndProject (never a global sort), and
