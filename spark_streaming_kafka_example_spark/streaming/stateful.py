@@ -124,6 +124,20 @@ _SESSION_STATE_SCHEMA = T.StructType(
 )
 
 
+def _timeout_conf(ms: int | None):
+    """The fold family's opt-in timeout rule in ONE place: ``None`` ->
+    NoTimeout (bounded availableNow oracle drains terminate — see
+    TOPK_TTL_MS), a POSITIVE ms -> ProcessingTimeTimeout. Validated here,
+    driver-side: Spark's own ``state.setTimeoutDuration(0)`` rejection
+    would otherwise surface as an opaque executor-side failure after the
+    query starts."""
+    if ms is None:
+        return GroupStateTimeout.NoTimeout
+    if ms <= 0:
+        raise ValueError(f"timeout ms must be >= 1, got {ms}")
+    return GroupStateTimeout.ProcessingTimeTimeout
+
+
 def _sessionizer_update_fn(
     gap_seconds: int,
     ts_col: str,
@@ -205,7 +219,22 @@ def stateful_sessionizer(
     for the same reason as stateful_topk_fold.ttl_ms: the timeout conf
     itself makes bounded availableNow oracle drains non-terminating (see
     TOPK_TTL_MS), so the driver-checked drains stay NoTimeout.
+
+    ``idle_timeout_ms`` must be >= ``gap_seconds * 1000``: a shorter
+    processing-time idle flush would close sessions the gap contract
+    defines as still open (a user pausing idle_timeout < gap in steady
+    real-time flow gets split in two). Note the axes differ — the gap is
+    EVENT time, the timeout PROCESSING time — so on a lagging/backfilled
+    stream the flush can still fire while event-time-contiguous data is
+    in flight; keep the timeout comfortably above the expected lag (or
+    unset) when replaying history.
     """
+    if idle_timeout_ms is not None and idle_timeout_ms < gap_seconds * 1000:
+        raise ValueError(
+            f"idle_timeout_ms ({idle_timeout_ms}) must be >= gap_seconds*1000"
+            f" ({gap_seconds * 1000}): a shorter processing-time flush would"
+            " split sessions the gap contract keeps open"
+        )
     return events.groupBy(key_col).applyInPandasWithState(
         _sessionizer_update_fn(
             gap_seconds, ts_col, value_col, idle_timeout_ms
@@ -213,11 +242,7 @@ def stateful_sessionizer(
         outputStructType=_SESSION_OUTPUT_SCHEMA,
         stateStructType=_SESSION_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=(
-            GroupStateTimeout.ProcessingTimeTimeout
-            if idle_timeout_ms is not None
-            else GroupStateTimeout.NoTimeout
-        ),
+        timeoutConf=_timeout_conf(idle_timeout_ms),
     )
 
 
@@ -316,27 +341,32 @@ def _topk_update_fn(
     Merge semantics (r15 ADVICE): candidates DEDUPE BY ID keeping the best
     score — a re-observed (key, id) pair (source replay after restart, a
     generator that re-yields) must not occupy two of the k slots — and NaN
-    scores are excluded before ranking, matching the batch rankers, where
-    struct(-score, id) array_sort places -NaN (= NaN, Spark's largest)
-    last, outside the top-k slice."""
+    scores are excluded before ranking, matching the batch rankers'
+    struct(-score, id) array_sort form, where -NaN (= NaN, Spark's
+    largest) lands last, outside the top-k slice. Precision on that
+    claim: a PLAIN ``ORDER BY score DESC`` (the probes' oracle SQL and a
+    bare F.desc window ranker) would instead rank NaN FIRST — the two
+    forms only agree when no candidate scores NaN. That holds on every
+    reachable input here (cosine over the nonzero fixture embeddings /
+    PQ reconstructions); a production candidate generator must keep it
+    true by excluding zero-norm vectors upstream."""
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        empty = pd.DataFrame(
-            {
-                key_col: pd.Series([], dtype="int64"),
-                id_col: pd.Series([], dtype="int64"),
-                score_col: pd.Series([], dtype="float64"),
-                "rnk": pd.Series([], dtype="int32"),
-            }
-        )
         if state.hasTimedOut:
             # Idle served key (no candidates within ttl_ms): drop its
             # k-row state so serving-state is O(k x ACTIVE keys), the
             # watermark-expiry analogue for keyed serving state.
             state.remove()
-            yield empty
+            yield pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype="int64"),
+                    id_col: pd.Series([], dtype="int64"),
+                    score_col: pd.Series([], dtype="float64"),
+                    "rnk": pd.Series([], dtype="int32"),
+                }
+            )
             return
         best: dict[int, float] = {}
         if state.exists:
@@ -443,11 +473,7 @@ def stateful_topk_fold(
         outputStructType=out_schema,
         stateStructType=_TOPK_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=(
-            GroupStateTimeout.ProcessingTimeTimeout
-            if ttl_ms is not None
-            else GroupStateTimeout.NoTimeout
-        ),
+        timeoutConf=_timeout_conf(ttl_ms),
     )
 
 

@@ -1152,10 +1152,10 @@ def test_clustered_recall_bound_and_tier_order(spark, sf_dir):
     # combo-cluster duplicates (vec_id = q + 64t), disjoint from the
     # naive prefix for every fixture query.
     naive = {
-        q: {i for i in range(6) if i != q}
+        q: {i for i in range(6) if i != q}  # exactly k non-self low ids
         for q in brute
     }
-    naive_mean = mean_recall({q: set(list(sorted(s))[:k]) for q, s in naive.items()})
+    naive_mean = mean_recall(naive)
     assert naive_mean <= 0.1 < ivfpq_mean, (naive_mean, ivfpq_mean)
 
 

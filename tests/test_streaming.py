@@ -1244,7 +1244,11 @@ def test_sessionizer_idle_timeout_flushes_open_session():
         _sessionizer_update_fn,
     )
 
-    update = _sessionizer_update_fn(1800, "ts", "value", idle_timeout_ms=5000)
+    # idle >= gap*1000, the stateful_sessionizer contract (a shorter
+    # processing-time flush would split gap-contiguous sessions)
+    update = _sessionizer_update_fn(
+        1800, "ts", "value", idle_timeout_ms=3_600_000
+    )
     state = _FakeGroupState()
     t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
     b1 = pd.DataFrame(
@@ -1263,7 +1267,7 @@ def test_sessionizer_idle_timeout_flushes_open_session():
     # open session (the 1-event tail) held as state, timeout armed
     start, last_seen, n, total = state.get
     assert (start, n, total) == (t0 + dt.timedelta(hours=2), 1, 4.0)
-    assert state.timeout_durations == [5000]
+    assert state.timeout_durations == [3_600_000]
 
     # idle past the timeout: the open session flushes as closed and the
     # key's state drops — without this, user 9's last session never ends.
@@ -1276,6 +1280,40 @@ def test_sessionizer_idle_timeout_flushes_open_session():
                              "n_events", "session_value"]]) == [
         9, start, last_seen, 1, 4.0
     ]
+
+
+def test_fold_timeout_validation(spark):
+    """Driver-side validation of the fold family's opt-in timeouts (r15
+    review): a zero/negative ms would configure ProcessingTimeTimeout
+    (non-terminating availableNow drains, see TOPK_TTL_MS) and then crash
+    worker-side in state.setTimeoutDuration mid-stream; a sessionizer
+    idle flush shorter than the gap would split sessions the gap contract
+    keeps open. Both must fail fast, driver-side, like the adjacent
+    k >= 1 guard."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from spark_streaming_kafka_example_spark.streaming.stateful import (
+        _timeout_conf,
+        stateful_sessionizer,
+        stateful_topk_fold,
+    )
+
+    assert _timeout_conf(None) == GroupStateTimeout.NoTimeout
+    assert _timeout_conf(1000) == GroupStateTimeout.ProcessingTimeTimeout
+    for bad in (0, -5):
+        with pytest.raises(ValueError, match="timeout ms"):
+            _timeout_conf(bad)
+
+    cand = spark.createDataFrame(
+        [(1, 10, 0.5)], "q_id long, n_id long, cos double"
+    )
+    with pytest.raises(ValueError, match="timeout ms"):
+        stateful_topk_fold(cand, k=5, ttl_ms=0)
+    ev = spark.createDataFrame(
+        [(9,)], "user_id long"
+    )
+    with pytest.raises(ValueError, match="gap_seconds"):
+        stateful_sessionizer(ev, gap_seconds=1800, idle_timeout_ms=5000)
 
 
 def test_stateful_topk_fold_multibatch_stream(spark, tmp_path):
