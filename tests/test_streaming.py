@@ -1282,6 +1282,69 @@ def test_sessionizer_idle_timeout_flushes_open_session():
     ]
 
 
+def test_topk_fold_matches_dedup_model_property():
+    """Property pin (hypothesis): folding ANY candidate stream through
+    _topk_update_fn — arbitrary batching, duplicate ids, NaN scores,
+    ties, negative zero — leaves state equal to the reference model
+    computed WITHOUT truncation: dedupe by id keeping the max non-NaN
+    score over the whole stream, order by (-score, id), take k. This is
+    the exactness argument for the O(k) state bound as a checked
+    property, not prose: a true top-k member can never be evicted once
+    seen (eviction requires k strictly-better distinct ids, contradicting
+    membership), and a re-observed id re-enters with its max when that
+    max matters."""
+    import math
+
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_streaming_kafka_example_spark.streaming.stateful import (
+        _topk_update_fn,
+    )
+
+    cand = st.tuples(
+        st.integers(min_value=0, max_value=7),  # few ids -> collisions
+        st.floats(width=64, allow_nan=True, allow_infinity=False),
+    )
+    batches_strategy = st.lists(
+        st.lists(cand, max_size=12), min_size=1, max_size=5
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(batches=batches_strategy, k=st.integers(min_value=1, max_value=4))
+    def run(batches, k):
+        update = _topk_update_fn(k, "q_id", "n_id", "cos")
+        state = _FakeGroupState()
+        for rows in batches:
+            pdf = pd.DataFrame(
+                {
+                    "q_id": pd.Series([1] * len(rows), dtype="int64"),
+                    "n_id": pd.Series(
+                        [i for i, _ in rows], dtype="int64"
+                    ),
+                    "cos": pd.Series(
+                        [s for _, s in rows], dtype="float64"
+                    ),
+                }
+            )
+            (out,) = list(update((1,), iter([pdf]), state))
+            assert len(out) <= k  # emission bounded every batch
+        best: dict[int, float] = {}
+        for rows in batches:
+            for i, s in rows:
+                if math.isnan(s):
+                    continue
+                if i not in best or s > best[i]:
+                    best[i] = s
+        top = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        ids, scores = state.get
+        assert list(ids) == [i for i, _ in top]
+        assert list(scores) == [s for _, s in top]
+
+    run()
+
+
 def test_fold_timeout_validation(spark):
     """Driver-side validation of the fold family's opt-in timeouts (r15
     review): a zero/negative ms would configure ProcessingTimeTimeout
