@@ -1345,6 +1345,65 @@ def test_topk_fold_matches_dedup_model_property():
     run()
 
 
+def test_sessionizer_fold_batch_boundary_invariance_property():
+    """Property pin (hypothesis): the sessionizer fold is invariant to
+    micro-batch boundaries — for any in-order event stream (the file/
+    Kafka replay contract; cross-batch late data is the watermark story)
+    and ANY split into micro-batches, the concatenated closed-session
+    emissions plus the final open-session state equal the single-batch
+    fold. Within-batch order is free: the fold sorts each batch."""
+    import datetime as dt
+
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_streaming_kafka_example_spark.streaming.stateful import (
+        _sessionizer_update_fn,
+    )
+
+    # per event: (seconds since previous event, batch boundary before it?)
+    step = st.tuples(
+        st.integers(min_value=0, max_value=4000), st.booleans()
+    )
+    stream_strategy = st.lists(step, min_size=1, max_size=20)
+
+    def fold(batches):
+        update = _sessionizer_update_fn(1800, "ts", "value")
+        state = _FakeGroupState()
+        closed = []
+        for rows in batches:
+            pdf = pd.DataFrame(
+                {
+                    "user_id": [9] * len(rows),
+                    "ts": [t for t, _ in rows],
+                    "value": [v for _, v in rows],
+                }
+            )
+            closed.extend(
+                tuple(r)
+                for out in update((9,), iter([pdf]), state)
+                for r in out.itertuples(index=False)
+            )
+        return closed, state.get
+
+    @settings(max_examples=150, deadline=None)
+    @given(steps=stream_strategy)
+    def run(steps):
+        t = dt.datetime(2026, 1, 1, 12, 0, 0)
+        events, batches = [], [[]]
+        for n, (delta, cut) in enumerate(steps):
+            t = t + dt.timedelta(seconds=delta)
+            ev = (t, float(n + 1))
+            events.append(ev)
+            if cut and batches[-1]:
+                batches.append([])
+            batches[-1].append(ev)
+        assert fold(batches) == fold([events])
+
+    run()
+
+
 def test_fold_timeout_validation(spark):
     """Driver-side validation of the fold family's opt-in timeouts (r15
     review): a zero/negative ms would configure ProcessingTimeTimeout
