@@ -51,11 +51,17 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # 8 unchecked (the r12 registrations) + 27 stalest re-pins = ALL 22
 # r04-stale names + the 5 oldest r05 names; r13 drained the remaining r05
 # tail the same way (histogram min r05 -> r06 per the r13 VERDICT).
+# r16 rotation: p5_to_json_struct moves to the freshness sort (r15-green,
+# so it queues at the very back; projections stay pinned by p2/p12, and
+# the freshness tail re-checks the P4/P5/K5 to_json idiom within a few
+# rounds). Funds the 50th slot: the actual r16 stale tail is 3 r08 + 31
+# r09 names (the r15 VERDICT's task-1 arithmetic said 30 r09), so 15 CORE
+# + 2 new registrations + 34 stale = 51 — one name had to move for the
+# drain-to-empty criterion (histogram min >= r10) to hold in one round.
 CORE_WINDOW = [
     "flagship_sliding_alert",
     # §2.4 projections / §2.10 UDF / §2.6 join (p8-p10/f1 lifetime-proven)
     "p2_from_json_flatten",
-    "p5_to_json_struct",
     "p12_a1_word_count",
     "u1_u3_udf_sql",
     "j1_enrich_left_outer",
@@ -318,7 +324,27 @@ ROTATION_PRIORITY = [
     # served by SUM-merging the hourly cells; the oracle builds daily
     # cells directly, so the hash match proves the rollup exact.
     "sketch_quantile_rollup",
+    # r16 (r15 VERDICT task 2): the content-keyed split that closes the
+    # split_leakage_audit loop — assignment + its audit re-run (exactly 0
+    # contamination by construction). Exactly 2 registrations so the full
+    # r08+r09 stale tail (3 + 30 names) drains within the 50-slot window.
+    "split_by_cluster",
+    "split_by_cluster_audit",
 ]
+
+
+# New registrations whose FIRST driver row is deliberately deferred behind
+# the staleness drain: unchecked names normally enter the window before
+# every re-pin, but in a round whose explicit goal is draining the stale
+# tail to empty (r16: 14 CORE + 2 unchecked + ALL 34 r08/r09-stale names
+# = exactly 50) an extra registration would displace the oldest stale
+# name. A deferred name sorts AFTER the freshness tail until its first
+# green row lands (next round, when the drained tail frees ~34 slots);
+# the entry then expires automatically — same self-cleaning contract as
+# FORCE_RECHECK. name -> round registered (for audit trail only).
+DEFER_TO_TAIL: dict[str, int] = {
+    "stream_ivf_appendix_probe": 16,
+}
 
 
 def _ordered_names() -> list[str]:
@@ -337,11 +363,14 @@ def _ordered_names() -> list[str]:
     unchecked = [
         n for n in all_names if n not in core_set and n not in last_green
     ]
+    deferred = [n for n in unchecked if n in DEFER_TO_TAIL]
+    unchecked = [n for n in unchecked if n not in DEFER_TO_TAIL]
     prio = {n: i for i, n in enumerate(ROTATION_PRIORITY)}
     unchecked.sort(key=lambda n: (prio.get(n, len(prio)), all_names.index(n)))
     rest = [n for n in all_names if n not in core_set and n in last_green]
     rest.sort(key=lambda n: (last_green[n], all_names.index(n)))
-    return core + unchecked + rest
+    deferred.sort(key=lambda n: (DEFER_TO_TAIL[n], all_names.index(n)))
+    return core + unchecked + rest + deferred
 
 
 def _apply_session_conf(spark: SparkSession) -> None:

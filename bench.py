@@ -159,6 +159,14 @@ HEADLINE = [
     # r15-new clustered-corpus recall surface.
     "stream_ann_probe",
     "sim_ivfpq_clustered_recall",
+    # r16 (r15 VERDICT task 2): the content-keyed split pair — map-side
+    # assignment + the audit re-run that reads exactly 0 contamination.
+    "split_by_cluster",
+    "split_by_cluster_audit",
+    # r16 (r15 VERDICT task 7): incremental IVF maintenance end-to-end —
+    # base build + streamed appendix (foreachBatch dynamic-overwrite
+    # appends) + the union probe; times the full freshness path.
+    "stream_ivf_appendix_probe",
 ]
 _HEADLINE_SET = frozenset(HEADLINE)
 

@@ -226,6 +226,37 @@ def build_ivf_index(
     assigned.write.mode("overwrite").partitionBy("bucket").parquet(path)
 
 
+def ivf_topk_over_index(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe an already-materialized index RELATION (id, bucket, vector):
+    per query find the n_probe nearest centroids, then touch only the
+    probed buckets' rows — over a bucket-partitioned parquet read the
+    broadcast-hash bucket join prunes those partitions at plan time. The
+    ONE probe body shared by ivf_topk_indexed (single index dir) and the
+    incremental base ∪ appendix probe (stream_ivf_appendix_probe); same
+    output contract as ivf_topk."""
+    probed = probe_buckets(queries, centroids, n_probe, id_col, vec_col)
+    scored = (
+        F.broadcast(probed)
+        .join(index, "bucket")
+        .filter(F.col("q_id") != F.col(id_col))
+        .select(
+            "q_id",
+            F.col(id_col).alias("n_id"),
+            F.round(cosine_pandas("qv", vec_col), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
 def ivf_topk_indexed(
     spark,
     index_path: str,
@@ -239,17 +270,7 @@ def ivf_topk_indexed(
     """Query the materialized index: per query find the n_probe nearest
     centroids, then scan ONLY those bucket partitions (`bucket IN (...)`
     prunes at plan time). Same output contract as ivf_topk."""
-    probed = probe_buckets(queries, centroids, n_probe, id_col, vec_col)
-    index = spark.read.parquet(index_path)
-    scored = (
-        F.broadcast(probed)
-        .join(index, "bucket")
-        .filter(F.col("q_id") != F.col(id_col))
-        .select(
-            "q_id",
-            F.col(id_col).alias("n_id"),
-            F.round(cosine_pandas("qv", vec_col), 4).alias("cos"),
-        )
+    return ivf_topk_over_index(
+        spark.read.parquet(index_path), queries, centroids, k, n_probe,
+        id_col, vec_col,
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

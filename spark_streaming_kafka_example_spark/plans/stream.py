@@ -478,7 +478,7 @@ def stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # replays with the same round(4) + centroid-id tie-break.
 # ---------------------------------------------------------------------------
 
-from .llm import _DOT, _NORM, _STRIDE_K_CAP  # noqa: E402
+from .llm import _DOT, _IVF_STRIDE_SQL, _NORM, _STRIDE_K_CAP  # noqa: E402
 
 
 @register(
@@ -523,6 +523,93 @@ def stream_vector_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.struct(F.col("ccos"), (-F.col("cent_id")).alias("neg_cent"))
     assigned = scored.groupBy("vec_id").agg(F.max_by("cent_id", key).alias("bucket"))
     return run_to_table(spark, assigned, "update")
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF index maintenance at ingest (r16, r15 VERDICT task 7):
+# the index-freshness story a 100 TB serving tier needs. The batch index
+# is built ONCE over the already-ingested corpus; newly arriving vectors
+# are bucketized in-stream (the stream_vector_bucketize assignment, batch
+# machinery per micro-batch inside foreachBatch) and APPENDED to the
+# index layout — each micro-batch lands as its own (bucket, batch_id)
+# parquet partitions via dynamic partition overwrite, so a replayed batch
+# overwrites itself (the idempotent_parquet_handler exactly-once pattern)
+# and NO rebuild ever touches the base. The probe then reads base ∪
+# appendix and must return EXACTLY the from-scratch full-corpus IVF
+# result — which is why this query shares _IVF_STRIDE_SQL verbatim: the
+# hash match IS the freshness proof (append-maintained index ≡ rebuilt
+# index).
+#
+# Scale: the base build is the one-time assignment pass SCALE.md already
+# prices; per micro-batch the appendix write is |batch| rows through a
+# FIXED-K broadcast argmax (no shuffle of the corpus, no read of the
+# base); the probe stays partition-pruned on bucket on BOTH sides of the
+# union. Compaction of the appendix into the base is an offline
+# housekeeping job, not a serving dependency.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_appendix_handler(path: str, centroids: DataFrame):
+    """foreachBatch handler appending bucket assignments to the index
+    appendix: per (bucket, batch_id) dynamic-partition overwrite — replay
+    rewrites the same partitions with the same rows (exactly-once)."""
+    from ..operators.similarity import assign_buckets
+
+    def handler(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            assign_buckets(batch_df, centroids)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket", "batch_id")
+            .parquet(path)
+        )
+
+    return handler
+
+
+@register("stream_ivf_appendix_probe", _IVF_STRIDE_SQL)
+def stream_ivf_appendix_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, n_id, cos, rnk): the IVF probe over (batch-built base index
+    over even vec_ids) ∪ (streamed appendix of the odd vec_ids, appended
+    micro-batch by micro-batch at ingest) — byte-equal to the full-corpus
+    assignment's probe, proven by sharing sim_ivf_topk's oracle. Fresh
+    tempdirs per call (the k4/k6 sink convention), so every invocation
+    exercises build + streamed maintenance + probe end-to-end."""
+    from ..operators.similarity import build_ivf_index, ivf_topk_over_index
+    from ..streaming.sinks import foreach_batch_sink
+
+    from . import tmp_run_dir
+    from .llm import stride_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = stride_centroids(emb)
+    base_dir = tmp_run_dir("ivf_incr_")
+    base = os.path.join(base_dir, "base")
+    appendix = os.path.join(base_dir, "appendix")
+
+    # 1. the already-ingested corpus: batch index build (even ids)
+    build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), cent, base)
+
+    # 2. ingest: the rest of the corpus arrives as a stream and appends
+    arriving = embeddings_stream(spark, sf_dir).filter(
+        F.col("vec_id") % 2 == 1
+    ).select("vec_id", "embedding")
+    q = foreach_batch_sink(
+        arriving,
+        _ivf_appendix_handler(appendix, cent),
+        checkpoint=os.path.join(base_dir, "ckpt"),
+        mode="append",
+    )
+    q.awaitTermination()
+
+    # 3. serve: probe base ∪ appendix — no rebuild happened, results must
+    # equal the from-scratch assignment (shared oracle pins it).
+    index = spark.read.parquet(base).unionByName(
+        spark.read.parquet(appendix).drop("batch_id")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk_over_index(index, queries, cent, k=5, n_probe=2)
 
 
 # ---------------------------------------------------------------------------

@@ -2026,12 +2026,16 @@ def train_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .llm import _FP_SQL as _LLM_FP_SQL  # noqa: E402  (one fp definition)
 
 
-@register(
-    "split_leakage_audit",
-    f"""
+def _leakage_audit_sql(split_case_sql: str) -> str:
+    """The ONE leakage-audit oracle body, parametrized on the split CASE
+    expression — split_leakage_audit (doc-id gate) and
+    split_by_cluster_audit (content gate) render from this template, so
+    the audit semantics can never diverge between them. Rendering with
+    _SPLIT_CASE_SQL is byte-identical to the r07–r15 driver-green text."""
+    return f"""
     WITH s AS (
         SELECT doc_id,
-               {_SPLIT_CASE_SQL} AS split,
+               {split_case_sql} AS split,
                {_LLM_FP_SQL.format(t='text')} AS fp
         FROM documents
     ),
@@ -2045,15 +2049,19 @@ from .llm import _FP_SQL as _LLM_FP_SQL  # noqa: E402  (one fp definition)
            round(sum(CASE WHEN leaked THEN 1 ELSE 0 END)
                  / CAST(count(*) AS DOUBLE), 4) AS contamination_rate
     FROM ev GROUP BY split
-    """,
-)
-def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _leakage_audit_frame(docs: DataFrame, split_col) -> DataFrame:
+    """Spark twin of _leakage_audit_sql: per eval split, how many docs
+    share an exact content fingerprint with the train split. One fp
+    projection, one distinct, one fp-keyed equi-join — the dedup_exact
+    shuffle profile regardless of which split gate is audited."""
     from ..functions.text import fingerprint
 
-    docs = load_table(spark, sf_dir, "documents")
     s = docs.select(
         "doc_id",
-        split_column().alias("split"),
+        split_col.alias("split"),
         fingerprint("text").alias("fp"),
     ).localCheckpoint(eager=False)  # feeds the train set AND the eval side
     train_fp = s.filter(F.col("split") == "train").select("fp").distinct()
@@ -2070,6 +2078,87 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("contamination_rate"),
     )
+
+
+@register("split_leakage_audit", _leakage_audit_sql(_SPLIT_CASE_SQL))
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _leakage_audit_frame(docs, split_column())
+
+
+# ---------------------------------------------------------------------------
+# Content-aware split (r16, closes the loop split_leakage_audit opened):
+# gate the split on the CONTENT fingerprint instead of the doc_id, so
+# every copy of a document — planted re-crawls, mirrored pages, new ids
+# for old bytes — lands in the SAME split by construction. The exact
+# fingerprint IS the duplicate-cluster key for exact copies (the class
+# the audit measures), which makes the fix a pure map-side projection:
+# no cluster join, no shuffle, and a doc's split is stable under
+# re-crawling forever. A fresh salt decorrelates the gate from the
+# doc-id split and every other hash gate in the pipeline.
+#
+# Near-dup robustness is the documented extension, not a new mechanism:
+# replace fp with the near-dup cluster representative's fingerprint
+# (dedup_cluster_representatives rep_doc_id -> its fp) and gate the same
+# way — one extra broadcast-scale join against the (small) cluster-rep
+# relation; singleton docs keep their own fp. Capability lineage:
+# transform-then-aggregate over the parsed stream
+# (StructuredStreamingKafka.scala:39-52) — the split gate is the same
+# derived-column projection class.
+#
+# Scale: identical profile to split_train_valid_test — fp + md5 gate are
+# per-row codegen expressions, so at 100 TB this is a full scan and
+# nothing else; the audit twin below adds the one fp-keyed equi-join the
+# r07 audit already carries.
+# ---------------------------------------------------------------------------
+
+_SPLITC_SALT = "splitc:"
+_SPLITC_HASH_SQL = _gate_sql(
+    f"md5('{_SPLITC_SALT}' || {_LLM_FP_SQL.format(t='text')})"
+)
+_SPLITC_CASE_SQL = f"""CASE WHEN {_SPLITC_HASH_SQL} < {_SPLIT_VALID_LT} THEN 'valid'
+                WHEN {_SPLITC_HASH_SQL} < {_SPLIT_TEST_LT} THEN 'test'
+                ELSE 'train' END"""
+
+
+def cluster_split_column():
+    """Spark twin of _SPLITC_CASE_SQL: the content-keyed split label.
+    Same thresholds as split_column(); the gate hashes salt + content
+    fingerprint, so fp-equal docs get byte-equal gates."""
+    from ..functions.text import fingerprint
+
+    gate = _md5_gate(
+        F.md5(F.concat(F.lit(_SPLITC_SALT), fingerprint("text")))
+    )
+    return (
+        F.when(gate < _SPLIT_VALID_LT, F.lit("valid"))
+        .when(gate < _SPLIT_TEST_LT, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+
+
+@register(
+    "split_by_cluster",
+    f"""
+    SELECT doc_id, source, {_SPLITC_CASE_SQL} AS split
+    FROM documents
+    """,
+)
+def split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "source", cluster_split_column().alias("split"))
+
+
+@register("split_by_cluster_audit", _leakage_audit_sql(_SPLITC_CASE_SQL))
+def split_by_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r07 leakage audit re-run on the content-keyed split: every
+    eval-split fingerprint is disjoint from train BY CONSTRUCTION (equal
+    fp => equal gate => equal split), so n_contaminated is exactly 0
+    where the doc-id split's audit shows the planted-duplicate leak.
+    Pinned against that contrast by
+    tests/test_operators.py::test_split_by_cluster_zero_leakage."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _leakage_audit_frame(docs, cluster_split_column())
 
 
 # ---------------------------------------------------------------------------

@@ -2454,3 +2454,38 @@ def test_minhash_within_row_sigs_match_groupby(spark):
         .collect()
     }
     assert batch == within
+
+
+def test_split_by_cluster_zero_leakage(spark, sf_dir):
+    """The contrast that closes the r07 audit's loop: the doc-id-gated
+    split leaks planted duplicates into eval splits (nonzero
+    n_contaminated — the observable failure), while the content-keyed
+    split's audit is exactly 0 on every eval split, and fp-equal docs
+    always share a split (the construction the zero follows from)."""
+    docid_audit = plans.QUERIES["split_leakage_audit"](spark, sf_dir).toPandas()
+    assert docid_audit.n_contaminated.sum() > 0  # planted dupes DO leak
+
+    cluster_audit = plans.QUERIES["split_by_cluster_audit"](
+        spark, sf_dir
+    ).toPandas()
+    assert set(cluster_audit.split) <= {"valid", "test"}
+    assert (cluster_audit.n_contaminated == 0).all()
+    assert (cluster_audit.contamination_rate == 0.0).all()
+    assert (cluster_audit.n_docs > 0).all()  # eval splits are non-degenerate
+
+    # construction property: equal fingerprint => equal split label
+    from spark_streaming_kafka_example_spark.functions.text import fingerprint
+    from spark_streaming_kafka_example_spark.plans.textprep import (
+        cluster_split_column,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_multi_split_fps = (
+        docs.select(fingerprint("text").alias("fp"),
+                    cluster_split_column().alias("split"))
+        .groupBy("fp")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert n_multi_split_fps == 0

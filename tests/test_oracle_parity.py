@@ -92,6 +92,10 @@ def test_driver_window_covers_all_unchecked():
             last_green.pop(name, None)
     names = m._ordered_names()
     past_cut = [n for n in names[50:] if n not in last_green]
+    # DEFER_TO_TAIL names are deliberately past the cut until their first
+    # green row (r16) — but only entries that are still pending: a green
+    # deferred name must have re-entered the normal freshness ordering.
+    past_cut = [n for n in past_cut if n not in m.DEFER_TO_TAIL]
     assert not past_cut, (
         f"{len(past_cut)} unchecked queries past the 50-query driver "
         f"window: {past_cut}"

@@ -1045,3 +1045,15 @@ def test_aqe_skew_join_split_ab(spark):
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, val)
+
+
+def test_split_by_cluster_mapside_no_exchange(plan_of):
+    """The content-keyed split is a pure map-side projection: fp + md5
+    gate are codegen expressions over the scan, so the executed plan has
+    ZERO exchanges and the parquet scan prunes to exactly the columns the
+    query touches — at 100 TB the split assignment costs one pass and no
+    shuffle (identical profile to split_train_valid_test). The audit twin
+    is allowed its dedup_exact-class exchanges; the ASSIGNMENT is not."""
+    plan = plan_of("split_by_cluster")
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan
