@@ -344,6 +344,10 @@ ROTATION_PRIORITY = [
 # FORCE_RECHECK. name -> round registered (for audit trail only).
 DEFER_TO_TAIL: dict[str, int] = {
     "stream_ivf_appendix_probe": 16,
+    "split_by_neardup_cluster": 16,
+    "split_by_neardup_cluster_audit": 16,
+    "stream_split_by_cluster": 16,
+    "sim_ivf_compacted_probe": 16,
 }
 
 

@@ -167,6 +167,15 @@ HEADLINE = [
     # base build + streamed appendix (foreachBatch dynamic-overwrite
     # appends) + the union probe; times the full freshness path.
     "stream_ivf_appendix_probe",
+    # r16: the near-dup-robust split (representative-fp gate over the
+    # LSH->jaccard->components clusters) and its cluster-level audit,
+    # plus the at-ingest stateless split-assignment twin.
+    "split_by_neardup_cluster",
+    "split_by_neardup_cluster_audit",
+    "stream_split_by_cluster",
+    # r16: the compaction arm of the index lifecycle (build -> append ->
+    # compact -> probe, one shared oracle across all of it).
+    "sim_ivf_compacted_probe",
 ]
 _HEADLINE_SET = frozenset(HEADLINE)
 

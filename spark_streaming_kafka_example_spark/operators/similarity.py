@@ -235,24 +235,31 @@ def ivf_topk_over_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Probe an already-materialized index RELATION (id, bucket, vector):
+    """Probe already-materialized index RELATIONS (id, bucket, vector):
     per query find the n_probe nearest centroids, then touch only the
-    probed buckets' rows — over a bucket-partitioned parquet read the
-    broadcast-hash bucket join prunes those partitions at plan time. The
-    ONE probe body shared by ivf_topk_indexed (single index dir) and the
-    incremental base ∪ appendix probe (stream_ivf_appendix_probe); same
-    output contract as ivf_topk."""
+    probed buckets' rows. ``index`` may be one relation or a list (the
+    incremental base ∪ appendix case): each part gets its OWN broadcast
+    bucket join and the SCORED rows union — joining below the union is
+    what lets dynamic partition pruning reach each part's
+    bucket-partitioned scan (a join above a Union never prunes either
+    side; ranking commutes with the union, so results are identical).
+    The ONE probe body shared by ivf_topk_indexed (single index dir) and
+    stream_ivf_appendix_probe; same output contract as ivf_topk."""
     probed = probe_buckets(queries, centroids, n_probe, id_col, vec_col)
-    scored = (
-        F.broadcast(probed)
-        .join(index, "bucket")
-        .filter(F.col("q_id") != F.col(id_col))
-        .select(
-            "q_id",
-            F.col(id_col).alias("n_id"),
-            F.round(cosine_pandas("qv", vec_col), 4).alias("cos"),
+    parts = list(index) if isinstance(index, (list, tuple)) else [index]
+    scored = None
+    for part in parts:
+        s = (
+            F.broadcast(probed)
+            .join(part.select(id_col, "bucket", vec_col), "bucket")
+            .filter(F.col("q_id") != F.col(id_col))
+            .select(
+                "q_id",
+                F.col(id_col).alias("n_id"),
+                F.round(cosine_pandas("qv", vec_col), 4).alias("cos"),
+            )
         )
-    )
+        scored = s if scored is None else scored.unionByName(s)
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 

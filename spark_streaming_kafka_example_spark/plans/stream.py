@@ -469,6 +469,28 @@ def stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# At-ingest content-keyed split assignment (r16): the streaming twin of
+# split_by_cluster — the property that makes the content gate the RIGHT
+# split for an ingest pipeline is exactly that it needs no state: a doc's
+# split depends only on its own bytes, so arriving docs are labeled by a
+# pure per-row projection (fp + md5 gate in codegen; append mode, no
+# watermark) and a re-crawled copy arriving years later STILL lands in
+# its original's split. Shares split_by_cluster's oracle verbatim.
+# ---------------------------------------------------------------------------
+
+from .textprep import SPLIT_BY_CLUSTER_ORACLE, cluster_split_column  # noqa: E402
+
+
+@register("stream_split_by_cluster", SPLIT_BY_CLUSTER_ORACLE)
+def stream_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = documents_stream(spark, sf_dir)
+    labeled = docs.select(
+        "doc_id", "source", cluster_split_column().alias("split")
+    )
+    return run_to_table(spark, labeled, "append")
+
+
+# ---------------------------------------------------------------------------
 # In-stream vector bucketization: an embedding ingest pipeline assigning
 # each arriving vector to its nearest IVF centroid (stream-static broadcast
 # of the centroid table + ONE stateful argmax aggregation — streaming
@@ -568,22 +590,19 @@ def _ivf_appendix_handler(path: str, centroids: DataFrame):
     return handler
 
 
-@register("stream_ivf_appendix_probe", _IVF_STRIDE_SQL)
-def stream_ivf_appendix_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(q_id, n_id, cos, rnk): the IVF probe over (batch-built base index
-    over even vec_ids) ∪ (streamed appendix of the odd vec_ids, appended
-    micro-batch by micro-batch at ingest) — byte-equal to the full-corpus
-    assignment's probe, proven by sharing sim_ivf_topk's oracle. Fresh
-    tempdirs per call (the k4/k6 sink convention), so every invocation
-    exercises build + streamed maintenance + probe end-to-end."""
-    from ..operators.similarity import build_ivf_index, ivf_topk_over_index
+def _build_base_and_appendix(
+    spark: SparkSession, sf_dir: str, emb: DataFrame, cent: DataFrame
+) -> tuple[str, str]:
+    """(base_path, appendix_path): batch-build the base index over the
+    already-ingested corpus (even vec_ids), then stream the rest (odd
+    vec_ids) through the appendix handler. Fresh tempdirs per call (the
+    k4/k6 sink convention) — shared by the appendix probe and the
+    compaction twin."""
+    from ..operators.similarity import build_ivf_index
     from ..streaming.sinks import foreach_batch_sink
 
     from . import tmp_run_dir
-    from .llm import stride_centroids
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent = stride_centroids(emb)
     base_dir = tmp_run_dir("ivf_incr_")
     base = os.path.join(base_dir, "base")
     appendix = os.path.join(base_dir, "appendix")
@@ -602,14 +621,70 @@ def stream_ivf_appendix_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="append",
     )
     q.awaitTermination()
+    return base, appendix
+
+
+@register("stream_ivf_appendix_probe", _IVF_STRIDE_SQL)
+def stream_ivf_appendix_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, n_id, cos, rnk): the IVF probe over (batch-built base index
+    over even vec_ids) ∪ (streamed appendix of the odd vec_ids, appended
+    micro-batch by micro-batch at ingest) — byte-equal to the full-corpus
+    assignment's probe, proven by sharing sim_ivf_topk's oracle. Every
+    invocation exercises build + streamed maintenance + probe
+    end-to-end."""
+    from ..operators.similarity import ivf_topk_over_index
+
+    from .llm import stride_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = stride_centroids(emb)
+    base, appendix = _build_base_and_appendix(spark, sf_dir, emb, cent)
 
     # 3. serve: probe base ∪ appendix — no rebuild happened, results must
-    # equal the from-scratch assignment (shared oracle pins it).
-    index = spark.read.parquet(base).unionByName(
-        spark.read.parquet(appendix).drop("batch_id")
+    # equal the from-scratch assignment (shared oracle pins it). The two
+    # parts are passed SEPARATELY so each bucket-partitioned scan sits
+    # directly under its probe join and dynamic partition pruning can
+    # reach it (a Union between join and scan defeats DPP — observed).
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk_over_index(
+        [spark.read.parquet(base), spark.read.parquet(appendix)],
+        queries, cent, k=5, n_probe=2,
+    )
+
+
+@register("sim_ivf_compacted_probe", _IVF_STRIDE_SQL)
+def sim_ivf_compacted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The offline housekeeping job the appendix defers, as a
+    driver-checked fact: COMPACT base ∪ appendix into one fresh
+    bucket-partitioned index (a single rewrite — batch_id partitions
+    collapse away, each bucket's rows land in one partition again) and
+    probe the compacted directory. Build -> append -> compact -> probe
+    all share sim_ivf_topk's oracle, so the hash match proves the whole
+    index LIFECYCLE preserves serving results exactly. At 100 TB the
+    compaction reads base + appendix once and writes once, off the
+    serving path; probes before and after are interchangeable, which is
+    what lets it run as background housekeeping with a directory swap."""
+    from ..operators.similarity import ivf_topk_over_index
+
+    from . import tmp_run_dir
+    from .llm import stride_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = stride_centroids(emb)
+    base, appendix = _build_base_and_appendix(spark, sf_dir, emb, cent)
+
+    compacted = os.path.join(tmp_run_dir("ivf_compact_"), "index")
+    (
+        spark.read.parquet(base)
+        .unionByName(spark.read.parquet(appendix).drop("batch_id"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(compacted)
     )
     queries = emb.filter(F.col("vec_id") < 5)
-    return ivf_topk_over_index(index, queries, cent, k=5, n_probe=2)
+    return ivf_topk_over_index(
+        spark.read.parquet(compacted), queries, cent, k=5, n_probe=2
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -2113,23 +2113,32 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SPLITC_SALT = "splitc:"
-_SPLITC_HASH_SQL = _gate_sql(
-    f"md5('{_SPLITC_SALT}' || {_LLM_FP_SQL.format(t='text')})"
-)
-_SPLITC_CASE_SQL = f"""CASE WHEN {_SPLITC_HASH_SQL} < {_SPLIT_VALID_LT} THEN 'valid'
-                WHEN {_SPLITC_HASH_SQL} < {_SPLIT_TEST_LT} THEN 'test'
+
+
+def _splitc_case_sql(fp_sql: str) -> str:
+    """The content-keyed split CASE over an arbitrary fingerprint SQL
+    expression — split_by_cluster gates on the doc's own fp,
+    split_by_neardup_cluster on the cluster representative's. One
+    template, so the thresholds/salt can never diverge between the two."""
+    h = _gate_sql(f"md5('{_SPLITC_SALT}' || {fp_sql})")
+    return f"""CASE WHEN {h} < {_SPLIT_VALID_LT} THEN 'valid'
+                WHEN {h} < {_SPLIT_TEST_LT} THEN 'test'
                 ELSE 'train' END"""
 
 
-def cluster_split_column():
-    """Spark twin of _SPLITC_CASE_SQL: the content-keyed split label.
-    Same thresholds as split_column(); the gate hashes salt + content
-    fingerprint, so fp-equal docs get byte-equal gates."""
+_SPLITC_CASE_SQL = _splitc_case_sql(_LLM_FP_SQL.format(t="text"))
+
+
+def cluster_split_column(fp=None):
+    """Spark twin of _splitc_case_sql: the content-keyed split label over
+    a fingerprint Column (default: the doc's own fingerprint). Same
+    thresholds as split_column(); the gate hashes salt + fingerprint, so
+    fp-equal docs get byte-equal gates."""
     from ..functions.text import fingerprint
 
-    gate = _md5_gate(
-        F.md5(F.concat(F.lit(_SPLITC_SALT), fingerprint("text")))
-    )
+    if fp is None:
+        fp = fingerprint("text")
+    gate = _md5_gate(F.md5(F.concat(F.lit(_SPLITC_SALT), fp)))
     return (
         F.when(gate < _SPLIT_VALID_LT, F.lit("valid"))
         .when(gate < _SPLIT_TEST_LT, F.lit("test"))
@@ -2137,13 +2146,15 @@ def cluster_split_column():
     )
 
 
-@register(
-    "split_by_cluster",
-    f"""
+# Shared with the at-ingest twin stream_split_by_cluster (plans/stream.py)
+# — a stateless projection drains to the identical relation.
+SPLIT_BY_CLUSTER_ORACLE = f"""
     SELECT doc_id, source, {_SPLITC_CASE_SQL} AS split
     FROM documents
-    """,
-)
+    """
+
+
+@register("split_by_cluster", SPLIT_BY_CLUSTER_ORACLE)
 def split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", "source", cluster_split_column().alias("split"))
@@ -2159,6 +2170,130 @@ def split_by_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_operators.py::test_split_by_cluster_zero_leakage."""
     docs = load_table(spark, sf_dir, "documents")
     return _leakage_audit_frame(docs, cluster_split_column())
+
+
+# ---------------------------------------------------------------------------
+# Near-dup-robust split (r16): the exact-fp gate puts exact COPIES in one
+# split, but a NEAR-duplicate (re-crawl with a truncated tail, the
+# _near_corpus plants) has a different fingerprint -> an independent gate
+# -> its cluster can straddle train and eval (measured: 4 straddling
+# clusters, 4 cluster-leaked eval docs at sf0.01 under the own-fp gate).
+# Fix: gate every clustered doc on its CLUSTER REPRESENTATIVE's
+# fingerprint — rep = the component's min doc_id (cluster_id), the same
+# transitive clusters dedup_clusters ships — so a whole near-dup cluster
+# moves as one unit; singleton docs keep their own fp (identical gate to
+# split_by_cluster).
+#
+# Scale: the fp projection is map-side; the cluster relation is the
+# proven LSH-candidate -> jaccard-verify -> connected-components pipeline
+# (bucket-bounded, no shingle self-join, checkpointed fixpoint); the
+# member->cluster and rep-fp lookups are fp/cluster-keyed equi-joins left
+# UNHINTED because the duplicate subset grows with the corpus (the
+# FIXED-K rule). No new mechanism — one composition of shipped pieces.
+# ---------------------------------------------------------------------------
+
+_NEARDUP_KEYED_CTES = f"""{_NC_CTE.strip()},
+    {_SH_CTE.strip()},
+    {_LC_CTE.strip()},
+    {_JS_CTE.strip()},
+    {_ERC_CTE.strip()},
+    fps AS (SELECT doc_id, {_LLM_FP_SQL.format(t='text')} AS fp FROM corpus),
+    sp AS (
+        SELECT f.doc_id,
+               {_splitc_case_sql('coalesce(rf.fp, f.fp)')} AS split,
+               c.cluster_id
+        FROM fps f
+        LEFT JOIN clusters c ON f.doc_id = c.doc_id
+        LEFT JOIN fps rf ON rf.doc_id = c.cluster_id
+    )"""
+
+
+def _neardup_split_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, split, cluster_id) over the near corpus under the
+    representative-fp gate — the Spark twin of _NEARDUP_KEYED_CTES' sp,
+    shared by the assignment and audit queries."""
+    from ..functions.text import fingerprint
+    from ..operators.components import connected_components
+
+    corpus = _near_corpus(spark, sf_dir)
+    fps = corpus.select(
+        "doc_id", fingerprint("text").alias("fp")
+    ).localCheckpoint(eager=False)  # feeds the member AND rep-lookup sides
+    cc = connected_components(_jaccard_pair_graph(spark, sf_dir)).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    rep_fps = fps.select(
+        F.col("doc_id").alias("cluster_id"), F.col("fp").alias("rep_fp")
+    )
+    return (
+        fps.join(cc, "doc_id", "left_outer")
+        .join(rep_fps, "cluster_id", "left_outer")
+        .select(
+            "doc_id",
+            cluster_split_column(
+                F.coalesce(F.col("rep_fp"), F.col("fp"))
+            ).alias("split"),
+            "cluster_id",
+        )
+    )
+
+
+@register(
+    "split_by_neardup_cluster",
+    f"""
+    WITH RECURSIVE {_NEARDUP_KEYED_CTES}
+    SELECT doc_id, split FROM sp
+    """,
+)
+def split_by_neardup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _neardup_split_frame(spark, sf_dir).select("doc_id", "split")
+
+
+@register(
+    "split_by_neardup_cluster_audit",
+    f"""
+    WITH RECURSIVE {_NEARDUP_KEYED_CTES},
+    tc AS (SELECT DISTINCT cluster_id FROM sp
+           WHERE split = 'train' AND cluster_id IS NOT NULL),
+    ev AS (SELECT sp.split, (t.cluster_id IS NOT NULL) AS leaked
+           FROM sp LEFT JOIN tc t ON sp.cluster_id = t.cluster_id
+           WHERE sp.split <> 'train')
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN leaked THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cluster_leaked,
+           round(sum(CASE WHEN leaked THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS cluster_leak_rate
+    FROM ev GROUP BY split
+    """,
+)
+def split_by_neardup_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cluster-level leakage audit (leaked = an eval doc sharing a
+    near-dup CLUSTER with any train doc) on the representative-fp split:
+    exactly 0 on every eval split by construction — where the own-fp gate
+    measurably leaks (the planted truncated re-crawls straddle; pinned by
+    tests/test_operators.py::test_split_by_neardup_cluster_contrast)."""
+    s = _neardup_split_frame(spark, sf_dir).localCheckpoint(
+        eager=False
+    )  # feeds the train-cluster set AND the eval side
+    tc = (
+        s.filter((F.col("split") == "train") & F.col("cluster_id").isNotNull())
+        .select("cluster_id")
+        .distinct()
+    )
+    ev = s.filter(F.col("split") != "train").join(
+        tc.withColumn("leaked", F.lit(True)), "cluster_id", "left_outer"
+    )
+    return ev.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("leaked"), 1).otherwise(0)).alias(
+            "n_cluster_leaked"
+        ),
+        F.round(
+            F.sum(F.when(F.col("leaked"), 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("cluster_leak_rate"),
+    )
 
 
 # ---------------------------------------------------------------------------

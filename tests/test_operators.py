@@ -2489,3 +2489,76 @@ def test_split_by_cluster_zero_leakage(spark, sf_dir):
         .count()
     )
     assert n_multi_split_fps == 0
+
+
+def test_split_by_neardup_cluster_contrast(spark, sf_dir):
+    """The near-dup escalation of the split-leakage story: under the
+    OWN-fp gate a planted truncated re-crawl hashes independently of its
+    source, so near-dup clusters measurably straddle train/eval; under
+    the representative-fp gate (split_by_neardup_cluster) cluster-level
+    leakage is exactly 0 and every cluster's members share one split."""
+    import pyspark.sql.functions as SF
+
+    from spark_streaming_kafka_example_spark.plans.textprep import (
+        _neardup_split_frame,
+        cluster_split_column,
+    )
+
+    # rep-fp gate: audit reads zero on every eval split
+    audit = plans.QUERIES["split_by_neardup_cluster_audit"](
+        spark, sf_dir
+    ).toPandas()
+    assert set(audit.split) <= {"valid", "test"}
+    assert (audit.n_cluster_leaked == 0).all()
+    assert (audit.cluster_leak_rate == 0.0).all()
+
+    # construction property: no cluster straddles two splits
+    s = _neardup_split_frame(spark, sf_dir)
+    straddling = (
+        s.filter(SF.col("cluster_id").isNotNull())
+        .groupBy("cluster_id")
+        .agg(SF.countDistinct("split").alias("n_splits"))
+        .filter(SF.col("n_splits") > 1)
+        .count()
+    )
+    assert straddling == 0
+
+    # the failure it fixes is OBSERVABLE: the own-fp gate (the exact-dup
+    # split applied to the same near corpus) leaks eval docs into
+    # train-shared clusters (the planted truncated copies straddle)
+    from spark_streaming_kafka_example_spark.functions.text import fingerprint
+    from spark_streaming_kafka_example_spark.operators.components import (
+        connected_components,
+    )
+    from spark_streaming_kafka_example_spark.plans.llm import (
+        _near_corpus,
+        jaccard_pair_graph,
+    )
+
+    own = (
+        _near_corpus(spark, sf_dir)
+        .select(
+            "doc_id",
+            cluster_split_column(fingerprint("text")).alias("split"),
+        )
+        .join(
+            connected_components(jaccard_pair_graph(spark, sf_dir)).select(
+                SF.col("node").alias("doc_id"), "cluster_id"
+            ),
+            "doc_id",
+            "left_outer",
+        )
+    )
+    tc = (
+        own.filter(
+            (SF.col("split") == "train") & SF.col("cluster_id").isNotNull()
+        )
+        .select("cluster_id")
+        .distinct()
+    )
+    leaked = (
+        own.filter(SF.col("split") != "train")
+        .join(tc, "cluster_id", "left_semi")
+        .count()
+    )
+    assert leaked > 0

@@ -1057,3 +1057,58 @@ def test_split_by_cluster_mapside_no_exchange(plan_of):
     plan = plan_of("split_by_cluster")
     assert "Exchange" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_neardup_split_joins_unhinted_equi(spark, sf_dir):
+    """The near-dup split's member->cluster and rep-fp lookups join
+    relations that GROW with the duplicate subset of the corpus, so they
+    must stay UNHINTED equi-joins (the FIXED-K rule: the planner picks
+    broadcast-vs-shuffle from real stats) — same contract as the
+    stream-static probe joins. No cartesian, no hard-coded hint."""
+    from spark_streaming_kafka_example_spark.plans.textprep import (
+        _neardup_split_frame,
+    )
+
+    df = _neardup_split_frame(spark, sf_dir)
+    physical = formatted_plan(df)
+    assert "CartesianProduct" not in physical
+    assert "BroadcastNestedLoopJoin" not in physical
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, (
+        "hard-coded join hint on a corpus-proportional split relation"
+    )
+
+
+def test_ivf_appendix_probe_prunable_both_parts(spark, sf_dir):
+    """The incremental index probe must stay partition-prunable on BOTH
+    storage parts. Two deterministic properties pin the enabling shape:
+    (1) each of base and appendix carries its OWN probe join — two
+    BroadcastHashJoins in the executed plan, the union sits above them —
+    because a Union between the join and a partitioned scan forecloses
+    dynamic partition pruning entirely (observed before the r16
+    restructure); (2) each bucket-partitioned scan carries the STATIC
+    bucket PartitionFilters the optimizer infers through the centroid
+    equi-join (constraint propagation, deterministic). The dynamicpruning
+    subquery itself IS observed on these scans but its insertion is a
+    stats/ratio heuristic that varies with session history, so it is not
+    asserted — the structure that permits it is. At 100 TB this is the
+    difference between reading n_probe buckets of two directories and
+    scanning both whole."""
+    from spark_streaming_kafka_example_spark import plans as p
+
+    df = p.QUERIES["stream_ivf_appendix_probe"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, (
+        "expected one probe join per index part (union above the joins)"
+    )
+    for part in ("/base", "/appendix"):
+        scans = [
+            ln for ln in plan.splitlines()
+            if "ivf_incr" in ln and part in ln and "FileScan" in ln
+        ]
+        assert scans, f"no FileScan over {part}"
+        for ln in scans:
+            pf = ln.split("PartitionFilters: [", 1)
+            assert len(pf) == 2 and "bucket" in pf[1].split("]", 1)[0], (
+                f"{part} scan lost its static bucket partition filters"
+            )
