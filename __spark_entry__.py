@@ -348,6 +348,7 @@ DEFER_TO_TAIL: dict[str, int] = {
     "split_by_neardup_cluster_audit": 16,
     "stream_split_by_cluster": 16,
     "sim_ivf_compacted_probe": 16,
+    "stream_dedup_store_ingest": 16,
 }
 
 

@@ -174,8 +174,10 @@ HEADLINE = [
     "split_by_neardup_cluster_audit",
     "stream_split_by_cluster",
     # r16: the compaction arm of the index lifecycle (build -> append ->
-    # compact -> probe, one shared oracle across all of it).
+    # compact -> probe, one shared oracle across all of it), and the
+    # at-ingest dedup against a foreachBatch-maintained fingerprint store.
     "sim_ivf_compacted_probe",
+    "stream_dedup_store_ingest",
 ]
 _HEADLINE_SET = frozenset(HEADLINE)
 

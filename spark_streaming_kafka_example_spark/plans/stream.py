@@ -453,6 +453,179 @@ def stream_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# At-ingest dedup with a PERSISTED fingerprint store (r16): the dedup twin
+# of the incremental IVF appendix, and the production shape
+# dedup_incremental_exact (plans/llm.py:176) sketches — the store is not a
+# one-shot relation but a partitioned table MAINTAINED at ingest: each
+# micro-batch's decisions join against the store as of arrival, and the
+# batch's novel fingerprints append as their own batch_id partition via
+# dynamic partition overwrite (replays overwrite themselves). Cross-batch
+# duplicates are therefore decided by fingerprints an EARLIER micro-batch
+# appended — the store maintenance is load-bearing for the emitted
+# statuses, which is exactly what the shared-semantics oracle hash proves
+# (first-arrival-wins: arrival order is id order by construction, so the
+# oracle's min-doc_id-per-fp rank replays the decisions batch-split-free).
+
+from .llm import _FP_SQL as _LLM_FP_SQL  # noqa: E402  (one fp definition)
+#
+# Scale: per batch this is |batch| fingerprints (computed in-scan) against
+# an fp-keyed store read — prune with a Bloom/min-max prefilter over the
+# store partitions at 100 TB (layout_bloom_prefilter is that pattern) —
+# and the append writes |novel fps in batch| rows, never rewriting the
+# store. Statuses land in their own partitioned table, also idempotent.
+# ---------------------------------------------------------------------------
+
+
+def _dedup_store_handler(store_dir: str, decisions_dir: str):
+    """foreachBatch handler: decide novel/duplicate against the store AS
+    OF this batch, then append this batch's novel fps. Both writes are
+    (batch_id)-partitioned dynamic overwrites — exactly-once on replay."""
+    from pyspark.sql import Window
+
+    from ..functions.text import fingerprint
+
+    def handler(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fps = batch_df.select(
+            "doc_id", fingerprint("text").alias("fp")
+        ).localCheckpoint()  # one derivation feeds decisions AND the append
+        # The store AS OF this batch: only partitions appended by EARLIER
+        # batches (batch_id is the partition key, so this prunes at scan).
+        # Without the bound a REPLAYED batch would see its own appended
+        # fps and flip its novel decisions to duplicate — the exactly-once
+        # contract needs read-your-predecessors, never read-yourself
+        # (pinned by test_dedup_store_cross_batch_maintenance's replay).
+        store = (
+            spark.read.parquet(store_dir)
+            .filter(F.col("batch_id") < batch_id)
+            .select("fp")
+            .distinct()
+        )
+        w = Window.partitionBy("fp").orderBy("doc_id")
+        ranked = fps.withColumn("rn", F.row_number().over(w)).join(
+            store.withColumn("hit", F.lit(True)), "fp", "left_outer"
+        )
+        (
+            ranked.select(
+                "doc_id",
+                F.when(F.col("hit") | (F.col("rn") > 1), "duplicate")
+                .otherwise("novel")
+                .alias("status"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(decisions_dir)
+        )
+        (
+            ranked.filter(F.col("hit").isNull() & (F.col("rn") == 1))
+            .select("fp")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(store_dir)
+        )
+
+    return handler
+
+
+@register(
+    "stream_dedup_store_ingest",
+    f"""
+    WITH store AS (
+        SELECT DISTINCT {_LLM_FP_SQL.format(t='text')} AS fp
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    newbatch AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id + 300000 AS doc_id, text
+        FROM documents WHERE doc_id % 6 = 0
+    ),
+    nf AS (SELECT doc_id, {_LLM_FP_SQL.format(t='text')} AS fp FROM newbatch),
+    ranked AS (
+        SELECT doc_id, fp,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM nf
+    )
+    SELECT r.doc_id,
+           CASE WHEN s.fp IS NOT NULL OR r.rn > 1 THEN 'duplicate'
+                ELSE 'novel' END AS status
+    FROM ranked r LEFT JOIN store s ON r.fp = s.fp
+    """,
+)
+def stream_dedup_store_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, status): the already-ingested corpus (even ids) seeds the
+    fingerprint store; the rest (odd ids + the +300000 re-crawl plants)
+    arrives as an id-ordered multi-batch stream (3 id-ranged files + the
+    plants file, maxFilesPerTrigger=1), each batch deciding against and
+    appending to the store. First arrival of novel content wins; every
+    later copy — same batch, later batch, or seeded — reads 'duplicate'.
+    Cross-file odd/odd copies make the APPENDED partitions load-bearing
+    (pytest: test_dedup_store_cross_batch_maintenance)."""
+    from ..functions.text import fingerprint
+    from ..streaming.sinks import foreach_batch_sink
+
+    from . import tmp_run_dir
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base_dir = tmp_run_dir("fpstore_")
+    store_dir = os.path.join(base_dir, "store")
+    decisions_dir = os.path.join(base_dir, "decisions")
+    src_dir = os.path.join(base_dir, "arrivals")
+
+    # seed: the ingested corpus's distinct fingerprints (batch_id=-1)
+    (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(fingerprint("text").alias("fp"))
+        .distinct()
+        .withColumn("batch_id", F.lit(-1))
+        .write.partitionBy("batch_id")
+        .parquet(store_dir)
+    )
+
+    # arrivals: id-ordered files so arrival order == doc_id order (the
+    # oracle's rank-by-doc_id rule requires it; mtimes make the file
+    # source pick them in sequence)
+    plants = docs.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    odds = docs.filter(F.col("doc_id") % 2 == 1)
+    m = odds.agg(F.max("doc_id")).first()[0]  # one scalar: file boundaries
+    ranges = [
+        odds.filter(F.col("doc_id") <= m // 3),
+        odds.filter((F.col("doc_id") > m // 3) & (F.col("doc_id") <= 2 * m // 3)),
+        odds.filter(F.col("doc_id") > 2 * m // 3),
+        plants,
+    ]
+    for i, part in enumerate(ranges):
+        part.coalesce(1).write.parquet(os.path.join(src_dir, f"b{i}"))
+    for i in range(len(ranges)):
+        for root, _dirs, files in os.walk(os.path.join(src_dir, f"b{i}")):
+            for fn in files:
+                os.utime(
+                    os.path.join(root, fn),
+                    (1_700_000_000 + i, 1_700_000_000 + i),
+                )
+
+    arriving = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir + "/*")
+    )
+    q = foreach_batch_sink(
+        arriving,
+        _dedup_store_handler(store_dir, decisions_dir),
+        checkpoint=os.path.join(base_dir, "ckpt"),
+        mode="append",
+    )
+    q.awaitTermination()
+    return spark.read.parquet(decisions_dir).select("doc_id", "status")
+
+
+# ---------------------------------------------------------------------------
 # In-stream PII scrubbing: the cleaning stage of a streaming ingest
 # pipeline — a pure per-row projection (no state, no watermark, append
 # mode), so the drained bounded run equals the batch query and shares its
