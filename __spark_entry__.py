@@ -349,6 +349,7 @@ DEFER_TO_TAIL: dict[str, int] = {
     "stream_split_by_cluster": 16,
     "sim_ivf_compacted_probe": 16,
     "stream_dedup_store_ingest": 16,
+    "stream_minhash_catalog_ingest": 16,
 }
 
 

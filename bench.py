@@ -178,6 +178,9 @@ HEADLINE = [
     # at-ingest dedup against a foreachBatch-maintained fingerprint store.
     "sim_ivf_compacted_probe",
     "stream_dedup_store_ingest",
+    # r16: near-dup detection against a GROWING band catalog — the third
+    # ingest-maintenance arm (vectors, exact fps, near-dup bands).
+    "stream_minhash_catalog_ingest",
 ]
 _HEADLINE_SET = frozenset(HEADLINE)
 

@@ -476,6 +476,35 @@ from .llm import _FP_SQL as _LLM_FP_SQL  # noqa: E402  (one fp definition)
 # ---------------------------------------------------------------------------
 
 
+def _write_id_ordered_arrivals(src_dir: str, parts: list) -> None:
+    """Write each part as one file with ascending mtimes so the file
+    source replays them IN ORDER under maxFilesPerTrigger=1 — arrival
+    order == doc_id order is what lets a first-arrival-wins oracle rank
+    by doc_id (shared by the fp-store and minhash-catalog ingests)."""
+    for i, part in enumerate(parts):
+        part.coalesce(1).write.parquet(os.path.join(src_dir, f"b{i}"))
+    for i in range(len(parts)):
+        for root, _dirs, files in os.walk(os.path.join(src_dir, f"b{i}")):
+            for fn in files:
+                os.utime(
+                    os.path.join(root, fn),
+                    (1_700_000_000 + i, 1_700_000_000 + i),
+                )
+
+
+def _id_range_parts(odds: DataFrame, plants: DataFrame) -> list:
+    """Split the odd-id arrivals into 3 contiguous id ranges (one scalar
+    driver fetch for the boundaries — the fixed-size class) + the plants
+    file last (their ids sit above every real id by construction)."""
+    m = odds.agg(F.max("doc_id")).first()[0]
+    return [
+        odds.filter(F.col("doc_id") <= m // 3),
+        odds.filter((F.col("doc_id") > m // 3) & (F.col("doc_id") <= 2 * m // 3)),
+        odds.filter(F.col("doc_id") > 2 * m // 3),
+        plants,
+    ]
+
+
 def _dedup_store_handler(store_dir: str, decisions_dir: str):
     """foreachBatch handler: decide novel/duplicate against the store AS
     OF this batch, then append this batch's novel fps. Both writes are
@@ -587,28 +616,12 @@ def stream_dedup_store_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # arrivals: id-ordered files so arrival order == doc_id order (the
-    # oracle's rank-by-doc_id rule requires it; mtimes make the file
-    # source pick them in sequence)
+    # oracle's rank-by-doc_id rule requires it)
     plants = docs.filter(F.col("doc_id") % 6 == 0).select(
         (F.col("doc_id") + 300000).alias("doc_id"), "text"
     )
     odds = docs.filter(F.col("doc_id") % 2 == 1)
-    m = odds.agg(F.max("doc_id")).first()[0]  # one scalar: file boundaries
-    ranges = [
-        odds.filter(F.col("doc_id") <= m // 3),
-        odds.filter((F.col("doc_id") > m // 3) & (F.col("doc_id") <= 2 * m // 3)),
-        odds.filter(F.col("doc_id") > 2 * m // 3),
-        plants,
-    ]
-    for i, part in enumerate(ranges):
-        part.coalesce(1).write.parquet(os.path.join(src_dir, f"b{i}"))
-    for i in range(len(ranges)):
-        for root, _dirs, files in os.walk(os.path.join(src_dir, f"b{i}")):
-            for fn in files:
-                os.utime(
-                    os.path.join(root, fn),
-                    (1_700_000_000 + i, 1_700_000_000 + i),
-                )
+    _write_id_ordered_arrivals(src_dir, _id_range_parts(odds, plants))
 
     arriving = (
         spark.readStream.schema("doc_id long, text string")
@@ -2681,6 +2694,204 @@ def stream_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return drained.groupBy("doc_id").agg(
         F.countDistinct("store_id").cast("long").alias("n_store_candidates")
+    )
+
+
+# ---------------------------------------------------------------------------
+# At-ingest near-dup detection with a GROWING band catalog (r16): the
+# third ingest-maintenance operator (IVF appendix = vectors, fp store =
+# exact dedup, this = near-dup) and the production upgrade of
+# stream_minhash_probe, whose catalog is frozen at stream start — a
+# web-crawl ingest must detect near-dups against EVERYTHING ingested so
+# far, including docs that arrived five minutes ago. Each micro-batch
+# computes its band rows (the proven batch machinery — inside
+# foreachBatch the batch is a batch DataFrame, so the groupBy signature
+# form applies), probes the catalog AS OF its batch (partitions with
+# batch_id < current — the read-your-predecessors bound the fp store
+# established) plus same-batch smaller-id rows, then appends its OWN
+# band rows as a dynamic-overwrite partition. Every ingested doc joins
+# the catalog regardless of its own status (a near-dup of a near-dup
+# still bands with both). First arrival wins, arrival order is id order
+# by construction, so the oracle replays every count with an
+# earlier-prior rule over one global bands relation — batch-split-free.
+#
+# Scale: per batch, |batch| x bands rows against the band-keyed catalog
+# read (UNHINTED — the catalog grows with the corpus) and a
+# batch-bounded within-batch self-join; the append is |batch| x bands
+# rows, never a catalog rewrite. Hot band buckets at web scale get the
+# max_bucket_size cap upstream (dedup_minhash_lsh_capped's trade).
+# ---------------------------------------------------------------------------
+
+
+def _mh_catalog_handler(catalog_dir: str, decisions_dir: str):
+    """foreachBatch handler: band the batch, count DISTINCT prior docs
+    (earlier partitions + same-batch smaller ids) sharing >= 1 band per
+    arriving doc, append the batch's band rows. Both writes are
+    (batch_id)-partitioned dynamic overwrites — exactly-once on replay,
+    and the batch_id < current catalog bound keeps a REPLAYED batch from
+    banding against its own rows."""
+
+    def handler(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bands = _DD.lsh_band_values(
+            _DD.minhash_signatures(
+                _DD.doc_shingles(batch_df, distinct=False),
+                num_hashes=_MH_NUM_HASHES,
+            ),
+            num_hashes=_MH_NUM_HASHES,
+            bands=_MH_BANDS,
+        ).localCheckpoint()  # feeds the probe, the self-join AND the append
+        prior = (
+            spark.read.parquet(catalog_dir)
+            .filter(F.col("batch_id") < batch_id)
+            .select("band_id", "band_val", F.col("doc_id").alias("prior_id"))
+        )
+        hits_prior = bands.join(prior, ["band_id", "band_val"]).select(
+            "doc_id", "prior_id"
+        )
+        hits_within = (
+            bands.join(
+                bands.select(
+                    "band_id", "band_val", F.col("doc_id").alias("prior_id")
+                ),
+                ["band_id", "band_val"],
+            )
+            .filter(F.col("prior_id") < F.col("doc_id"))
+            .select("doc_id", "prior_id")
+        )
+        counts = (
+            hits_prior.unionByName(hits_within)
+            .distinct()
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        (
+            batch_df.select("doc_id")
+            .join(counts, "doc_id", "left_outer")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("n"), F.lit(0))
+                .cast("long")
+                .alias("n_prior_candidates"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(decisions_dir)
+        )
+        (
+            bands.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(catalog_dir)
+        )
+
+    return handler
+
+
+@register(
+    "stream_minhash_catalog_ingest",
+    f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_MH_PLANT_OFFSET} AS doc_id,
+               substring(text, 1, CAST(floor(4*length(text)/5.0) AS INT))
+                   AS text
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    {_MH_SHINGLES_CTE.strip()},
+    hashed AS (SELECT doc_id, {_MH_BASE_H} AS h FROM sh),
+    sig AS (
+        SELECT doc_id,
+           {_MH_SIG_MINS}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+    {_MH_BAND_SELECTS}
+    ),
+    arr AS (SELECT doc_id FROM corpus
+            WHERE doc_id % 2 = 1 OR doc_id >= {_MH_PLANT_OFFSET}),
+    hits AS (
+        SELECT DISTINCT a.doc_id, p.doc_id AS prior_id
+        FROM bands a JOIN bands p
+          ON a.band_id = p.band_id AND a.band_val = p.band_val
+        WHERE (a.doc_id % 2 = 1 OR a.doc_id >= {_MH_PLANT_OFFSET})
+          AND ((p.doc_id % 2 = 0 AND p.doc_id < {_MH_PLANT_OFFSET})
+               OR ((p.doc_id % 2 = 1 OR p.doc_id >= {_MH_PLANT_OFFSET})
+                   AND p.doc_id < a.doc_id))
+    )
+    SELECT arr.doc_id,
+           CAST(count(h.prior_id) AS BIGINT) AS n_prior_candidates
+    FROM arr LEFT JOIN hits h ON arr.doc_id = h.doc_id
+    GROUP BY arr.doc_id
+    """,
+)
+def stream_minhash_catalog_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_prior_candidates): per arriving doc, the number of
+    DISTINCT previously-ingested docs (seed catalog, earlier batches, or
+    same-batch smaller ids) it shares >= 1 LSH band with — near-dup
+    candidate detection whose catalog GROWS at ingest. The planted
+    tail-truncated re-uploads band with their store sources like the
+    frozen-catalog probe's, and odd/odd near-dups arriving in different
+    files are counted via partitions an earlier batch APPENDED (pinned by
+    tests/test_streaming.py::test_minhash_catalog_cross_batch_growth)."""
+    from ..streaming.sinks import foreach_batch_sink
+
+    from . import tmp_run_dir
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base_dir = tmp_run_dir("mhcat_")
+    catalog_dir = os.path.join(base_dir, "catalog")
+    decisions_dir = os.path.join(base_dir, "decisions")
+    src_dir = os.path.join(base_dir, "arrivals")
+
+    # seed: the ingested store's band rows (batch_id=-1)
+    (
+        _DD.lsh_band_values(
+            _DD.minhash_signatures(
+                _DD.doc_shingles(
+                    docs.filter(
+                        (F.col("doc_id") % 2 == 0)
+                        & (F.col("doc_id") < _MH_PLANT_OFFSET)
+                    ),
+                    distinct=False,
+                ),
+                num_hashes=_MH_NUM_HASHES,
+            ),
+            num_hashes=_MH_NUM_HASHES,
+            bands=_MH_BANDS,
+        )
+        .withColumn("batch_id", F.lit(-1))
+        .write.partitionBy("batch_id")
+        .parquet(catalog_dir)
+    )
+
+    plants = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + _MH_PLANT_OFFSET).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, CAST(floor(4*length(text)/5.0) AS INT))"
+        ).alias("text"),
+    )
+    odds = docs.filter(F.col("doc_id") % 2 == 1)
+    _write_id_ordered_arrivals(src_dir, _id_range_parts(odds, plants))
+
+    arriving = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir + "/*")
+    )
+    q = foreach_batch_sink(
+        arriving,
+        _mh_catalog_handler(catalog_dir, decisions_dir),
+        checkpoint=os.path.join(base_dir, "ckpt"),
+        mode="append",
+    )
+    q.awaitTermination()
+    return spark.read.parquet(decisions_dir).select(
+        "doc_id", "n_prior_candidates"
     )
 
 

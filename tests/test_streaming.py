@@ -1671,3 +1671,83 @@ def test_dedup_store_cross_batch_maintenance(spark, tmp_path):
     assert got2 == got
     fps2 = [r.fp for r in spark.read.parquet(store).collect()]
     assert sorted(fps2) == sorted(fps)
+
+
+def test_minhash_catalog_cross_batch_growth(spark, tmp_path):
+    """r16: the band catalog's growth is load-bearing — a near-dup of
+    content that arrived in an EARLIER micro-batch is detected purely
+    via the band rows that batch appended (the seed catalog never banded
+    with it); and a replayed batch, bounded to catalog partitions below
+    its own batch_id, reproduces its decisions exactly."""
+    import pyspark.sql.functions as SF
+
+    from spark_streaming_kafka_example_spark.operators import dedup as DD
+    from spark_streaming_kafka_example_spark.plans.stream import (
+        _mh_catalog_handler,
+    )
+    from spark_streaming_kafka_example_spark.streaming.sinks import (
+        foreach_batch_sink,
+    )
+
+    catalog = str(tmp_path / "catalog")
+    decisions = str(tmp_path / "decisions")
+    src = str(tmp_path / "arrivals")
+    schema = "doc_id long, text string"
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "small red hen counts seven bright stars tonight")
+    other = ("pack my box with five dozen liquor jugs and then carry "
+             "them down the long winding cellar stairs quietly")
+    trunc = " ".join(other.split()[:15])  # near-dup of `other`, not `base`
+
+    # seed: one already-ingested doc
+    seed = spark.createDataFrame([(2, base)], schema)
+    DD.lsh_band_values(
+        DD.minhash_signatures(DD.doc_shingles(seed, distinct=False))
+    ).withColumn("batch_id", SF.lit(-1)).write.partitionBy(
+        "batch_id"
+    ).parquet(catalog)
+
+    batches = [
+        [(11, other)],                 # novel vs seed
+        [(13, trunc), (15, base)],     # near-dup of batch 0; copy of seed
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+        for root, _dirs, files in os.walk(f"{src}/b{i}"):
+            for fn in files:
+                os.utime(
+                    os.path.join(root, fn),
+                    (1_700_000_000 + i, 1_700_000_000 + i),
+                )
+
+    handler = _mh_catalog_handler(catalog, decisions)
+    q = foreach_batch_sink(
+        (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        ),
+        handler,
+        checkpoint=str(tmp_path / "ckpt"),
+        mode="append",
+    )
+    q.awaitTermination()
+
+    got = {
+        r.doc_id: r.n_prior_candidates
+        for r in spark.read.parquet(decisions).collect()
+    }
+    assert got[11] == 0          # nothing prior bands with it
+    assert got[13] >= 1          # ONLY batch 0's appended rows explain this
+    assert got[15] >= 1          # the seed catalog explains this
+
+    # replay batch 0: reads partitions < 0 (seed only), decisions identical
+    handler(spark.createDataFrame(batches[0], schema), 0)
+    got2 = {
+        r.doc_id: r.n_prior_candidates
+        for r in spark.read.parquet(decisions).collect()
+    }
+    assert got2 == got
