@@ -350,6 +350,7 @@ DEFER_TO_TAIL: dict[str, int] = {
     "sim_ivf_compacted_probe": 16,
     "stream_dedup_store_ingest": 16,
     "stream_minhash_catalog_ingest": 16,
+    "stream_dedup_store_bloom_ingest": 16,
 }
 
 

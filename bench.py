@@ -179,8 +179,11 @@ HEADLINE = [
     "sim_ivf_compacted_probe",
     "stream_dedup_store_ingest",
     # r16: near-dup detection against a GROWING band catalog — the third
-    # ingest-maintenance arm (vectors, exact fps, near-dup bands).
+    # ingest-maintenance arm (vectors, exact fps, near-dup bands), and
+    # the Bloom-prefiltered store variant (same oracle, pruned store
+    # traffic).
     "stream_minhash_catalog_ingest",
+    "stream_dedup_store_bloom_ingest",
 ]
 _HEADLINE_SET = frozenset(HEADLINE)
 

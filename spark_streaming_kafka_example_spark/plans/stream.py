@@ -560,9 +560,11 @@ def _dedup_store_handler(store_dir: str, decisions_dir: str):
     return handler
 
 
-@register(
-    "stream_dedup_store_ingest",
-    f"""
+# One oracle for BOTH store-ingest variants: the Bloom prefilter has no
+# false negatives, so the prefiltered query's decisions are provably
+# identical — registering it against the same text makes the driver
+# hash-prove that.
+STREAM_DEDUP_STORE_ORACLE = f"""
     WITH store AS (
         SELECT DISTINCT {_LLM_FP_SQL.format(t='text')} AS fp
         FROM documents WHERE doc_id % 2 = 0
@@ -583,24 +585,19 @@ def _dedup_store_handler(store_dir: str, decisions_dir: str):
            CASE WHEN s.fp IS NOT NULL OR r.rn > 1 THEN 'duplicate'
                 ELSE 'novel' END AS status
     FROM ranked r LEFT JOIN store s ON r.fp = s.fp
-    """,
-)
-def stream_dedup_store_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, status): the already-ingested corpus (even ids) seeds the
-    fingerprint store; the rest (odd ids + the +300000 re-crawl plants)
-    arrives as an id-ordered multi-batch stream (3 id-ranged files + the
-    plants file, maxFilesPerTrigger=1), each batch deciding against and
-    appending to the store. First arrival of novel content wins; every
-    later copy — same batch, later batch, or seeded — reads 'duplicate'.
-    Cross-file odd/odd copies make the APPENDED partitions load-bearing
-    (pytest: test_dedup_store_cross_batch_maintenance)."""
+    """
+
+
+def _fp_store_setup(spark: SparkSession, sf_dir: str, prefix: str):
+    """Seed the fingerprint store (batch_id=-1) and write the id-ordered
+    arrival files — the shared setup of both store-ingest variants.
+    Returns (base_dir, store_dir, decisions_dir, arrivals stream)."""
     from ..functions.text import fingerprint
-    from ..streaming.sinks import foreach_batch_sink
 
     from . import tmp_run_dir
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    base_dir = tmp_run_dir("fpstore_")
+    base_dir = tmp_run_dir(prefix)
     store_dir = os.path.join(base_dir, "store")
     decisions_dir = os.path.join(base_dir, "decisions")
     src_dir = os.path.join(base_dir, "arrivals")
@@ -628,9 +625,187 @@ def stream_dedup_store_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(src_dir + "/*")
     )
+    return base_dir, store_dir, decisions_dir, arriving
+
+
+@register("stream_dedup_store_ingest", STREAM_DEDUP_STORE_ORACLE)
+def stream_dedup_store_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, status): the already-ingested corpus (even ids) seeds the
+    fingerprint store; the rest (odd ids + the +300000 re-crawl plants)
+    arrives as an id-ordered multi-batch stream (3 id-ranged files + the
+    plants file, maxFilesPerTrigger=1), each batch deciding against and
+    appending to the store. First arrival of novel content wins; every
+    later copy — same batch, later batch, or seeded — reads 'duplicate'.
+    Cross-file odd/odd copies make the APPENDED partitions load-bearing
+    (pytest: test_dedup_store_cross_batch_maintenance)."""
+    from ..streaming.sinks import foreach_batch_sink
+
+    base_dir, store_dir, decisions_dir, arriving = _fp_store_setup(
+        spark, sf_dir, "fpstore_"
+    )
     q = foreach_batch_sink(
         arriving,
         _dedup_store_handler(store_dir, decisions_dir),
+        checkpoint=os.path.join(base_dir, "ckpt"),
+        mode="append",
+    )
+    q.awaitTermination()
+    return spark.read.parquet(decisions_dir).select("doc_id", "status")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered store ingest (r16): SCALE.md's "prefilter the store
+# read at 100 TB" made driver-checked. A Bloom filter over the store's
+# fingerprints is MAINTAINED alongside it (per-batch set-bit partitions,
+# merged by reading them — OR of bit sets is plain distinct-union), and
+# each batch probes the Bloom FIRST: only possible-hit fingerprints touch
+# the fp-keyed store join; definite misses (the vast majority of novel
+# content) skip it entirely. Bloom filters have NO false negatives, so
+# the decisions are provably identical to stream_dedup_store_ingest —
+# both register against STREAM_DEDUP_STORE_ORACLE and the driver hash
+# proves the equivalence. The Bloom uses the PRODUCTION hash (xxhash64,
+# k positions as codegen columns) precisely because no oracle replays
+# it: only decisions need cross-engine exactness, the prefilter needs
+# speed. m is sized from the seed store (8 bits/item, next power of two,
+# capped) and FIXED for the store's lifetime — merging positions hashed
+# under different m is meaningless, so a resize is a rebuild (the
+# centroid re-train rule). Capability lineage: the reference's dedup
+# intent (BasicStreaming.scala:17 state) + the r11 Bloom probe pattern.
+# ---------------------------------------------------------------------------
+
+_STORE_BLOOM_K = 3
+_STORE_BLOOM_M_CAP = 4194304  # 2^22 — same cap as the gram Bloom
+
+
+def _store_bloom_pos(fp_col, m: int, j: int):
+    """Bit position j for a fingerprint: pmod(xxhash64(j, fp), m) — the
+    fast production hash; k fixed columns, pure codegen."""
+    return F.pmod(F.xxhash64(F.lit(j), fp_col), F.lit(m)).alias(f"pos{j}")
+
+
+def _store_bloom_bits(fps: DataFrame, m: int) -> DataFrame:
+    """(pos) set-bit rows for a fingerprint relation: k positions per fp,
+    distinct (<= min(k*|fps|, m) rows)."""
+    out = None
+    for j in range(_STORE_BLOOM_K):
+        b = fps.select(_store_bloom_pos(F.col("fp"), m, j))
+        b = b.select(F.col(f"pos{j}").alias("pos"))
+        out = b if out is None else out.unionByName(b)
+    return out.distinct()
+
+
+def _dedup_store_bloom_handler(
+    store_dir: str, decisions_dir: str, bits_dir: str, m: int
+):
+    """The _dedup_store_handler contract with a Bloom gate in front of
+    the store join: possible = fps passing ALL k set-bit checks (chained
+    left-semi joins on the position columns, the r11 probe's stateless
+    form); only those join the store. Appends novel fps AND their set
+    bits, both (batch_id)-partitioned dynamic overwrites with the same
+    read-your-predecessors bound."""
+    from pyspark.sql import Window
+
+    from ..functions.text import fingerprint
+
+    def handler(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fps = batch_df.select(
+            "doc_id", fingerprint("text").alias("fp")
+        ).localCheckpoint()
+        cand = fps.select("fp").distinct().select(
+            "fp",
+            *[_store_bloom_pos(F.col("fp"), m, j)
+              for j in range(_STORE_BLOOM_K)],
+        )
+        bits = (
+            spark.read.parquet(bits_dir)
+            .filter(F.col("batch_id") < batch_id)
+            .select("pos")
+            .distinct()
+        )
+        possible = cand
+        for j in range(_STORE_BLOOM_K):
+            possible = possible.join(
+                bits.withColumnRenamed("pos", f"pos{j}"), f"pos{j}",
+                "left_semi",
+            )
+        # ONLY possible fps touch the store (the fp-keyed join the Bloom
+        # exists to spare; definite misses never read it)
+        store_hits = possible.select("fp").join(
+            spark.read.parquet(store_dir)
+            .filter(F.col("batch_id") < batch_id)
+            .select("fp"),
+            "fp",
+            "left_semi",
+        )
+        w = Window.partitionBy("fp").orderBy("doc_id")
+        ranked = fps.withColumn("rn", F.row_number().over(w)).join(
+            store_hits.withColumn("hit", F.lit(True)), "fp", "left_outer"
+        )
+        (
+            ranked.select(
+                "doc_id",
+                F.when(F.col("hit") | (F.col("rn") > 1), "duplicate")
+                .otherwise("novel")
+                .alias("status"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(decisions_dir)
+        )
+        novel = ranked.filter(
+            F.col("hit").isNull() & (F.col("rn") == 1)
+        ).select("fp").localCheckpoint()  # feeds the store AND bits appends
+        (
+            novel.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(store_dir)
+        )
+        (
+            _store_bloom_bits(novel, m)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(bits_dir)
+        )
+
+    return handler
+
+
+@register("stream_dedup_store_bloom_ingest", STREAM_DEDUP_STORE_ORACLE)
+def stream_dedup_store_bloom_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """stream_dedup_store_ingest behind a maintained Bloom prefilter —
+    same oracle, so the driver hash proves the prefilter changes nothing
+    but the store-join traffic (no false negatives). Prune effectiveness
+    and decision equality pinned by
+    tests/test_streaming.py::test_dedup_store_bloom_prunes_and_agrees."""
+    from ..streaming.sinks import foreach_batch_sink
+
+    base_dir, store_dir, decisions_dir, arriving = _fp_store_setup(
+        spark, sf_dir, "fpbloom_"
+    )
+    bits_dir = os.path.join(base_dir, "bloombits")
+
+    seed = spark.read.parquet(store_dir).select("fp")
+    n_seed = seed.count()  # one scalar: sizes m for the store's lifetime
+    m = min(_STORE_BLOOM_M_CAP, 1 << max(8 * n_seed - 1, 1).bit_length())
+    (
+        _store_bloom_bits(seed, m)
+        .withColumn("batch_id", F.lit(-1))
+        .write.partitionBy("batch_id")
+        .parquet(bits_dir)
+    )
+
+    q = foreach_batch_sink(
+        arriving,
+        _dedup_store_bloom_handler(store_dir, decisions_dir, bits_dir, m),
         checkpoint=os.path.join(base_dir, "ckpt"),
         mode="append",
     )

@@ -1751,3 +1751,68 @@ def test_minhash_catalog_cross_batch_growth(spark, tmp_path):
         for r in spark.read.parquet(decisions).collect()
     }
     assert got2 == got
+
+
+def test_dedup_store_bloom_prunes_and_agrees(spark, sf_dir):
+    """r16: the Bloom prefilter (1) never changes a decision — the
+    prefiltered query's (doc_id, status) set equals the plain store
+    ingest's exactly (no false negatives; both also share one driver
+    oracle) — and (2) actually prunes: against the sf seed store's bits,
+    the possible-set of the arrival fingerprints is a strict subset of
+    them (definite misses skip the store join entirely)."""
+    import pyspark.sql.functions as SF
+
+    from spark_streaming_kafka_example_spark import plans
+    from spark_streaming_kafka_example_spark.functions.text import fingerprint
+    from spark_streaming_kafka_example_spark.plans.stream import (
+        _STORE_BLOOM_K,
+        _STORE_BLOOM_M_CAP,
+        _store_bloom_bits,
+        _store_bloom_pos,
+    )
+    from spark_streaming_kafka_example_spark.sources import load_table
+
+    plain = {
+        tuple(r)
+        for r in plans.QUERIES["stream_dedup_store_ingest"](
+            spark, sf_dir
+        ).collect()
+    }
+    bloomed = {
+        tuple(r)
+        for r in plans.QUERIES["stream_dedup_store_bloom_ingest"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert bloomed == plain
+
+    # prune effectiveness, measured directly: seed bits vs arrival fps
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seed = (
+        docs.filter(SF.col("doc_id") % 2 == 0)
+        .select(fingerprint("text").alias("fp"))
+        .distinct()
+    )
+    n_seed = seed.count()
+    m = min(_STORE_BLOOM_M_CAP, 1 << max(8 * n_seed - 1, 1).bit_length())
+    bits = _store_bloom_bits(seed, m)
+    arrivals = (
+        docs.filter(SF.col("doc_id") % 2 == 1)
+        .select(fingerprint("text").alias("fp"))
+        .distinct()
+    )
+    cand = arrivals.select(
+        "fp",
+        *[_store_bloom_pos(SF.col("fp"), m, j) for j in range(_STORE_BLOOM_K)],
+    )
+    possible = cand
+    for j in range(_STORE_BLOOM_K):
+        possible = possible.join(
+            bits.withColumnRenamed("pos", f"pos{j}"), f"pos{j}", "left_semi"
+        )
+    n_arr, n_poss = arrivals.count(), possible.count()
+    # true hits (odd fps colliding with the even store) must all pass...
+    true_hits = arrivals.join(seed, "fp", "left_semi").count()
+    assert n_poss >= true_hits  # no false negatives
+    # ...and the filter must discard a real share of the definite misses
+    assert n_poss < n_arr, "Bloom pruned nothing"
