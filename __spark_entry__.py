@@ -58,17 +58,19 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # r09 names (the r15 VERDICT's task-1 arithmetic said 30 r09), so 15 CORE
 # + 2 new registrations + 34 stale = 51 — one name had to move for the
 # drain-to-empty criterion (histogram min >= r10) to hold in one round.
+# r17 rotation (r16 VERDICT task 2): p2_from_json_flatten and
+# a2_tumbling_window_agg move to the freshness sort (both r16-green, so
+# they queue at the very back; projections/from_json stay pinned by
+# p12 + flagship's JSON path, windowed aggs by flagship itself — a
+# sliding-window agg). Funds the drain-to-empty: 50 = 12 CORE + 8
+# released r16 deferrals + ALL 30 r10-stale names, so the last-green
+# histogram min reaches r11 in one round.
 CORE_WINDOW = [
     "flagship_sliding_alert",
     # §2.4 projections / §2.10 UDF / §2.6 join (p8-p10/f1 lifetime-proven)
-    "p2_from_json_flatten",
     "p12_a1_word_count",
     "u1_u3_udf_sql",
     "j1_enrich_left_outer",
-    # §2.7 windowed aggregation (a2 + flagship keep the family pinned;
-    # a3_sliding_window_agg rotated out in r10, its slot funds
-    # sketch_bloom_decontaminate — the freshness sort re-checks it)
-    "a2_tumbling_window_agg",
     # TPC-H canon (q11 rotated out r10, q3 rotated out r12 — q1 keeps the
     # family pinned; the whole TPC-H tail re-greens via the r12 drain)
     "q1_pricing_summary",
@@ -338,10 +340,15 @@ ROTATION_PRIORITY = [
 # every re-pin, but in a round whose explicit goal is draining the stale
 # tail to empty (r16: 14 CORE + 2 unchecked + ALL 34 r08/r09-stale names
 # = exactly 50) an extra registration would displace the oldest stale
-# name. A deferred name sorts AFTER the freshness tail until its first
-# green row lands (next round, when the drained tail frees ~34 slots);
-# the entry then expires automatically — same self-cleaning contract as
-# FORCE_RECHECK. name -> round registered (for audit trail only).
+# name. name -> round registered. SELF-EXPIRING BY ROUND (r16 VERDICT
+# task 1): a deferral is active only while the registration round's own
+# CORRECTNESS file has not landed (max parsed round < registered round) —
+# once the drain round completes, the name re-enters the normal unchecked
+# block at the FRONT of the window. The old contract ("expires on first
+# green row") was circular: a name sorted past the 50-cut can never earn
+# the green row that would release it (the 8 r16 entries sat at positions
+# 252-259 in the judge's r17 simulation). Keeping the dict entry after
+# expiry is harmless audit trail, same as an expired FORCE_RECHECK.
 DEFER_TO_TAIL: dict[str, int] = {
     "stream_ivf_appendix_probe": 16,
     "split_by_neardup_cluster": 16,
@@ -352,6 +359,22 @@ DEFER_TO_TAIL: dict[str, int] = {
     "stream_minhash_catalog_ingest": 16,
     "stream_dedup_store_bloom_ingest": 16,
 }
+
+
+def _max_correctness_round() -> int:
+    """Highest round number with a CORRECTNESS_r*.json in the tree — the
+    deferral clock: DEFER_TO_TAIL entries registered in round N stay
+    deferred only while this is < N (i.e. only during round N itself)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", path))
+    ]
+    return max(rounds, default=0)
 
 
 def _ordered_names() -> list[str]:
@@ -370,8 +393,11 @@ def _ordered_names() -> list[str]:
     unchecked = [
         n for n in all_names if n not in core_set and n not in last_green
     ]
-    deferred = [n for n in unchecked if n in DEFER_TO_TAIL]
-    unchecked = [n for n in unchecked if n not in DEFER_TO_TAIL]
+    max_round = _max_correctness_round()
+    deferred = [
+        n for n in unchecked if DEFER_TO_TAIL.get(n, 0) > max_round
+    ]
+    unchecked = [n for n in unchecked if n not in set(deferred)]
     prio = {n: i for i, n in enumerate(ROTATION_PRIORITY)}
     unchecked.sort(key=lambda n: (prio.get(n, len(prio)), all_names.index(n)))
     rest = [n for n in all_names if n not in core_set and n in last_green]

@@ -492,11 +492,27 @@ def _write_id_ordered_arrivals(src_dir: str, parts: list) -> None:
                 )
 
 
-def _id_range_parts(odds: DataFrame, plants: DataFrame) -> list:
+def _id_range_parts(
+    odds: DataFrame, plants: DataFrame, plant_offset: int | None = None
+) -> list:
     """Split the odd-id arrivals into 3 contiguous id ranges (one scalar
     driver fetch for the boundaries — the fixed-size class) + the plants
-    file last (their ids sit above every real id by construction)."""
+    file last (their ids sit above every real id by construction).
+    ``plant_offset`` guards that construction: the first-arrival-wins
+    oracles rank by doc_id, which is only the arrival order if every
+    plant id exceeds every real id."""
     m = odds.agg(F.max("doc_id")).first()[0]
+    if m is None:
+        raise ValueError(
+            "_id_range_parts: odd-id arrival relation is empty — the "
+            "id-ordered multi-batch arrival fixture needs real rows"
+        )
+    if plant_offset is not None and m >= plant_offset:
+        raise ValueError(
+            f"_id_range_parts: max real doc_id {m} >= plant offset "
+            f"{plant_offset}; plant ids must sit above every real id or "
+            "arrival order stops matching the oracle's rank-by-doc_id rule"
+        )
     return [
         odds.filter(F.col("doc_id") <= m // 3),
         odds.filter((F.col("doc_id") > m // 3) & (F.col("doc_id") <= 2 * m // 3)),
@@ -560,6 +576,12 @@ def _dedup_store_handler(store_dir: str, decisions_dir: str):
     return handler
 
 
+# Re-crawl plant ids = doc_id + _FP_PLANT_OFFSET. The offset must exceed
+# every real doc_id (guarded in _id_range_parts): the plants file arrives
+# LAST, so arrival order == doc_id order only holds if plant ids sort
+# above all real ids — the oracle's rank-by-doc_id rule depends on it.
+_FP_PLANT_OFFSET = 300000
+
 # One oracle for BOTH store-ingest variants: the Bloom prefilter has no
 # false negatives, so the prefiltered query's decisions are provably
 # identical — registering it against the same text makes the driver
@@ -572,7 +594,7 @@ STREAM_DEDUP_STORE_ORACLE = f"""
     newbatch AS (
         SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
         UNION ALL
-        SELECT doc_id + 300000 AS doc_id, text
+        SELECT doc_id + {_FP_PLANT_OFFSET} AS doc_id, text
         FROM documents WHERE doc_id % 6 = 0
     ),
     nf AS (SELECT doc_id, {_LLM_FP_SQL.format(t='text')} AS fp FROM newbatch),
@@ -615,10 +637,12 @@ def _fp_store_setup(spark: SparkSession, sf_dir: str, prefix: str):
     # arrivals: id-ordered files so arrival order == doc_id order (the
     # oracle's rank-by-doc_id rule requires it)
     plants = docs.filter(F.col("doc_id") % 6 == 0).select(
-        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+        (F.col("doc_id") + _FP_PLANT_OFFSET).alias("doc_id"), "text"
     )
     odds = docs.filter(F.col("doc_id") % 2 == 1)
-    _write_id_ordered_arrivals(src_dir, _id_range_parts(odds, plants))
+    _write_id_ordered_arrivals(
+        src_dir, _id_range_parts(odds, plants, plant_offset=_FP_PLANT_OFFSET)
+    )
 
     arriving = (
         spark.readStream.schema("doc_id long, text string")
@@ -3051,7 +3075,9 @@ def stream_minhash_catalog_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("text"),
     )
     odds = docs.filter(F.col("doc_id") % 2 == 1)
-    _write_id_ordered_arrivals(src_dir, _id_range_parts(odds, plants))
+    _write_id_ordered_arrivals(
+        src_dir, _id_range_parts(odds, plants, plant_offset=_MH_PLANT_OFFSET)
+    )
 
     arriving = (
         spark.readStream.schema("doc_id long, text string")

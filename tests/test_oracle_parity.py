@@ -92,13 +92,58 @@ def test_driver_window_covers_all_unchecked():
             last_green.pop(name, None)
     names = m._ordered_names()
     past_cut = [n for n in names[50:] if n not in last_green]
-    # DEFER_TO_TAIL names are deliberately past the cut until their first
-    # green row (r16) — but only entries that are still pending: a green
-    # deferred name must have re-entered the normal freshness ordering.
-    past_cut = [n for n in past_cut if n not in m.DEFER_TO_TAIL]
+    # DEFER_TO_TAIL names are deliberately past the cut ONLY during their
+    # registration round (r16 VERDICT task 1: the exemption must be
+    # round-scoped, or the deadlock it caused hides forever). An entry
+    # whose registration round's CORRECTNESS file has landed is released —
+    # it must sort inside the window like any other unchecked name.
+    max_round = m._max_correctness_round()
+    past_cut = [
+        n for n in past_cut if m.DEFER_TO_TAIL.get(n, 0) > max_round
+    ]
     assert not past_cut, (
         f"{len(past_cut)} unchecked queries past the 50-query driver "
         f"window: {past_cut}"
+    )
+
+
+def test_defer_to_tail_round_scoped_expiry(monkeypatch):
+    """DEFER_TO_TAIL self-expiry contract (r16 VERDICT task 1): an entry
+    registered in round N sorts AFTER the freshness tail only while
+    max(CORRECTNESS rounds) < N; once the registration round's file lands
+    the name re-enters the normal unchecked block INSIDE the window. The
+    old green-row-based expiry was circular (past-the-cut names can never
+    earn the releasing green row)."""
+    import __spark_entry__ as m
+
+    # Pick any registered name with a green history and strip its greens
+    # so it counts as unchecked, then defer it under both clock states.
+    last_green = m._last_green_round()
+    name = next(
+        n
+        for n in m._ordered_names()
+        if n in last_green and n not in m.CORE_WINDOW
+    )
+    real_last_green = m._last_green_round
+
+    def no_green_for_name():
+        d = real_last_green()
+        d.pop(name, None)
+        return d
+
+    monkeypatch.setattr(m, "_last_green_round", no_green_for_name)
+    max_round = m._max_correctness_round()
+
+    # Still pending (registered in a future round): sorts at the very end.
+    monkeypatch.setitem(m.DEFER_TO_TAIL, name, max_round + 1)
+    assert m._ordered_names()[-1] == name
+
+    # Registration round's file has landed: released into the unchecked
+    # block, which sorts before every freshness re-pin — inside the window.
+    monkeypatch.setitem(m.DEFER_TO_TAIL, name, max_round)
+    names = m._ordered_names()
+    assert names.index(name) < 50, (
+        f"expired deferral for {name} must re-enter the driver window"
     )
 
 
