@@ -358,6 +358,10 @@ DEFER_TO_TAIL: dict[str, int] = {
     "stream_dedup_store_ingest": 16,
     "stream_minhash_catalog_ingest": 16,
     "stream_dedup_store_bloom_ingest": 16,
+    # r17 registrations: deferred behind the r10-drain (the r16 VERDICT's
+    # task-2 window: 12 CORE + 8 released r16 names + all 30 r10-stale
+    # = exactly 50); the round-scoped expiry releases these into r18.
+    "stream_pretrain_gate_v2": 17,
 }
 
 

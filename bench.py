@@ -184,6 +184,9 @@ HEADLINE = [
     # traffic).
     "stream_minhash_catalog_ingest",
     "stream_dedup_store_bloom_ingest",
+    # r17: the maintenance composition — the at-ingest pretrain gate
+    # reading the MAINTAINED fp store + band catalog (cross-batch dups).
+    "stream_pretrain_gate_v2",
 ]
 _HEADLINE_SET = frozenset(HEADLINE)
 

@@ -521,56 +521,73 @@ def _id_range_parts(
     ]
 
 
+def _overwrite_batch_partition(
+    df: DataFrame, path: str, batch_id: int
+) -> None:
+    """Write df as THIS batch's (batch_id=...) partition via dynamic
+    overwrite — the exactly-once idiom every ingest-maintenance handler
+    shares: a replayed batch overwrites its own partition instead of
+    double-appending."""
+    (
+        df.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
+def _fp_store_ranked(store_dir: str, fps: DataFrame, batch_id: int) -> DataFrame:
+    """Exact-dup decision relation shared by the store handlers: the batch's
+    (doc_id, fp) rows ranked within-batch by doc_id per fp and left-joined
+    against the store AS OF this batch — only partitions appended by
+    EARLIER batches (batch_id is the partition key, so this prunes at
+    scan). Without the bound a REPLAYED batch would see its own appended
+    fps and flip its novel decisions to duplicate — the exactly-once
+    contract needs read-your-predecessors, never read-yourself (pinned by
+    test_dedup_store_cross_batch_maintenance's replay). Output columns:
+    the fps columns + rn + hit (True / null)."""
+    from pyspark.sql import Window
+
+    store = (
+        fps.sparkSession.read.parquet(store_dir)
+        .filter(F.col("batch_id") < batch_id)
+        .select("fp")
+        .distinct()
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return fps.withColumn("rn", F.row_number().over(w)).join(
+        store.withColumn("hit", F.lit(True)), "fp", "left_outer"
+    )
+
+
 def _dedup_store_handler(store_dir: str, decisions_dir: str):
     """foreachBatch handler: decide novel/duplicate against the store AS
     OF this batch, then append this batch's novel fps. Both writes are
     (batch_id)-partitioned dynamic overwrites — exactly-once on replay."""
-    from pyspark.sql import Window
-
     from ..functions.text import fingerprint
 
     def handler(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
         fps = batch_df.select(
             "doc_id", fingerprint("text").alias("fp")
         ).localCheckpoint()  # one derivation feeds decisions AND the append
-        # The store AS OF this batch: only partitions appended by EARLIER
-        # batches (batch_id is the partition key, so this prunes at scan).
-        # Without the bound a REPLAYED batch would see its own appended
-        # fps and flip its novel decisions to duplicate — the exactly-once
-        # contract needs read-your-predecessors, never read-yourself
-        # (pinned by test_dedup_store_cross_batch_maintenance's replay).
-        store = (
-            spark.read.parquet(store_dir)
-            .filter(F.col("batch_id") < batch_id)
-            .select("fp")
-            .distinct()
-        )
-        w = Window.partitionBy("fp").orderBy("doc_id")
-        ranked = fps.withColumn("rn", F.row_number().over(w)).join(
-            store.withColumn("hit", F.lit(True)), "fp", "left_outer"
-        )
-        (
+        ranked = _fp_store_ranked(store_dir, fps, batch_id)
+        _overwrite_batch_partition(
             ranked.select(
                 "doc_id",
                 F.when(F.col("hit") | (F.col("rn") > 1), "duplicate")
                 .otherwise("novel")
                 .alias("status"),
-            )
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(decisions_dir)
+            ),
+            decisions_dir,
+            batch_id,
         )
-        (
-            ranked.filter(F.col("hit").isNull() & (F.col("rn") == 1))
-            .select("fp")
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(store_dir)
+        _overwrite_batch_partition(
+            ranked.filter(F.col("hit").isNull() & (F.col("rn") == 1)).select(
+                "fp"
+            ),
+            store_dir,
+            batch_id,
         )
 
     return handler
@@ -2931,40 +2948,12 @@ def _mh_catalog_handler(catalog_dir: str, decisions_dir: str):
     banding against its own rows."""
 
     def handler(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        bands = _DD.lsh_band_values(
-            _DD.minhash_signatures(
-                _DD.doc_shingles(batch_df, distinct=False),
-                num_hashes=_MH_NUM_HASHES,
-            ),
-            num_hashes=_MH_NUM_HASHES,
-            bands=_MH_BANDS,
-        ).localCheckpoint()  # feeds the probe, the self-join AND the append
-        prior = (
-            spark.read.parquet(catalog_dir)
-            .filter(F.col("batch_id") < batch_id)
-            .select("band_id", "band_val", F.col("doc_id").alias("prior_id"))
+        bands = _batch_band_rows(batch_df)
+        hits = _catalog_prior_hits(catalog_dir, bands, batch_id)
+        counts = hits.distinct().groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n")
         )
-        hits_prior = bands.join(prior, ["band_id", "band_val"]).select(
-            "doc_id", "prior_id"
-        )
-        hits_within = (
-            bands.join(
-                bands.select(
-                    "band_id", "band_val", F.col("doc_id").alias("prior_id")
-                ),
-                ["band_id", "band_val"],
-            )
-            .filter(F.col("prior_id") < F.col("doc_id"))
-            .select("doc_id", "prior_id")
-        )
-        counts = (
-            hits_prior.unionByName(hits_within)
-            .distinct()
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
-        (
+        _overwrite_batch_partition(
             batch_df.select("doc_id")
             .join(counts, "doc_id", "left_outer")
             .select(
@@ -2972,22 +2961,57 @@ def _mh_catalog_handler(catalog_dir: str, decisions_dir: str):
                 F.coalesce(F.col("n"), F.lit(0))
                 .cast("long")
                 .alias("n_prior_candidates"),
-            )
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(decisions_dir)
+            ),
+            decisions_dir,
+            batch_id,
         )
-        (
-            bands.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(catalog_dir)
-        )
+        _overwrite_batch_partition(bands, catalog_dir, batch_id)
 
     return handler
+
+
+def _batch_band_rows(batch_df: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_val) for a micro-batch via the proven batch
+    machinery (inside foreachBatch the batch is a batch DataFrame, so the
+    groupBy signature form applies). Checkpointed: one derivation feeds
+    the probe, the within-batch self-join AND the catalog append."""
+    return _DD.lsh_band_values(
+        _DD.minhash_signatures(
+            _DD.doc_shingles(batch_df.select("doc_id", "text"), distinct=False),
+            num_hashes=_MH_NUM_HASHES,
+        ),
+        num_hashes=_MH_NUM_HASHES,
+        bands=_MH_BANDS,
+    ).localCheckpoint()
+
+
+def _catalog_prior_hits(
+    catalog_dir: str, bands: DataFrame, batch_id: int
+) -> DataFrame:
+    """(doc_id, prior_id) band collisions against every PRIOR ingested
+    doc: catalog partitions appended by earlier batches (batch_id <
+    current — the read-your-predecessors bound) plus same-batch rows with
+    a smaller doc_id (arrival order is id order by construction). May
+    contain duplicates; callers distinct() as needed."""
+    prior = (
+        bands.sparkSession.read.parquet(catalog_dir)
+        .filter(F.col("batch_id") < batch_id)
+        .select("band_id", "band_val", F.col("doc_id").alias("prior_id"))
+    )
+    hits_prior = bands.join(prior, ["band_id", "band_val"]).select(
+        "doc_id", "prior_id"
+    )
+    hits_within = (
+        bands.join(
+            bands.select(
+                "band_id", "band_val", F.col("doc_id").alias("prior_id")
+            ),
+            ["band_id", "band_val"],
+        )
+        .filter(F.col("prior_id") < F.col("doc_id"))
+        .select("doc_id", "prior_id")
+    )
+    return hits_prior.unionByName(hits_within)
 
 
 @register(
@@ -3093,6 +3117,245 @@ def stream_minhash_catalog_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     q.awaitTermination()
     return spark.read.parquet(decisions_dir).select(
         "doc_id", "n_prior_candidates"
+    )
+
+
+# ---------------------------------------------------------------------------
+# At-ingest pretrain gate v2 (r17, r16 VERDICT task 4): the maintenance
+# composition. stream_pretrain_gate (r10) probes state FROZEN at stream
+# start — a duplicate of a doc that arrived two micro-batches ago sails
+# through. v2 gates every arriving doc against MAINTAINED state: the
+# exact-dup arm reads the fp store (per-batch novel-fp appends, the
+# stream_dedup_store_ingest machinery), the near-dup arm the growing
+# MinHash band catalog (per-batch band appends, the
+# stream_minhash_catalog_ingest machinery), and the quality arm stays a
+# stateless projection. Reason priority: exact_dup > near_dup >
+# low_quality > ok. The plants exercise every path CROSS-BATCH:
+#   +_GV2_SEED_OFF  exact re-crawls of seeded (even) docs  -> exact via seed
+#   +_GV2_CROSS_OFF exact copies of EARLIER-ARRIVING odd docs -> exact via
+#                   fps an earlier micro-batch APPENDED (the v1 gap)
+#   +_GV2_NEAR_OFF  tail-truncated (4/5) re-uploads of earlier odd docs
+#                   -> near-dup via band rows an earlier batch APPENDED
+# Maintenance rules inherited verbatim: novel fps append per batch
+# (first-arrival-wins), EVERY ingested doc's band rows join the catalog
+# regardless of its own gate decision (a near-dup of a near-dup still
+# bands with both), all reads bounded batch_id < current, all writes
+# dynamic-overwrite partitions (replays overwrite themselves). Arrival
+# order is id order by construction, so the oracle replays the whole
+# lifecycle order-free: seed-store hit OR smaller-id same-fp arrival =
+# exact; band share with seed OR any smaller-id arrival = near.
+#
+# Scale: per batch one fp-keyed store join + one band-keyed catalog join
+# (both UNHINTED — state grows with the corpus) + a batch-bounded
+# within-batch self-join; appends are |novel| + |batch| x bands rows,
+# never a state rewrite. Cross-batch pin:
+# tests/test_streaming.py::test_pretrain_gate_v2_cross_batch_state.
+# ---------------------------------------------------------------------------
+
+_GV2_SEED_OFF = 300000  # exact re-crawl of a seeded (even) doc
+_GV2_CROSS_OFF = 500000  # exact copy of an earlier-arriving odd doc
+_GV2_NEAR_OFF = 700000  # tail-truncated re-upload of an earlier odd doc
+
+PRETRAIN_GATE_V2_ORACLE = f"""
+    WITH seed AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    arriving AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id + {_GV2_SEED_OFF} AS doc_id, text
+        FROM documents WHERE doc_id % 6 = 0
+        UNION ALL
+        SELECT doc_id + {_GV2_CROSS_OFF} AS doc_id, text
+        FROM documents WHERE doc_id % 12 = 1
+        UNION ALL
+        SELECT doc_id + {_GV2_NEAR_OFF} AS doc_id,
+               substring(text, 1, CAST(floor(4*length(text)/5.0) AS INT))
+                   AS text
+        FROM documents WHERE doc_id % 10 = 1
+    ),
+    sfp AS (SELECT DISTINCT {_LLM_FP_SQL.format(t='text')} AS fp FROM seed),
+    ranked AS (
+        SELECT doc_id, {_LLM_FP_SQL.format(t='text')} AS fp,
+               row_number() OVER (
+                   PARTITION BY {_LLM_FP_SQL.format(t='text')}
+                   ORDER BY doc_id) AS rn
+        FROM arriving
+    ),
+    corpus AS (
+        SELECT doc_id, text FROM seed
+        UNION ALL
+        SELECT doc_id, text FROM arriving
+    ),
+    {_MH_SHINGLES_CTE.strip()},
+    hashed AS (SELECT doc_id, {_MH_BASE_H} AS h FROM sh),
+    sig AS (
+        SELECT doc_id,
+           {_MH_SIG_MINS}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+    {_MH_BAND_SELECTS}
+    ),
+    nearhits AS (
+        SELECT DISTINCT a.doc_id
+        FROM bands a JOIN bands p
+          ON a.band_id = p.band_id AND a.band_val = p.band_val
+        WHERE (a.doc_id % 2 = 1 OR a.doc_id >= {_GV2_SEED_OFF})
+          AND ((p.doc_id % 2 = 0 AND p.doc_id < {_GV2_SEED_OFF})
+               OR ((p.doc_id % 2 = 1 OR p.doc_id >= {_GV2_SEED_OFF})
+                   AND p.doc_id < a.doc_id))
+    ),
+    {_quality_cte_sql('arriving').strip()}
+    SELECT r.doc_id,
+           CASE WHEN s.fp IS NOT NULL OR r.rn > 1 OR n.doc_id IS NOT NULL
+                     OR q.quality_p < {_GATE_QUALITY_LT}
+                THEN 'drop' ELSE 'keep' END AS decision,
+           CASE WHEN s.fp IS NOT NULL OR r.rn > 1 THEN 'exact_dup'
+                WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                WHEN q.quality_p < {_GATE_QUALITY_LT} THEN 'low_quality'
+                ELSE 'ok' END AS reason
+    FROM ranked r
+    LEFT JOIN sfp s ON r.fp = s.fp
+    LEFT JOIN nearhits n ON r.doc_id = n.doc_id
+    JOIN quality q ON r.doc_id = q.doc_id
+    """
+
+
+def _gate_v2_handler(store_dir: str, catalog_dir: str, decisions_dir: str):
+    """foreachBatch handler composing the two maintenance arms: decide
+    (exact via fp store AS OF batch, near via band catalog AS OF batch,
+    quality projection), then append novel fps AND the batch's band rows.
+    All four writes are dynamic-overwrite batch partitions."""
+    from ..functions.text import fingerprint
+    from .textprep import quality_p_col
+
+    def handler(batch_df: DataFrame, batch_id: int) -> None:
+        scored = batch_df.select(
+            "doc_id",
+            "text",
+            fingerprint("text").alias("fp"),
+            quality_p_col().alias("quality_p"),
+        ).localCheckpoint()  # one derivation feeds both arms + both appends
+        ranked = _fp_store_ranked(
+            store_dir, scored.select("doc_id", "fp", "quality_p"), batch_id
+        )
+        bands = _batch_band_rows(scored)
+        near = (
+            _catalog_prior_hits(catalog_dir, bands, batch_id)
+            .select("doc_id")
+            .distinct()
+            .withColumn("near_hit", F.lit(True))
+        )
+        reason = (
+            F.when(F.col("hit") | (F.col("rn") > 1), "exact_dup")
+            .when(F.col("near_hit"), "near_dup")
+            .when(F.col("quality_p") < _GATE_QUALITY_LT, "low_quality")
+            .otherwise("ok")
+        )
+        _overwrite_batch_partition(
+            ranked.join(near, "doc_id", "left_outer")
+            .select("doc_id", reason.alias("reason"))
+            .select(
+                "doc_id",
+                F.when(F.col("reason") == "ok", "keep")
+                .otherwise("drop")
+                .alias("decision"),
+                "reason",
+            ),
+            decisions_dir,
+            batch_id,
+        )
+        _overwrite_batch_partition(
+            ranked.filter(F.col("hit").isNull() & (F.col("rn") == 1)).select(
+                "fp"
+            ),
+            store_dir,
+            batch_id,
+        )
+        _overwrite_batch_partition(bands, catalog_dir, batch_id)
+
+    return handler
+
+
+@register("stream_pretrain_gate_v2", PRETRAIN_GATE_V2_ORACLE)
+def stream_pretrain_gate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, decision, reason) per arriving doc, gated against
+    INGEST-MAINTAINED state: exact-dup via the per-batch-appended fp
+    store, near-dup via the growing band catalog, low-quality via the
+    stateless logistic score; first matching reason wins (exact_dup >
+    near_dup > low_quality > ok). The +_GV2_CROSS_OFF / +_GV2_NEAR_OFF
+    plants arrive in the LAST file and are caught purely by state earlier
+    micro-batches appended — the freshness v1's frozen catalog lacks."""
+    from ..functions.text import fingerprint
+    from ..streaming.sinks import foreach_batch_sink
+
+    from . import tmp_run_dir
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base_dir = tmp_run_dir("gatev2_")
+    store_dir = os.path.join(base_dir, "store")
+    catalog_dir = os.path.join(base_dir, "catalog")
+    decisions_dir = os.path.join(base_dir, "decisions")
+    src_dir = os.path.join(base_dir, "arrivals")
+
+    seed = docs.filter(F.col("doc_id") % 2 == 0)
+    (
+        seed.select(fingerprint("text").alias("fp"))
+        .distinct()
+        .withColumn("batch_id", F.lit(-1))
+        .write.partitionBy("batch_id")
+        .parquet(store_dir)
+    )
+    (
+        _DD.lsh_band_values(
+            _DD.minhash_signatures(
+                _DD.doc_shingles(seed, distinct=False),
+                num_hashes=_MH_NUM_HASHES,
+            ),
+            num_hashes=_MH_NUM_HASHES,
+            bands=_MH_BANDS,
+        )
+        .withColumn("batch_id", F.lit(-1))
+        .write.partitionBy("batch_id")
+        .parquet(catalog_dir)
+    )
+
+    plants = (
+        docs.filter(F.col("doc_id") % 6 == 0)
+        .select((F.col("doc_id") + _GV2_SEED_OFF).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 12 == 1).select(
+                (F.col("doc_id") + _GV2_CROSS_OFF).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 1).select(
+                (F.col("doc_id") + _GV2_NEAR_OFF).alias("doc_id"),
+                F.expr(
+                    "substring(text, 1,"
+                    " CAST(floor(4*length(text)/5.0) AS INT))"
+                ).alias("text"),
+            )
+        )
+    )
+    odds = docs.filter(F.col("doc_id") % 2 == 1)
+    _write_id_ordered_arrivals(
+        src_dir, _id_range_parts(odds, plants, plant_offset=_GV2_SEED_OFF)
+    )
+
+    arriving = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir + "/*")
+    )
+    q = foreach_batch_sink(
+        arriving,
+        _gate_v2_handler(store_dir, catalog_dir, decisions_dir),
+        checkpoint=os.path.join(base_dir, "ckpt"),
+        mode="append",
+    )
+    q.awaitTermination()
+    return spark.read.parquet(decisions_dir).select(
+        "doc_id", "decision", "reason"
     )
 
 

@@ -99,7 +99,7 @@ def test_driver_window_covers_all_unchecked():
     # it must sort inside the window like any other unchecked name.
     max_round = m._max_correctness_round()
     past_cut = [
-        n for n in past_cut if m.DEFER_TO_TAIL.get(n, 0) > max_round
+        n for n in past_cut if m.DEFER_TO_TAIL.get(n, 0) <= max_round
     ]
     assert not past_cut, (
         f"{len(past_cut)} unchecked queries past the 50-query driver "
@@ -134,9 +134,13 @@ def test_defer_to_tail_round_scoped_expiry(monkeypatch):
     monkeypatch.setattr(m, "_last_green_round", no_green_for_name)
     max_round = m._max_correctness_round()
 
-    # Still pending (registered in a future round): sorts at the very end.
+    # Still pending (registered in a future round): sorts into the
+    # deferred tail, after every non-deferred name.
     monkeypatch.setitem(m.DEFER_TO_TAIL, name, max_round + 1)
-    assert m._ordered_names()[-1] == name
+    names = m._ordered_names()
+    pending = [n for n in names if m.DEFER_TO_TAIL.get(n, 0) > max_round]
+    assert name in pending
+    assert names.index(name) >= len(names) - len(pending)
 
     # Registration round's file has landed: released into the unchecked
     # block, which sorts before every freshness re-pin — inside the window.

@@ -1753,6 +1753,116 @@ def test_minhash_catalog_cross_batch_growth(spark, tmp_path):
     assert got2 == got
 
 
+def test_pretrain_gate_v2_cross_batch_state(spark, tmp_path):
+    """r17 (r16 VERDICT task 4): the v2 gate's decisions depend on state
+    MAINTAINED at ingest, not the frozen seed — an exact copy and a
+    near-dup of content that arrived in an EARLIER micro-batch are gated
+    via the fps / band rows that batch appended (the seed store and
+    catalog never saw them); and a replayed batch, bounded to partitions
+    below its own batch_id, reproduces its decisions and appends."""
+    import pyspark.sql.functions as SF
+
+    from spark_streaming_kafka_example_spark.functions.text import (
+        fingerprint,
+    )
+    from spark_streaming_kafka_example_spark.operators import dedup as DD
+    from spark_streaming_kafka_example_spark.plans.stream import (
+        _gate_v2_handler,
+    )
+    from spark_streaming_kafka_example_spark.streaming.sinks import (
+        foreach_batch_sink,
+    )
+
+    store = str(tmp_path / "store")
+    catalog = str(tmp_path / "catalog")
+    decisions = str(tmp_path / "decisions")
+    src = str(tmp_path / "arrivals")
+    schema = "doc_id long, text string"
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "small red hen counts seven bright stars tonight")
+    other = ("pack my box with five dozen liquor jugs and then carry "
+             "them down the long winding cellar stairs quietly")
+    trunc = " ".join(other.split()[:15])  # near-dup of `other`, not `base`
+
+    seed = spark.createDataFrame([(2, base)], schema)
+    seed.select(fingerprint("text").alias("fp")).withColumn(
+        "batch_id", SF.lit(-1)
+    ).write.partitionBy("batch_id").parquet(store)
+    DD.lsh_band_values(
+        DD.minhash_signatures(DD.doc_shingles(seed, distinct=False))
+    ).withColumn("batch_id", SF.lit(-1)).write.partitionBy(
+        "batch_id"
+    ).parquet(catalog)
+
+    batches = [
+        [(11, other)],  # novel content
+        # exact copy of batch 0's arrival; near-dup of it; copy of seed
+        [(13, other), (15, trunc), (17, base)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+        for root, _dirs, files in os.walk(f"{src}/b{i}"):
+            for fn in files:
+                os.utime(
+                    os.path.join(root, fn),
+                    (1_700_000_000 + i, 1_700_000_000 + i),
+                )
+
+    # the seed state never saw `other`: both cross-batch catches below
+    # are explained ONLY by batch 0's appends
+    seed_fps = {r.fp for r in spark.read.parquet(store).collect()}
+    other_fp = spark.createDataFrame([(11, other)], schema).select(
+        fingerprint("text").alias("fp")
+    ).first()[0]
+    assert other_fp not in seed_fps
+
+    handler = _gate_v2_handler(store, catalog, decisions)
+    q = foreach_batch_sink(
+        (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        ),
+        handler,
+        checkpoint=str(tmp_path / "ckpt"),
+        mode="append",
+    )
+    q.awaitTermination()
+
+    got = {
+        r.doc_id: (r.decision, r.reason)
+        for r in spark.read.parquet(decisions).collect()
+    }
+    assert got[13] == ("drop", "exact_dup")  # via batch 0's fp append
+    assert got[15] == ("drop", "near_dup")  # via batch 0's band append
+    assert got[17] == ("drop", "exact_dup")  # via the seed store
+    assert got[11][1] in ("ok", "low_quality")  # no prior content matches
+
+    # maintenance appended exactly the novel fps: 11's, and 15's (a
+    # near-dup's CONTENT is still new — a later exact copy of the
+    # truncated text must read exact_dup); 13 and 17 were duplicates
+    trunc_fp = spark.createDataFrame([(15, trunc)], schema).select(
+        fingerprint("text").alias("fp")
+    ).first()[0]
+    fps = [r.fp for r in spark.read.parquet(store).collect()]
+    assert sorted(fps) == sorted(seed_fps | {other_fp, trunc_fp})
+
+    # replay batch 0: reads partitions < 0 (seed only), decisions and
+    # appends identical (dynamic overwrite of its own partitions)
+    handler(spark.createDataFrame(batches[0], schema), 0)
+    got2 = {
+        r.doc_id: (r.decision, r.reason)
+        for r in spark.read.parquet(decisions).collect()
+    }
+    assert got2 == got
+    assert sorted(
+        r.fp for r in spark.read.parquet(store).collect()
+    ) == sorted(fps)
+
+
 def test_dedup_store_bloom_prunes_and_agrees(spark, sf_dir):
     """r16: the Bloom prefilter (1) never changes a decision — the
     prefiltered query's (doc_id, status) set equals the plain store
