@@ -362,6 +362,7 @@ DEFER_TO_TAIL: dict[str, int] = {
     # task-2 window: 12 CORE + 8 released r16 names + all 30 r10-stale
     # = exactly 50); the round-scoped expiry releases these into r18.
     "stream_pretrain_gate_v2": 17,
+    "stream_split_by_neardup": 17,
 }
 
 

@@ -185,8 +185,11 @@ HEADLINE = [
     "stream_minhash_catalog_ingest",
     "stream_dedup_store_bloom_ingest",
     # r17: the maintenance composition — the at-ingest pretrain gate
-    # reading the MAINTAINED fp store + band catalog (cross-batch dups).
+    # reading the MAINTAINED fp store + band catalog (cross-batch dups) —
+    # and the at-ingest rep-fp split (re-crawls land in their source's
+    # split via the materialized cluster map).
     "stream_pretrain_gate_v2",
+    "stream_split_by_neardup",
 ]
 _HEADLINE_SET = frozenset(HEADLINE)
 

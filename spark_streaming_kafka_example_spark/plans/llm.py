@@ -44,17 +44,24 @@ corpus AS (
 )"""
 
 
-def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents + tail-truncated copies of every 5th doc (+100000):
-    high-but-not-unit Jaccard/minhash overlap."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    plants = docs.filter(F.col("doc_id") % 5 == 0).select(
+def near_plants(docs: DataFrame) -> DataFrame:
+    """Tail-truncated copies of every 5th doc (+100000) over any
+    (doc_id, text) relation — the ONE definition of the near-dup plant
+    transformation (the batch _near_corpus and the streaming arrivals of
+    stream_split_by_neardup share it)."""
+    return docs.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.expr("substring(text, 1, CAST(floor(4*length(text)/5.0) AS INT))").alias(
             "text"
         ),
     )
-    return docs.unionByName(plants)
+
+
+def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + tail-truncated copies of every 5th doc (+100000):
+    high-but-not-unit Jaccard/minhash overlap."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.unionByName(near_plants(docs))
 
 
 NEAR_CORPUS_CTE = """

@@ -893,6 +893,74 @@ def stream_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# At-ingest NEAR-DUP-robust split assignment (r17, r16 VERDICT task 5):
+# stream_split_by_cluster's stateless gate handles exact copies, but a
+# truncated re-crawl arriving at ingest has a different fingerprint -> an
+# independent gate -> it can land opposite its source (the measured
+# 4-doc leak split_by_neardup_cluster fixes in batch). The streaming twin
+# joins each arriving doc against the MATERIALIZED rep-fp map from the
+# last batch clustering run (doc_id -> its cluster representative's
+# fingerprint; eager localCheckpoint so the planner has true stats, NO
+# broadcast hint — the map grows with the corpus's duplicate subset, the
+# _media_probe_plan discipline) and gates on coalesce(rep_fp, own fp):
+# unseen/singleton docs fall back to the stateless gate, so the twin
+# degrades to stream_split_by_cluster exactly where no cluster knowledge
+# exists. Shares split_by_neardup_cluster's oracle verbatim. Re-crawl
+# lands in its source's split: test_stream_split_by_neardup_recrawl.
+# ---------------------------------------------------------------------------
+
+from .textprep import SPLIT_BY_NEARDUP_ORACLE  # noqa: E402
+
+
+def stream_split_by_neardup_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-drain streaming plan (arriving near corpus -> unhinted
+    doc_id-keyed rep-fp map join -> gate projection), exposed for the
+    hint-free plan-shape test."""
+    from ..functions.text import fingerprint
+    from ..operators.components import connected_components
+    from .llm import _near_corpus, jaccard_pair_graph, near_plants
+
+    corpus = _near_corpus(spark, sf_dir)
+    fps = corpus.select("doc_id", fingerprint("text").alias("fp"))
+    cc = connected_components(jaccard_pair_graph(spark, sf_dir)).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    rep_fps = fps.select(
+        F.col("doc_id").alias("cluster_id"), F.col("fp").alias("rep_fp")
+    )
+    rep_map = (
+        cc.join(rep_fps, "cluster_id")
+        .select("doc_id", "rep_fp")
+        .localCheckpoint()
+    )
+
+    ds = documents_stream(spark, sf_dir).select("doc_id", "text")
+    arriving = ds.unionByName(near_plants(ds))
+    return (
+        arriving.withColumn("fp", fingerprint("text"))
+        .join(rep_map, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            cluster_split_column(
+                F.coalesce(F.col("rep_fp"), F.col("fp"))
+            ).alias("split"),
+        )
+    )
+
+
+@register("stream_split_by_neardup", SPLIT_BY_NEARDUP_ORACLE)
+def stream_split_by_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, split) per arriving doc under the representative-fp gate:
+    clustered docs (including re-crawls the clustering has seen) gate on
+    their cluster rep's fingerprint via the materialized map; unseen docs
+    fall back to their own fp — the whole cluster moves as one unit, so a
+    truncated re-crawl lands in its source's split."""
+    return run_to_table(
+        spark, stream_split_by_neardup_plan(spark, sf_dir), "append"
+    )
+
+
+# ---------------------------------------------------------------------------
 # In-stream vector bucketization: an embedding ingest pipeline assigning
 # each arriving vector to its nearest IVF centroid (stream-static broadcast
 # of the centroid table + ONE stateful argmax aggregation — streaming

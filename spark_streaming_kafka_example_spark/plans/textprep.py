@@ -2238,13 +2238,15 @@ def _neardup_split_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "split_by_neardup_cluster",
-    f"""
+# Shared with the at-ingest twin stream_split_by_neardup (plans/stream.py)
+# — the stream-static rep-fp map join drains to the identical relation.
+SPLIT_BY_NEARDUP_ORACLE = f"""
     WITH RECURSIVE {_NEARDUP_KEYED_CTES}
     SELECT doc_id, split FROM sp
-    """,
-)
+    """
+
+
+@register("split_by_neardup_cluster", SPLIT_BY_NEARDUP_ORACLE)
 def split_by_neardup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _neardup_split_frame(spark, sf_dir).select("doc_id", "split")
 

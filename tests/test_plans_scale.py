@@ -755,7 +755,10 @@ def test_ivf_index_path_distinct_per_sf_dir(spark, sf_dir, tmp_path):
      "stream_pretrain_gate_plan", "stream_minhash_probe_plan",
      # r12: the coded-catalog ANN probe — the catalog (bucket + PQ
      # reconstruction per corpus vector) grows with the corpus.
-     "stream_ivfpq_probe_plan"],
+     "stream_ivfpq_probe_plan",
+     # r17: the rep-fp split map — grows with the corpus's duplicate
+     # subset, so the doc_id-keyed map join must stay unhinted too.
+     "stream_split_by_neardup_plan"],
 )
 def test_stream_static_joins_unhinted_equi(spark, sf_dir, builder):
     from spark_streaming_kafka_example_spark.plans import stream as st

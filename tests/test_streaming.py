@@ -1863,6 +1863,66 @@ def test_pretrain_gate_v2_cross_batch_state(spark, tmp_path):
     ) == sorted(fps)
 
 
+def test_stream_split_by_neardup_recrawl(spark, sf_dir):
+    """r17 (r16 VERDICT task 5): a truncated re-crawl ARRIVING AT INGEST
+    lands in its source's split — the rep-fp map join moves whole
+    clusters as one unit where the stateless own-fp gate
+    (stream_split_by_cluster's) measurably disagrees — and docs the
+    clustering never saw fall back to the own-fp gate exactly."""
+    import pyspark.sql.functions as SF
+
+    from spark_streaming_kafka_example_spark import plans
+    from spark_streaming_kafka_example_spark.operators.components import (
+        connected_components,
+    )
+    from spark_streaming_kafka_example_spark.plans.llm import (
+        _near_corpus,
+        jaccard_pair_graph,
+    )
+    from spark_streaming_kafka_example_spark.plans.textprep import (
+        cluster_split_column,
+    )
+
+    got = {
+        r.doc_id: r.split
+        for r in plans.QUERIES["stream_split_by_neardup"](
+            spark, sf_dir
+        ).collect()
+    }
+    cluster = {
+        r.node: r.cluster_id
+        for r in connected_components(
+            jaccard_pair_graph(spark, sf_dir)
+        ).collect()
+    }
+    own = {
+        r.doc_id: r.split
+        for r in _near_corpus(spark, sf_dir)
+        .select("doc_id", cluster_split_column().alias("split"))
+        .collect()
+    }
+
+    # every planted re-crawl the clustering linked to its source shares
+    # the source's split at ingest
+    linked = [
+        (s, s + 100000)
+        for s in own
+        if s < 100000 and s % 5 == 0
+        and cluster.get(s) is not None
+        and cluster.get(s) == cluster.get(s + 100000)
+    ]
+    assert linked, "fixture regression: no clustered re-crawl pairs"
+    assert all(got[src] == got[plant] for src, plant in linked)
+
+    # non-vacuous: the stateless own-fp gate disagrees for >= 1 pair
+    assert any(own[src] != own[plant] for src, plant in linked)
+
+    # unseen docs degrade to the stateless gate exactly
+    singletons = [d for d in got if cluster.get(d) is None]
+    assert singletons
+    assert all(got[d] == own[d] for d in singletons)
+
+
 def test_dedup_store_bloom_prunes_and_agrees(spark, sf_dir):
     """r16: the Bloom prefilter (1) never changes a decision — the
     prefiltered query's (doc_id, status) set equals the plain store
