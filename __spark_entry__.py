@@ -363,6 +363,8 @@ DEFER_TO_TAIL: dict[str, int] = {
     # = exactly 50); the round-scoped expiry releases these into r18.
     "stream_pretrain_gate_v2": 17,
     "stream_split_by_neardup": 17,
+    "stream_dedup_store_compacted": 17,
+    "stream_minhash_catalog_compacted": 17,
 }
 
 

@@ -190,6 +190,11 @@ HEADLINE = [
     # split via the materialized cluster map).
     "stream_pretrain_gate_v2",
     "stream_split_by_neardup",
+    # r17: mid-lifecycle compaction of the fp store and band catalog
+    # (decisions hash-unchanged across the collapse — the housekeeping
+    # arm the IVF index already has).
+    "stream_dedup_store_compacted",
+    "stream_minhash_catalog_compacted",
 ]
 _HEADLINE_SET = frozenset(HEADLINE)
 

@@ -627,12 +627,48 @@ STREAM_DEDUP_STORE_ORACLE = f"""
     """
 
 
+def _seed_state(rows: DataFrame, state_dir: str) -> None:
+    """Write the pre-ingest state as the batch_id=-1 partition."""
+    rows.withColumn("batch_id", F.lit(-1)).write.partitionBy(
+        "batch_id"
+    ).parquet(state_dir)
+
+
+def _fp_store_seed(docs: DataFrame) -> DataFrame:
+    """The ingested corpus's distinct fingerprints (even doc ids)."""
+    from ..functions.text import fingerprint
+
+    return (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(fingerprint("text").alias("fp"))
+        .distinct()
+    )
+
+
+def _fp_arrival_parts(docs: DataFrame) -> list:
+    """The store-ingest arrival files: odd ids in 3 id ranges + the
+    +_FP_PLANT_OFFSET exact re-crawls of every 6th doc, id-ordered so
+    arrival order == doc_id order (the oracle's rank-by-doc_id rule)."""
+    plants = docs.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + _FP_PLANT_OFFSET).alias("doc_id"), "text"
+    )
+    odds = docs.filter(F.col("doc_id") % 2 == 1)
+    return _id_range_parts(odds, plants, plant_offset=_FP_PLANT_OFFSET)
+
+
+def _arrivals_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """One file per micro-batch over the id-ordered arrival files."""
+    return (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir + "/*")
+    )
+
+
 def _fp_store_setup(spark: SparkSession, sf_dir: str, prefix: str):
     """Seed the fingerprint store (batch_id=-1) and write the id-ordered
     arrival files — the shared setup of both store-ingest variants.
     Returns (base_dir, store_dir, decisions_dir, arrivals stream)."""
-    from ..functions.text import fingerprint
-
     from . import tmp_run_dir
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -641,32 +677,9 @@ def _fp_store_setup(spark: SparkSession, sf_dir: str, prefix: str):
     decisions_dir = os.path.join(base_dir, "decisions")
     src_dir = os.path.join(base_dir, "arrivals")
 
-    # seed: the ingested corpus's distinct fingerprints (batch_id=-1)
-    (
-        docs.filter(F.col("doc_id") % 2 == 0)
-        .select(fingerprint("text").alias("fp"))
-        .distinct()
-        .withColumn("batch_id", F.lit(-1))
-        .write.partitionBy("batch_id")
-        .parquet(store_dir)
-    )
-
-    # arrivals: id-ordered files so arrival order == doc_id order (the
-    # oracle's rank-by-doc_id rule requires it)
-    plants = docs.filter(F.col("doc_id") % 6 == 0).select(
-        (F.col("doc_id") + _FP_PLANT_OFFSET).alias("doc_id"), "text"
-    )
-    odds = docs.filter(F.col("doc_id") % 2 == 1)
-    _write_id_ordered_arrivals(
-        src_dir, _id_range_parts(odds, plants, plant_offset=_FP_PLANT_OFFSET)
-    )
-
-    arriving = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src_dir + "/*")
-    )
-    return base_dir, store_dir, decisions_dir, arriving
+    _seed_state(_fp_store_seed(docs), store_dir)
+    _write_id_ordered_arrivals(src_dir, _fp_arrival_parts(docs))
+    return base_dir, store_dir, decisions_dir, _arrivals_stream(spark, src_dir)
 
 
 @register("stream_dedup_store_ingest", STREAM_DEDUP_STORE_ORACLE)
@@ -3082,9 +3095,11 @@ def _catalog_prior_hits(
     return hits_prior.unionByName(hits_within)
 
 
-@register(
-    "stream_minhash_catalog_ingest",
-    f"""
+# One oracle for the growing-catalog ingest AND its mid-lifecycle
+# compaction twin (the STREAM_DEDUP_STORE_ORACLE sharing pattern):
+# compaction preserves the catalog's content exactly, so registering
+# both against the same text makes the driver hash-prove it.
+STREAM_MH_CATALOG_ORACLE = f"""
     WITH corpus AS (
         SELECT doc_id, text FROM documents
         UNION ALL
@@ -3118,8 +3133,10 @@ def _catalog_prior_hits(
            CAST(count(h.prior_id) AS BIGINT) AS n_prior_candidates
     FROM arr LEFT JOIN hits h ON arr.doc_id = h.doc_id
     GROUP BY arr.doc_id
-    """,
-)
+    """
+
+
+@register("stream_minhash_catalog_ingest", STREAM_MH_CATALOG_ORACLE)
 def stream_minhash_catalog_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_prior_candidates): per arriving doc, the number of
     DISTINCT previously-ingested docs (seed catalog, earlier batches, or
@@ -3139,45 +3156,10 @@ def stream_minhash_catalog_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     decisions_dir = os.path.join(base_dir, "decisions")
     src_dir = os.path.join(base_dir, "arrivals")
 
-    # seed: the ingested store's band rows (batch_id=-1)
-    (
-        _DD.lsh_band_values(
-            _DD.minhash_signatures(
-                _DD.doc_shingles(
-                    docs.filter(
-                        (F.col("doc_id") % 2 == 0)
-                        & (F.col("doc_id") < _MH_PLANT_OFFSET)
-                    ),
-                    distinct=False,
-                ),
-                num_hashes=_MH_NUM_HASHES,
-            ),
-            num_hashes=_MH_NUM_HASHES,
-            bands=_MH_BANDS,
-        )
-        .withColumn("batch_id", F.lit(-1))
-        .write.partitionBy("batch_id")
-        .parquet(catalog_dir)
-    )
-
-    plants = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + _MH_PLANT_OFFSET).alias("doc_id"),
-        F.expr(
-            "substring(text, 1, CAST(floor(4*length(text)/5.0) AS INT))"
-        ).alias("text"),
-    )
-    odds = docs.filter(F.col("doc_id") % 2 == 1)
-    _write_id_ordered_arrivals(
-        src_dir, _id_range_parts(odds, plants, plant_offset=_MH_PLANT_OFFSET)
-    )
-
-    arriving = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src_dir + "/*")
-    )
+    _seed_state(_mh_catalog_seed(docs), catalog_dir)
+    _write_id_ordered_arrivals(src_dir, _mh_arrival_parts(docs))
     q = foreach_batch_sink(
-        arriving,
+        _arrivals_stream(spark, src_dir),
         _mh_catalog_handler(catalog_dir, decisions_dir),
         checkpoint=os.path.join(base_dir, "ckpt"),
         mode="append",
@@ -3185,6 +3167,154 @@ def stream_minhash_catalog_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     q.awaitTermination()
     return spark.read.parquet(decisions_dir).select(
         "doc_id", "n_prior_candidates"
+    )
+
+
+def _mh_catalog_seed(docs: DataFrame) -> DataFrame:
+    """The ingested store's band rows (even doc ids below the plant
+    range) — the band-catalog seed."""
+    return _DD.lsh_band_values(
+        _DD.minhash_signatures(
+            _DD.doc_shingles(
+                docs.filter(
+                    (F.col("doc_id") % 2 == 0)
+                    & (F.col("doc_id") < _MH_PLANT_OFFSET)
+                ),
+                distinct=False,
+            ),
+            num_hashes=_MH_NUM_HASHES,
+        ),
+        num_hashes=_MH_NUM_HASHES,
+        bands=_MH_BANDS,
+    )
+
+
+def _mh_arrival_parts(docs: DataFrame) -> list:
+    """The catalog-ingest arrival files: odd ids in 3 id ranges + the
+    +_MH_PLANT_OFFSET tail-truncated re-uploads of every 10th doc."""
+    plants = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + _MH_PLANT_OFFSET).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, CAST(floor(4*length(text)/5.0) AS INT))"
+        ).alias("text"),
+    )
+    odds = docs.filter(F.col("doc_id") % 2 == 1)
+    return _id_range_parts(odds, plants, plant_offset=_MH_PLANT_OFFSET)
+
+
+# ---------------------------------------------------------------------------
+# Mid-lifecycle state compaction (r17, r16 VERDICT stretch task 8): the
+# IVF index got its housekeeping arm (sim_ivf_compacted_probe); the fp
+# store and band catalog accumulate one partition per micro-batch
+# FOREVER — at one batch per minute that is half a million partitions a
+# year, and the per-batch "batch_id < current" scan pays for every one
+# of them. Compaction collapses all partitions into a single fresh seed
+# partition (one read, one write, off the ingest path — the directory-
+# swap deployment sim_ivf_compacted_probe documents). The proof is
+# STRONGER than compact-at-end: compaction runs MID-INGEST — the first
+# half of the arrival files maintain state_a, the collapsed rewrite
+# seeds state_b, and the remaining files ingest against state_b — and
+# the union of both phases' decisions registers against the SAME oracle
+# as the uninterrupted ingest, so the driver hash proves compaction
+# loses and invents nothing while decisions are still being made
+# against it. Phase B's fresh checkpoint restarts batch ids at 0 > -1,
+# so the read-your-predecessors bound sees the whole compacted state.
+# ---------------------------------------------------------------------------
+
+
+def _compact_state(spark: SparkSession, state_dir: str, out_dir: str) -> None:
+    """Collapse every batch_id partition of an ingest-maintained state
+    into ONE fresh batch_id=-1 seed partition. Pure rewrite: appends are
+    novel-only (store) / per-doc-unique (catalog), so no dedup pass is
+    needed — one scan in, one partition out."""
+    _seed_state(spark.read.parquet(state_dir).drop("batch_id"), out_dir)
+
+
+def _compacted_two_phase_ingest(
+    spark: SparkSession,
+    prefix: str,
+    seed_rows: DataFrame,
+    parts: list,
+    make_handler,
+):
+    """Seed state, ingest parts[:2], COMPACT, ingest parts[2:] against
+    the compacted state; return the two decisions dirs. Shared by the
+    fp-store and band-catalog compaction twins."""
+    from ..streaming.sinks import foreach_batch_sink
+
+    from . import tmp_run_dir
+
+    base_dir = tmp_run_dir(prefix)
+    state_a = os.path.join(base_dir, "state_a")
+    state_b = os.path.join(base_dir, "state_b")
+    dec_a = os.path.join(base_dir, "dec_a")
+    dec_b = os.path.join(base_dir, "dec_b")
+
+    _seed_state(seed_rows, state_a)
+    _write_id_ordered_arrivals(os.path.join(base_dir, "arr_a"), parts[:2])
+    q = foreach_batch_sink(
+        _arrivals_stream(spark, os.path.join(base_dir, "arr_a")),
+        make_handler(state_a, dec_a),
+        checkpoint=os.path.join(base_dir, "ckpt_a"),
+        mode="append",
+    )
+    q.awaitTermination()
+
+    _compact_state(spark, state_a, state_b)
+
+    _write_id_ordered_arrivals(os.path.join(base_dir, "arr_b"), parts[2:])
+    q = foreach_batch_sink(
+        _arrivals_stream(spark, os.path.join(base_dir, "arr_b")),
+        make_handler(state_b, dec_b),
+        checkpoint=os.path.join(base_dir, "ckpt_b"),
+        mode="append",
+    )
+    q.awaitTermination()
+    return dec_a, dec_b
+
+
+@register("stream_dedup_store_compacted", STREAM_DEDUP_STORE_ORACLE)
+def stream_dedup_store_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, status): the fp-store ingest with a COMPACTION in the
+    middle — phases A/B decide against pre-/post-compaction state, and
+    the combined decisions share the uninterrupted ingest's oracle, so
+    the driver hash proves the collapsed store preserves every
+    first-arrival-wins decision."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dec_a, dec_b = _compacted_two_phase_ingest(
+        spark,
+        "fpcompact_",
+        _fp_store_seed(docs),
+        _fp_arrival_parts(docs),
+        _dedup_store_handler,
+    )
+    return (
+        spark.read.parquet(dec_a)
+        .unionByName(spark.read.parquet(dec_b))
+        .select("doc_id", "status")
+    )
+
+
+@register("stream_minhash_catalog_compacted", STREAM_MH_CATALOG_ORACLE)
+def stream_minhash_catalog_compacted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(doc_id, n_prior_candidates): the band-catalog ingest compacted
+    mid-lifecycle; shares the growing-catalog oracle, so the hash proves
+    the collapsed catalog still bands every later arrival against every
+    prior doc."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dec_a, dec_b = _compacted_two_phase_ingest(
+        spark,
+        "mhcompact_",
+        _mh_catalog_seed(docs),
+        _mh_arrival_parts(docs),
+        _mh_catalog_handler,
+    )
+    return (
+        spark.read.parquet(dec_a)
+        .unionByName(spark.read.parquet(dec_b))
+        .select("doc_id", "n_prior_candidates")
     )
 
 

@@ -1863,6 +1863,74 @@ def test_pretrain_gate_v2_cross_batch_state(spark, tmp_path):
     ) == sorted(fps)
 
 
+def test_compact_state_single_partition(spark, tmp_path):
+    """r17 (r16 VERDICT stretch): _compact_state collapses every
+    batch_id partition of an ingest-maintained state into exactly one
+    fresh batch_id=-1 seed partition with identical content."""
+    import pyspark.sql.functions as SF
+
+    from spark_streaming_kafka_example_spark.plans.stream import (
+        _compact_state,
+    )
+
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    for b, fps in [(-1, ["a", "b"]), (0, ["c"]), (1, ["d", "e"])]:
+        spark.createDataFrame([(f,) for f in fps], "fp string").withColumn(
+            "batch_id", SF.lit(b)
+        ).write.mode("append").partitionBy("batch_id").parquet(state)
+
+    _compact_state(spark, state, out)
+    got = spark.read.parquet(out)
+    assert sorted(r.fp for r in got.collect()) == ["a", "b", "c", "d", "e"]
+    assert [r.batch_id for r in got.select("batch_id").distinct().collect()] == [-1]
+    assert os.path.isdir(os.path.join(out, "batch_id=-1"))
+
+
+def test_compacted_ingest_cross_phase_through_compaction(spark):
+    """r17: the mid-lifecycle compaction is load-bearing — a phase-B
+    arrival duplicating PHASE-A content is decided via the COMPACTED
+    state (the only place phase A's append survives), and a phase-B
+    duplicate of the original seed proves the seed rode through the
+    collapse too."""
+    from spark_streaming_kafka_example_spark.functions.text import (
+        fingerprint,
+    )
+    from spark_streaming_kafka_example_spark.plans.stream import (
+        _compacted_two_phase_ingest,
+        _dedup_store_handler,
+    )
+
+    schema = "doc_id long, text string"
+    seed = spark.createDataFrame([(2, "alpha beta")], schema).select(
+        fingerprint("text").alias("fp")
+    )
+    parts = [
+        spark.createDataFrame(rows, schema)
+        for rows in [
+            [(11, "gamma delta xx")],  # phase A: novel
+            [(13, "epsilon zeta yy")],  # phase A: novel
+            [(15, "gamma delta xx")],  # phase B: dup of PHASE A via compact
+            [(17, "alpha beta")],  # phase B: dup of the seed via compact
+        ]
+    ]
+    dec_a, dec_b = _compacted_two_phase_ingest(
+        spark, "fpcompact_test_", seed, parts, _dedup_store_handler
+    )
+    got = {
+        r.doc_id: r.status
+        for r in spark.read.parquet(dec_a)
+        .unionByName(spark.read.parquet(dec_b))
+        .collect()
+    }
+    assert got == {
+        11: "novel",
+        13: "novel",
+        15: "duplicate",
+        17: "duplicate",
+    }, got
+
+
 def test_stream_split_by_neardup_recrawl(spark, sf_dir):
     """r17 (r16 VERDICT task 5): a truncated re-crawl ARRIVING AT INGEST
     lands in its source's split — the rep-fp map join moves whole
