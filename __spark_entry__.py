@@ -365,6 +365,7 @@ DEFER_TO_TAIL: dict[str, int] = {
     "stream_split_by_neardup": 17,
     "stream_dedup_store_compacted": 17,
     "stream_minhash_catalog_compacted": 17,
+    "stream_dedup_store_retention": 17,
 }
 
 

@@ -195,6 +195,8 @@ HEADLINE = [
     # arm the IVF index already has).
     "stream_dedup_store_compacted",
     "stream_minhash_catalog_compacted",
+    # r17: the TTL'd store — the expiry stage of the state lifecycle.
+    "stream_dedup_store_retention",
 ]
 _HEADLINE_SET = frozenset(HEADLINE)
 

@@ -537,7 +537,12 @@ def _overwrite_batch_partition(
     )
 
 
-def _fp_store_ranked(store_dir: str, fps: DataFrame, batch_id: int) -> DataFrame:
+def _fp_store_ranked(
+    store_dir: str,
+    fps: DataFrame,
+    batch_id: int,
+    retention_batches: int | None = None,
+) -> DataFrame:
     """Exact-dup decision relation shared by the store handlers: the batch's
     (doc_id, fp) rows ranked within-batch by doc_id per fp and left-joined
     against the store AS OF this batch — only partitions appended by
@@ -545,33 +550,46 @@ def _fp_store_ranked(store_dir: str, fps: DataFrame, batch_id: int) -> DataFrame
     scan). Without the bound a REPLAYED batch would see its own appended
     fps and flip its novel decisions to duplicate — the exactly-once
     contract needs read-your-predecessors, never read-yourself (pinned by
-    test_dedup_store_cross_batch_maintenance's replay). Output columns:
-    the fps columns + rn + hit (True / null)."""
+    test_dedup_store_cross_batch_maintenance's replay).
+    ``retention_batches`` additionally EXPIRES old state: only partitions
+    with batch_id >= current - W are visible (the seed -1 ages out after
+    W batches like any other append), so content re-admits after W
+    batches of absence — still a partition-pruned scan, now bounded on
+    BOTH sides. Output columns: the fps columns + rn + hit (True / null)."""
     from pyspark.sql import Window
 
-    store = (
-        fps.sparkSession.read.parquet(store_dir)
-        .filter(F.col("batch_id") < batch_id)
-        .select("fp")
-        .distinct()
+    store = fps.sparkSession.read.parquet(store_dir).filter(
+        F.col("batch_id") < batch_id
     )
+    if retention_batches is not None:
+        store = store.filter(
+            F.col("batch_id") >= batch_id - retention_batches
+        )
+    store = store.select("fp").distinct()
     w = Window.partitionBy("fp").orderBy("doc_id")
     return fps.withColumn("rn", F.row_number().over(w)).join(
         store.withColumn("hit", F.lit(True)), "fp", "left_outer"
     )
 
 
-def _dedup_store_handler(store_dir: str, decisions_dir: str):
+def _dedup_store_handler(
+    store_dir: str,
+    decisions_dir: str,
+    retention_batches: int | None = None,
+):
     """foreachBatch handler: decide novel/duplicate against the store AS
     OF this batch, then append this batch's novel fps. Both writes are
-    (batch_id)-partitioned dynamic overwrites — exactly-once on replay."""
+    (batch_id)-partitioned dynamic overwrites — exactly-once on replay.
+    With ``retention_batches`` the decision window is the TTL'd store
+    (see _fp_store_ranked); a re-admitted fp appends again under its new
+    batch_id, restarting its lifetime — duplicates never refresh it."""
     from ..functions.text import fingerprint
 
     def handler(batch_df: DataFrame, batch_id: int) -> None:
         fps = batch_df.select(
             "doc_id", fingerprint("text").alias("fp")
         ).localCheckpoint()  # one derivation feeds decisions AND the append
-        ranked = _fp_store_ranked(store_dir, fps, batch_id)
+        ranked = _fp_store_ranked(store_dir, fps, batch_id, retention_batches)
         _overwrite_batch_partition(
             ranked.select(
                 "doc_id",
@@ -3316,6 +3334,105 @@ def stream_minhash_catalog_compacted(
         .unionByName(spark.read.parquet(dec_b))
         .select("doc_id", "n_prior_candidates")
     )
+
+
+# ---------------------------------------------------------------------------
+# Store retention / TTL (r17): the last stage of the state lifecycle —
+# birth (seed), growth (per-batch appends), housekeeping (compaction),
+# and now EXPIRY. A TTL'd dedup store re-admits content after
+# _FP_TTL_W batches of absence (the "re-crawl after N days is fresh
+# again" policy); the decision read is partition-pruned on BOTH sides
+# (batch_id in [current - W, current)), so the scan cost is bounded by
+# the window, not the store's lifetime — retention is also what keeps
+# the store FINITE at 100 TB without compaction heroics. A re-admitted
+# fp appends under its new batch_id, restarting its lifetime; duplicate
+# arrivals never refresh the TTL (novel-only appends, unchanged).
+# Novelty is now RECURSIVE (novel at batch b depends on which earlier
+# arrivals were novel inside their own windows), so the oracle unrolls
+# the recursion over the FIXED 4 arrival batches (the _BPE_ROUNDS
+# unrolling convention): nv0/nv1/nv2 are the per-batch append sets, and
+# each batch's visible set is exactly the W preceding ones (the seed
+# ages out after W batches like any other append — batch 2 is the first
+# that cannot see it). The batch id of every arrival derives from the
+# _id_range_parts boundaries (max odd id thirds), so the oracle replays
+# the batch split itself. W is hard-coded at 2 in the unrolled CTEs —
+# changing _FP_TTL_W means re-deriving them together.
+# ---------------------------------------------------------------------------
+
+_FP_TTL_W = 2
+
+STREAM_DEDUP_STORE_RETENTION_ORACLE = f"""
+    WITH newbatch AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id + {_FP_PLANT_OFFSET} AS doc_id, text
+        FROM documents WHERE doc_id % 6 = 0
+    ),
+    mx AS (SELECT max(doc_id) AS m FROM documents WHERE doc_id % 2 = 1),
+    fb AS (
+        SELECT doc_id, b, fp,
+               row_number() OVER (PARTITION BY fp, b ORDER BY doc_id) AS rnb
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN doc_id >= {_FP_PLANT_OFFSET} THEN 3
+                        WHEN doc_id <= (SELECT m // 3 FROM mx) THEN 0
+                        WHEN doc_id <= (SELECT (2 * m) // 3 FROM mx) THEN 1
+                        ELSE 2 END AS b,
+                   {_LLM_FP_SQL.format(t='text')} AS fp
+            FROM newbatch)
+    ),
+    seedf AS (SELECT DISTINCT {_LLM_FP_SQL.format(t='text')} AS fp
+              FROM documents WHERE doc_id % 2 = 0),
+    nv0 AS (SELECT fp FROM fb WHERE b = 0 AND rnb = 1
+            AND fp NOT IN (SELECT fp FROM seedf)),
+    nv1 AS (SELECT fp FROM fb WHERE b = 1 AND rnb = 1
+            AND fp NOT IN (SELECT fp FROM seedf
+                           UNION ALL SELECT fp FROM nv0)),
+    nv2 AS (SELECT fp FROM fb WHERE b = 2 AND rnb = 1
+            AND fp NOT IN (SELECT fp FROM nv0
+                           UNION ALL SELECT fp FROM nv1))
+    SELECT doc_id,
+           CASE WHEN rnb > 1 THEN 'duplicate'
+                WHEN b = 0 AND fp IN (SELECT fp FROM seedf)
+                    THEN 'duplicate'
+                WHEN b = 1 AND fp IN (SELECT fp FROM seedf
+                                      UNION ALL SELECT fp FROM nv0)
+                    THEN 'duplicate'
+                WHEN b = 2 AND fp IN (SELECT fp FROM nv0
+                                      UNION ALL SELECT fp FROM nv1)
+                    THEN 'duplicate'
+                WHEN b = 3 AND fp IN (SELECT fp FROM nv1
+                                      UNION ALL SELECT fp FROM nv2)
+                    THEN 'duplicate'
+                ELSE 'novel' END AS status
+    FROM fb
+    """
+
+
+@register("stream_dedup_store_retention", STREAM_DEDUP_STORE_RETENTION_ORACLE)
+def stream_dedup_store_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, status): the fp-store ingest under a {_FP_TTL_W}-batch
+    retention window — identical setup and arrival order to
+    stream_dedup_store_ingest, but each batch decides against only the
+    last {_FP_TTL_W} batches' appends, so the +plant re-crawls of seeded
+    content arriving after the seed aged out read 'novel' where the
+    unbounded store reads 'duplicate' (expiry pinned by
+    test_dedup_store_retention_expires_and_readmits)."""
+    from ..streaming.sinks import foreach_batch_sink
+
+    base_dir, store_dir, decisions_dir, arriving = _fp_store_setup(
+        spark, sf_dir, "fpttl_"
+    )
+    q = foreach_batch_sink(
+        arriving,
+        _dedup_store_handler(
+            store_dir, decisions_dir, retention_batches=_FP_TTL_W
+        ),
+        checkpoint=os.path.join(base_dir, "ckpt"),
+        mode="append",
+    )
+    q.awaitTermination()
+    return spark.read.parquet(decisions_dir).select("doc_id", "status")
 
 
 # ---------------------------------------------------------------------------

@@ -1863,6 +1863,81 @@ def test_pretrain_gate_v2_cross_batch_state(spark, tmp_path):
     ) == sorted(fps)
 
 
+def test_dedup_store_retention_expires_and_readmits(spark, tmp_path):
+    """r17: the TTL'd store forgets — content absent for
+    _FP_TTL_W(=2) batches reads 'novel' again (the seed ages out like
+    any append), a re-admitted fp restarts its lifetime (a copy in the
+    NEXT batch reads 'duplicate' via the re-append), and an expired
+    batch-0 append is re-admitted too."""
+    import pyspark.sql.functions as SF
+
+    from spark_streaming_kafka_example_spark.functions.text import (
+        fingerprint,
+    )
+    from spark_streaming_kafka_example_spark.plans.stream import (
+        _FP_TTL_W,
+        _dedup_store_handler,
+    )
+    from spark_streaming_kafka_example_spark.streaming.sinks import (
+        foreach_batch_sink,
+    )
+
+    store = str(tmp_path / "store")
+    decisions = str(tmp_path / "decisions")
+    src = str(tmp_path / "arrivals")
+    schema = "doc_id long, text string"
+
+    spark.createDataFrame([(2, "alpha beta")], schema).select(
+        fingerprint("text").alias("fp")
+    ).withColumn("batch_id", SF.lit(-1)).write.partitionBy("batch_id").parquet(
+        store
+    )
+
+    batches = [
+        [(11, "gamma one")],  # b0: novel
+        [(13, "alpha beta")],  # b1: seed still visible -> duplicate
+        [(15, "alpha beta")],  # b2: seed AND b1 decision-window edge:
+        # visible = {b0, b1} appends; 13 was a duplicate (never appended),
+        # the seed aged out -> novel again (re-admitted, appended at b2)
+        [(17, "alpha beta"), (19, "gamma one")],
+        # b3: visible = {b1, b2} appends -> 17 duplicate via b2's
+        # re-append; 19's b0 append aged out -> novel again
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+        for root, _dirs, files in os.walk(f"{src}/b{i}"):
+            for fn in files:
+                os.utime(
+                    os.path.join(root, fn),
+                    (1_700_000_000 + i, 1_700_000_000 + i),
+                )
+
+    q = foreach_batch_sink(
+        (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        ),
+        _dedup_store_handler(store, decisions, retention_batches=_FP_TTL_W),
+        checkpoint=str(tmp_path / "ckpt"),
+        mode="append",
+    )
+    q.awaitTermination()
+
+    got = {
+        r.doc_id: r.status for r in spark.read.parquet(decisions).collect()
+    }
+    assert got == {
+        11: "novel",
+        13: "duplicate",  # within the seed's lifetime
+        15: "novel",  # the seed aged out -> re-admitted
+        17: "duplicate",  # 15's re-append restarted the lifetime
+        19: "novel",  # 11's append aged out too
+    }, got
+
+
 def test_compact_state_single_partition(spark, tmp_path):
     """r17 (r16 VERDICT stretch): _compact_state collapses every
     batch_id partition of an ingest-maintained state into exactly one
