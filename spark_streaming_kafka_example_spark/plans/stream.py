@@ -3411,12 +3411,12 @@ STREAM_DEDUP_STORE_RETENTION_ORACLE = f"""
 
 @register("stream_dedup_store_retention", STREAM_DEDUP_STORE_RETENTION_ORACLE)
 def stream_dedup_store_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, status): the fp-store ingest under a {_FP_TTL_W}-batch
+    """(doc_id, status): the fp-store ingest under a _FP_TTL_W(=2)-batch
     retention window — identical setup and arrival order to
     stream_dedup_store_ingest, but each batch decides against only the
-    last {_FP_TTL_W} batches' appends, so the +plant re-crawls of seeded
-    content arriving after the seed aged out read 'novel' where the
-    unbounded store reads 'duplicate' (expiry pinned by
+    last W batches' appends, so the +plant re-crawls of seeded content
+    arriving after the seed aged out read 'novel' where the unbounded
+    store reads 'duplicate' (expiry pinned by
     test_dedup_store_retention_expires_and_readmits)."""
     from ..streaming.sinks import foreach_batch_sink
 
