@@ -195,8 +195,9 @@ HEADLINE = [
     # arm the IVF index already has).
     "stream_dedup_store_compacted",
     "stream_minhash_catalog_compacted",
-    # r17: the TTL'd store — the expiry stage of the state lifecycle.
+    # r17: the TTL'd store + catalog — the expiry stage of the lifecycle.
     "stream_dedup_store_retention",
+    "stream_minhash_catalog_retention",
 ]
 _HEADLINE_SET = frozenset(HEADLINE)
 

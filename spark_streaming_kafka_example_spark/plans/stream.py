@@ -3038,17 +3038,26 @@ def stream_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _mh_catalog_handler(catalog_dir: str, decisions_dir: str):
+def _mh_catalog_handler(
+    catalog_dir: str,
+    decisions_dir: str,
+    retention_batches: int | None = None,
+):
     """foreachBatch handler: band the batch, count DISTINCT prior docs
     (earlier partitions + same-batch smaller ids) sharing >= 1 band per
     arriving doc, append the batch's band rows. Both writes are
     (batch_id)-partitioned dynamic overwrites — exactly-once on replay,
     and the batch_id < current catalog bound keeps a REPLAYED batch from
-    banding against its own rows."""
+    banding against its own rows. ``retention_batches`` windows the
+    probe to the last W batches' band rows (see _catalog_prior_hits);
+    appends are unchanged — an expired doc's bands simply stop being
+    probed, and would age back in only by re-arriving."""
 
     def handler(batch_df: DataFrame, batch_id: int) -> None:
         bands = _batch_band_rows(batch_df)
-        hits = _catalog_prior_hits(catalog_dir, bands, batch_id)
+        hits = _catalog_prior_hits(
+            catalog_dir, bands, batch_id, retention_batches
+        )
         counts = hits.distinct().groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("n")
         )
@@ -3085,17 +3094,31 @@ def _batch_band_rows(batch_df: DataFrame) -> DataFrame:
 
 
 def _catalog_prior_hits(
-    catalog_dir: str, bands: DataFrame, batch_id: int
+    catalog_dir: str,
+    bands: DataFrame,
+    batch_id: int,
+    retention_batches: int | None = None,
 ) -> DataFrame:
     """(doc_id, prior_id) band collisions against every PRIOR ingested
     doc: catalog partitions appended by earlier batches (batch_id <
     current — the read-your-predecessors bound) plus same-batch rows with
-    a smaller doc_id (arrival order is id order by construction). May
-    contain duplicates; callers distinct() as needed."""
-    prior = (
-        bands.sparkSession.read.parquet(catalog_dir)
-        .filter(F.col("batch_id") < batch_id)
-        .select("band_id", "band_val", F.col("doc_id").alias("prior_id"))
+    a smaller doc_id (arrival order is id order by construction).
+    ``retention_batches`` EXPIRES old band rows: only partitions with
+    batch_id >= current - W stay visible (the seed ages out after W
+    batches), bounding the probe scan by the window. Unlike the fp
+    store, catalog visibility is NOT recursive — every ingested doc's
+    bands append regardless of status, so a row is visible iff its
+    batch is in the window. May contain duplicates; callers distinct()
+    as needed."""
+    prior = bands.sparkSession.read.parquet(catalog_dir).filter(
+        F.col("batch_id") < batch_id
+    )
+    if retention_batches is not None:
+        prior = prior.filter(
+            F.col("batch_id") >= batch_id - retention_batches
+        )
+    prior = prior.select(
+        "band_id", "band_val", F.col("doc_id").alias("prior_id")
     )
     hits_prior = bands.join(prior, ["band_id", "band_val"]).select(
         "doc_id", "prior_id"
@@ -3164,12 +3187,24 @@ def stream_minhash_catalog_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     frozen-catalog probe's, and odd/odd near-dups arriving in different
     files are counted via partitions an earlier batch APPENDED (pinned by
     tests/test_streaming.py::test_minhash_catalog_cross_batch_growth)."""
+    return _mh_catalog_run(spark, sf_dir, "mhcat_")
+
+
+def _mh_catalog_run(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str,
+    retention_batches: int | None = None,
+) -> DataFrame:
+    """Seed the band catalog, stream the id-ordered arrivals through the
+    catalog handler, return the drained decisions — the one ingest body
+    shared by the unbounded and TTL'd registrations."""
     from ..streaming.sinks import foreach_batch_sink
 
     from . import tmp_run_dir
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    base_dir = tmp_run_dir("mhcat_")
+    base_dir = tmp_run_dir(prefix)
     catalog_dir = os.path.join(base_dir, "catalog")
     decisions_dir = os.path.join(base_dir, "decisions")
     src_dir = os.path.join(base_dir, "arrivals")
@@ -3178,7 +3213,7 @@ def stream_minhash_catalog_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     _write_id_ordered_arrivals(src_dir, _mh_arrival_parts(docs))
     q = foreach_batch_sink(
         _arrivals_stream(spark, src_dir),
-        _mh_catalog_handler(catalog_dir, decisions_dir),
+        _mh_catalog_handler(catalog_dir, decisions_dir, retention_batches),
         checkpoint=os.path.join(base_dir, "ckpt"),
         mode="append",
     )
@@ -3433,6 +3468,82 @@ def stream_dedup_store_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(decisions_dir).select("doc_id", "status")
+
+
+# The band catalog's TTL twin. Unlike the fp store, catalog retention is
+# NOT recursive — every ingested doc's band rows append regardless of
+# status — so a row is visible at batch b iff its own batch is in
+# [b - W, b - 1] (the seed, batch -1, ages out at b = W), and the oracle
+# is a batch-windowed variant of STREAM_MH_CATALOG_ORACLE: one bmap CTE
+# derives every corpus doc's batch id (seed -1, arrival thirds, plants
+# 3), and the prior rule adds the window bound.
+_MH_TTL_W = 2
+
+STREAM_MH_CATALOG_RETENTION_ORACLE = f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_MH_PLANT_OFFSET} AS doc_id,
+               substring(text, 1, CAST(floor(4*length(text)/5.0) AS INT))
+                   AS text
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    {_MH_SHINGLES_CTE.strip()},
+    hashed AS (SELECT doc_id, {_MH_BASE_H} AS h FROM sh),
+    sig AS (
+        SELECT doc_id,
+           {_MH_SIG_MINS}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+    {_MH_BAND_SELECTS}
+    ),
+    mx AS (SELECT max(doc_id) AS m FROM documents WHERE doc_id % 2 = 1),
+    bmap AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 AND doc_id < {_MH_PLANT_OFFSET}
+                        THEN -1
+                    WHEN doc_id >= {_MH_PLANT_OFFSET} THEN 3
+                    WHEN doc_id <= (SELECT m // 3 FROM mx) THEN 0
+                    WHEN doc_id <= (SELECT (2 * m) // 3 FROM mx) THEN 1
+                    ELSE 2 END AS b
+        FROM corpus
+    ),
+    arr AS (SELECT doc_id FROM corpus
+            WHERE doc_id % 2 = 1 OR doc_id >= {_MH_PLANT_OFFSET}),
+    hits AS (
+        SELECT DISTINCT a.doc_id, p.doc_id AS prior_id
+        FROM bands a
+        JOIN bmap ba ON ba.doc_id = a.doc_id
+        JOIN bands p
+          ON a.band_id = p.band_id AND a.band_val = p.band_val
+        JOIN bmap bp ON bp.doc_id = p.doc_id
+        WHERE ba.b >= 0
+          AND ((bp.b < ba.b AND bp.b >= ba.b - {_MH_TTL_W})
+               OR (bp.b = ba.b AND p.doc_id < a.doc_id))
+    )
+    SELECT arr.doc_id,
+           CAST(count(h.prior_id) AS BIGINT) AS n_prior_candidates
+    FROM arr LEFT JOIN hits h ON arr.doc_id = h.doc_id
+    GROUP BY arr.doc_id
+    """
+
+
+@register(
+    "stream_minhash_catalog_retention", STREAM_MH_CATALOG_RETENTION_ORACLE
+)
+def stream_minhash_catalog_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(doc_id, n_prior_candidates): the band-catalog ingest under a
+    _MH_TTL_W(=2)-batch retention window — each batch probes only the
+    last W batches' band rows (partition-pruned on both sides), so the
+    seed ages out at batch W and the plants' truncated sources stop
+    being counted once out of window (expiry pinned by
+    test_minhash_catalog_retention_expires)."""
+    return _mh_catalog_run(
+        spark, sf_dir, "mhttl_", retention_batches=_MH_TTL_W
+    )
 
 
 # ---------------------------------------------------------------------------

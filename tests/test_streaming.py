@@ -1938,6 +1938,84 @@ def test_dedup_store_retention_expires_and_readmits(spark, tmp_path):
     }, got
 
 
+def test_minhash_catalog_retention_expires(spark, tmp_path):
+    """r17: the TTL'd band catalog forgets — band rows older than
+    _MH_TTL_W(=2) batches stop being probed (the seed ages out at batch
+    W, a batch-0 near-dup source ages out at batch 3), proven by running
+    the SAME arrival files through the windowed and unbounded handlers
+    and contrasting the counts."""
+    import pyspark.sql.functions as SF
+
+    from spark_streaming_kafka_example_spark.operators import dedup as DD
+    from spark_streaming_kafka_example_spark.plans.stream import (
+        _MH_TTL_W,
+        _mh_catalog_handler,
+    )
+    from spark_streaming_kafka_example_spark.streaming.sinks import (
+        foreach_batch_sink,
+    )
+
+    src = str(tmp_path / "arrivals")
+    schema = "doc_id long, text string"
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "small red hen counts seven bright stars tonight")
+    other = ("pack my box with five dozen liquor jugs and then carry "
+             "them down the long winding cellar stairs quietly")
+    trunc = " ".join(other.split()[:15])  # near-dup of `other`, not `base`
+
+    batches = [
+        [(11, other)],  # b0: novel
+        [(13, trunc)],  # b1: near-dup of b0 (in window)
+        [(15, base)],  # b2: copy of the seed — but the seed aged out
+        [(17, trunc)],  # b3: 11's rows aged out; 13's still in window
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+        for root, _dirs, files in os.walk(f"{src}/b{i}"):
+            for fn in files:
+                os.utime(
+                    os.path.join(root, fn),
+                    (1_700_000_000 + i, 1_700_000_000 + i),
+                )
+
+    got = {}
+    for mode, retention in [("ttl", _MH_TTL_W), ("unbounded", None)]:
+        catalog = str(tmp_path / f"catalog_{mode}")
+        decisions = str(tmp_path / f"decisions_{mode}")
+        seed = spark.createDataFrame([(2, base)], schema)
+        DD.lsh_band_values(
+            DD.minhash_signatures(DD.doc_shingles(seed, distinct=False))
+        ).withColumn("batch_id", SF.lit(-1)).write.partitionBy(
+            "batch_id"
+        ).parquet(catalog)
+        q = foreach_batch_sink(
+            (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src + "/*")
+            ),
+            _mh_catalog_handler(catalog, decisions, retention),
+            checkpoint=str(tmp_path / f"ckpt_{mode}"),
+            mode="append",
+        )
+        q.awaitTermination()
+        got[mode] = {
+            r.doc_id: r.n_prior_candidates
+            for r in spark.read.parquet(decisions).collect()
+        }
+
+    assert got["unbounded"] == {11: 0, 13: 1, 15: 1, 17: 2}
+    assert got["ttl"] == {
+        11: 0,
+        13: 1,  # 11 still in window
+        15: 0,  # the seed aged out at batch _MH_TTL_W
+        17: 1,  # 11's batch-0 rows aged out; 13's batch-1 rows retained
+    }, got["ttl"]
+
+
 def test_compact_state_single_partition(spark, tmp_path):
     """r17 (r16 VERDICT stretch): _compact_state collapses every
     batch_id partition of an ingest-maintained state into exactly one
