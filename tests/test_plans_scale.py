@@ -1115,3 +1115,38 @@ def test_ivf_appendix_probe_prunable_both_parts(spark, sf_dir):
             assert len(pf) == 2 and "bucket" in pf[1].split("]", 1)[0], (
                 f"{part} scan lost its static bucket partition filters"
             )
+
+
+def test_ttl_store_read_pruned_both_sides(spark, tmp_path):
+    """r17: the retention window must reach the store scan as PARTITION
+    filters on BOTH sides (batch_id < current AND >= current - W) — a
+    TTL implemented as a post-scan filter would still read the store's
+    whole lifetime, defeating the O(window) claim."""
+    import pyspark.sql.functions as SF
+
+    from spark_streaming_kafka_example_spark.plans.stream import (
+        _fp_store_ranked,
+    )
+
+    store = str(tmp_path / "store")
+    for b in (-1, 0, 1, 2):
+        spark.createDataFrame([(f"f{b}",)], "fp string").withColumn(
+            "batch_id", SF.lit(b)
+        ).write.mode("append").partitionBy("batch_id").parquet(store)
+
+    fps = spark.createDataFrame([(1, "f0")], "doc_id long, fp string")
+    ranked = _fp_store_ranked(store, fps, batch_id=3, retention_batches=2)
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "store" in ln
+    ]
+    assert scans, "no FileScan over the store"
+    for ln in scans:
+        pf = ln.split("PartitionFilters: [", 1)
+        assert len(pf) == 2, "store scan lost its partition filters"
+        filters = pf[1].split("]", 1)[0]
+        assert "batch_id#" in filters or "batch_id " in filters
+        assert "< 3" in filters and ">= 1" in filters, (
+            f"TTL bounds not pushed to partition pruning: {filters}"
+        )
