@@ -3279,7 +3279,15 @@ def _compact_state(spark: SparkSession, state_dir: str, out_dir: str) -> None:
     """Collapse every batch_id partition of an ingest-maintained state
     into ONE fresh batch_id=-1 seed partition. Pure rewrite: appends are
     novel-only (store) / per-doc-unique (catalog), so no dedup pass is
-    needed — one scan in, one partition out."""
+    needed — one scan in, one partition out.
+
+    UNBOUNDED STATE ONLY — incompatible with the retention handlers: a
+    TTL'd store re-appends re-admitted fps under new batch_ids (the
+    novel-only premise breaks), and collapsing to -1 destroys per-row
+    AGE — just-expired content would resurrect for W more batches, then
+    the whole store would expire at once at batch W. TTL-compatible
+    compaction must rewrite FILES WITHIN each batch_id partition,
+    preserving the partition keys — a different operation."""
     _seed_state(spark.read.parquet(state_dir).drop("batch_id"), out_dir)
 
 
@@ -3650,7 +3658,8 @@ def _gate_v2_handler(store_dir: str, catalog_dir: str, decisions_dir: str):
     """foreachBatch handler composing the two maintenance arms: decide
     (exact via fp store AS OF batch, near via band catalog AS OF batch,
     quality projection), then append novel fps AND the batch's band rows.
-    All four writes are dynamic-overwrite batch partitions."""
+    All three writes (decisions, store append, catalog append) are
+    dynamic-overwrite batch partitions."""
     from ..functions.text import fingerprint
     from .textprep import quality_p_col
 
@@ -3711,7 +3720,6 @@ def stream_pretrain_gate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     near_dup > low_quality > ok). The +_GV2_CROSS_OFF / +_GV2_NEAR_OFF
     plants arrive in the LAST file and are caught purely by state earlier
     micro-batches appended — the freshness v1's frozen catalog lacks."""
-    from ..functions.text import fingerprint
     from ..streaming.sinks import foreach_batch_sink
 
     from . import tmp_run_dir
@@ -3723,27 +3731,31 @@ def stream_pretrain_gate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     decisions_dir = os.path.join(base_dir, "decisions")
     src_dir = os.path.join(base_dir, "arrivals")
 
-    seed = docs.filter(F.col("doc_id") % 2 == 0)
-    (
-        seed.select(fingerprint("text").alias("fp"))
-        .distinct()
-        .withColumn("batch_id", F.lit(-1))
-        .write.partitionBy("batch_id")
-        .parquet(store_dir)
+    # Seeds are the shared ingest-arm builders (the CLAUDE.md seed rule):
+    # the fp seed is _fp_store_seed verbatim; _mh_catalog_seed's
+    # < _MH_PLANT_OFFSET filter is vacuous here (the guard below bounds
+    # every real id far under it), so the band seed is the plain evens too.
+    _seed_state(_fp_store_seed(docs), store_dir)
+    _seed_state(_mh_catalog_seed(docs), catalog_dir)
+
+    # Three plant families share one arrivals file, so their id ranges
+    # must be DISJOINT (a collision would give two arrivals one doc_id —
+    # the oracle's quality join would fan out where the handler emits
+    # one row per physical arrival). Ranges stay disjoint iff every real
+    # id is below the smallest inter-offset gap; _id_range_parts'
+    # plant_offset guard only checks the odd max against _GV2_SEED_OFF,
+    # so bound the FULL corpus here.
+    m_all = docs.agg(F.max("doc_id")).first()[0]
+    gap = min(
+        _GV2_SEED_OFF,
+        _GV2_CROSS_OFF - _GV2_SEED_OFF,
+        _GV2_NEAR_OFF - _GV2_CROSS_OFF,
     )
-    (
-        _DD.lsh_band_values(
-            _DD.minhash_signatures(
-                _DD.doc_shingles(seed, distinct=False),
-                num_hashes=_MH_NUM_HASHES,
-            ),
-            num_hashes=_MH_NUM_HASHES,
-            bands=_MH_BANDS,
+    if m_all is None or m_all >= gap:
+        raise ValueError(
+            f"stream_pretrain_gate_v2: max doc_id {m_all} >= plant-family "
+            f"gap {gap}; the three plant id ranges would overlap"
         )
-        .withColumn("batch_id", F.lit(-1))
-        .write.partitionBy("batch_id")
-        .parquet(catalog_dir)
-    )
 
     plants = (
         docs.filter(F.col("doc_id") % 6 == 0)
@@ -3768,13 +3780,8 @@ def stream_pretrain_gate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         src_dir, _id_range_parts(odds, plants, plant_offset=_GV2_SEED_OFF)
     )
 
-    arriving = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src_dir + "/*")
-    )
     q = foreach_batch_sink(
-        arriving,
+        _arrivals_stream(spark, src_dir),
         _gate_v2_handler(store_dir, catalog_dir, decisions_dir),
         checkpoint=os.path.join(base_dir, "ckpt"),
         mode="append",
