@@ -367,6 +367,7 @@ DEFER_TO_TAIL: dict[str, int] = {
     "stream_minhash_catalog_compacted": 17,
     "stream_dedup_store_retention": 17,
     "stream_minhash_catalog_retention": 17,
+    "stream_image_catalog_ingest": 17,
 }
 
 

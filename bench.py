@@ -195,9 +195,12 @@ HEADLINE = [
     # arm the IVF index already has).
     "stream_dedup_store_compacted",
     "stream_minhash_catalog_compacted",
-    # r17: the TTL'd store + catalog — the expiry stage of the lifecycle.
+    # r17: the TTL'd store + catalog — the expiry stage of the lifecycle —
+    # and the maintained IMAGE chunk catalog (the frozen-probe upgrade,
+    # completing the maintenance matrix across modalities).
     "stream_dedup_store_retention",
     "stream_minhash_catalog_retention",
+    "stream_image_catalog_ingest",
 ]
 _HEADLINE_SET = frozenset(HEADLINE)
 

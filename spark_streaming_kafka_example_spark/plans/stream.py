@@ -3555,6 +3555,188 @@ def stream_minhash_catalog_retention(
 
 
 # ---------------------------------------------------------------------------
+# At-ingest IMAGE near-dup catalog (r17): the maintained-catalog upgrade
+# of stream_image_phash, whose Hamming-band chunk catalog freezes at
+# stream start — the same gap stream_minhash_catalog_ingest closed for
+# text bands, now closed for the image modality, completing the
+# maintenance matrix (exact fps / text bands / vectors / images). Each
+# micro-batch renders its docs' synthetic covers through the REAL
+# decode -> aHash stack (pandas UDFs work unchanged inside
+# foreachBatch), probes catalog chunk partitions batch_id < current on
+# (chunk_id, chunk_val) with the hamming <= 3 verify in codegen, counts
+# same-batch smaller-id near-dups via a batch-bounded self-join, then
+# appends its OWN chunk rows as a dynamic-overwrite partition. The
+# pigeonhole completeness of the chunk equi-join (phash_chunks) makes
+# the candidate set exact, so the oracle replays counts with the
+# earlier-prior rule over one global nibs relation — batch-split-free.
+# Plants: exact re-crawls of every 7th doc under +_IMG_PLANT_OFFSET —
+# even sources are seed dups, ODD sources arrived in an earlier batch,
+# so their copies are caught purely by appended partitions (the
+# cross-batch catch; pinned by test_image_catalog_cross_batch_growth).
+# Scale: per batch |batch| x 4 chunk rows against the chunk-keyed
+# catalog read (UNHINTED — grows with the corpus) + the hamming verify
+# on collisions only; appends never rewrite the catalog.
+# ---------------------------------------------------------------------------
+
+_IMG_PLANT_OFFSET = 200000  # the _exact_corpus re-crawl offset
+
+STREAM_IMAGE_CATALOG_ORACLE = f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_IMG_PLANT_OFFSET} AS doc_id, text
+        FROM documents WHERE doc_id % 7 = 0
+    ),
+    {_PHASH_NIBS_CTE.strip()},
+    arr AS (SELECT doc_id FROM corpus
+            WHERE doc_id % 2 = 1 OR doc_id >= {_IMG_PLANT_OFFSET}),
+    hits AS (
+        SELECT DISTINCT a.doc_id, p.doc_id AS prior_id
+        FROM nibs a JOIN nibs p
+          ON (a.doc_id % 2 = 1 OR a.doc_id >= {_IMG_PLANT_OFFSET})
+         AND ((p.doc_id % 2 = 0 AND p.doc_id < {_IMG_PLANT_OFFSET})
+              OR ((p.doc_id % 2 = 1 OR p.doc_id >= {_IMG_PLANT_OFFSET})
+                  AND p.doc_id < a.doc_id))
+        WHERE CAST(list_sum(list_transform(range(1, 17),
+                j -> bit_count(xor(a.nb[j], p.nb[j])))) AS INT) <= 3
+    )
+    SELECT arr.doc_id,
+           CAST(count(h.prior_id) AS BIGINT) AS n_prior_candidates
+    FROM arr LEFT JOIN hits h ON arr.doc_id = h.doc_id
+    GROUP BY arr.doc_id
+    """
+
+
+def _image_chunk_rows(batch_df: DataFrame) -> DataFrame:
+    """(doc_id, phash, chunk_id, chunk_val) for a micro-batch through the
+    real synthesize -> decode -> aHash -> Hamming-band stack — the image
+    twin of _batch_band_rows. Checkpointed: one derivation feeds the
+    probe, the within-batch self-join AND the catalog append."""
+    from ..operators.dedup import image_phash_fingerprints, phash_chunks
+    from ..operators.multimodal import attach_synthetic_image
+
+    return phash_chunks(
+        image_phash_fingerprints(
+            attach_synthetic_image(batch_df.select("doc_id", "text"))
+        )
+    ).localCheckpoint()
+
+
+def _image_catalog_prior_hits(
+    catalog_dir: str, chunks: DataFrame, batch_id: int
+) -> DataFrame:
+    """(doc_id, prior_id) hamming<=3 image near-dups against every PRIOR
+    ingested doc — the image twin of _catalog_prior_hits: chunk-keyed
+    candidate equi-joins (pigeonhole-complete) + the hamming verify in
+    codegen, over catalog partitions batch_id < current plus same-batch
+    smaller ids. May contain duplicates; callers distinct()."""
+    from ..operators.dedup import phash_hamming
+
+    prior = (
+        chunks.sparkSession.read.parquet(catalog_dir)
+        .filter(F.col("batch_id") < batch_id)
+        .select(
+            "chunk_id",
+            "chunk_val",
+            F.col("doc_id").alias("prior_id"),
+            F.col("phash").alias("p_phash"),
+        )
+    )
+    hits_prior = (
+        chunks.join(prior, ["chunk_id", "chunk_val"])
+        .filter(phash_hamming(F.col("phash"), F.col("p_phash")) <= 3)
+        .select("doc_id", "prior_id")
+    )
+    hits_within = (
+        chunks.join(
+            chunks.select(
+                "chunk_id",
+                "chunk_val",
+                F.col("doc_id").alias("prior_id"),
+                F.col("phash").alias("p_phash"),
+            ),
+            ["chunk_id", "chunk_val"],
+        )
+        .filter(
+            (F.col("prior_id") < F.col("doc_id"))
+            & (phash_hamming(F.col("phash"), F.col("p_phash")) <= 3)
+        )
+        .select("doc_id", "prior_id")
+    )
+    return hits_prior.unionByName(hits_within)
+
+
+def _image_catalog_handler(catalog_dir: str, decisions_dir: str):
+    """foreachBatch handler: fingerprint the batch's images, count
+    DISTINCT prior near-dups (earlier partitions + same-batch smaller
+    ids, hamming <= 3), append the batch's chunk rows. Both writes are
+    dynamic-overwrite batch partitions — exactly-once on replay."""
+
+    def handler(batch_df: DataFrame, batch_id: int) -> None:
+        chunks = _image_chunk_rows(batch_df)
+        hits = _image_catalog_prior_hits(catalog_dir, chunks, batch_id)
+        counts = hits.distinct().groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        _overwrite_batch_partition(
+            batch_df.select("doc_id")
+            .join(counts, "doc_id", "left_outer")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("n"), F.lit(0))
+                .cast("long")
+                .alias("n_prior_candidates"),
+            ),
+            decisions_dir,
+            batch_id,
+        )
+        _overwrite_batch_partition(chunks, catalog_dir, batch_id)
+
+    return handler
+
+
+@register("stream_image_catalog_ingest", STREAM_IMAGE_CATALOG_ORACLE)
+def stream_image_catalog_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_prior_candidates): per arriving doc, the number of
+    DISTINCT previously-ingested docs whose cover image is a hamming<=3
+    near-dup — detected against a catalog that GROWS at ingest, so a
+    re-upload of an image that arrived two micro-batches ago is caught
+    via the chunk rows that batch appended (stream_image_phash's frozen
+    catalog cannot)."""
+    from ..streaming.sinks import foreach_batch_sink
+
+    from . import tmp_run_dir
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base_dir = tmp_run_dir("imgcat_")
+    catalog_dir = os.path.join(base_dir, "catalog")
+    decisions_dir = os.path.join(base_dir, "decisions")
+    src_dir = os.path.join(base_dir, "arrivals")
+
+    _seed_state(
+        _image_chunk_rows(docs.filter(F.col("doc_id") % 2 == 0)),
+        catalog_dir,
+    )
+    plants = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + _IMG_PLANT_OFFSET).alias("doc_id"), "text"
+    )
+    odds = docs.filter(F.col("doc_id") % 2 == 1)
+    _write_id_ordered_arrivals(
+        src_dir, _id_range_parts(odds, plants, plant_offset=_IMG_PLANT_OFFSET)
+    )
+    q = foreach_batch_sink(
+        _arrivals_stream(spark, src_dir),
+        _image_catalog_handler(catalog_dir, decisions_dir),
+        checkpoint=os.path.join(base_dir, "ckpt"),
+        mode="append",
+    )
+    q.awaitTermination()
+    return spark.read.parquet(decisions_dir).select(
+        "doc_id", "n_prior_candidates"
+    )
+
+
+# ---------------------------------------------------------------------------
 # At-ingest pretrain gate v2 (r17, r16 VERDICT task 4): the maintenance
 # composition. stream_pretrain_gate (r10) probes state FROZEN at stream
 # start — a duplicate of a doc that arrived two micro-batches ago sails

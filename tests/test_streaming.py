@@ -1863,6 +1863,78 @@ def test_pretrain_gate_v2_cross_batch_state(spark, tmp_path):
     ) == sorted(fps)
 
 
+def test_image_catalog_cross_batch_growth(spark, tmp_path):
+    """r17: the image chunk catalog's growth is load-bearing — a
+    re-upload of a cover image that arrived in an EARLIER micro-batch is
+    counted purely via the chunk rows that batch appended (the seed
+    catalog never hashed it); and a replayed batch, bounded to catalog
+    partitions below its own batch_id, reproduces its counts exactly."""
+    from spark_streaming_kafka_example_spark.plans.stream import (
+        _image_catalog_handler,
+        _image_chunk_rows,
+        _seed_state,
+    )
+    from spark_streaming_kafka_example_spark.streaming.sinks import (
+        foreach_batch_sink,
+    )
+
+    catalog = str(tmp_path / "catalog")
+    decisions = str(tmp_path / "decisions")
+    src = str(tmp_path / "arrivals")
+    schema = "doc_id long, text string"
+
+    base = "the quick brown fox jumps over the lazy dog tonight"
+    other = "pack my box with five dozen liquor jugs and carry them"
+
+    _seed_state(
+        _image_chunk_rows(spark.createDataFrame([(2, base)], schema)),
+        catalog,
+    )
+    batches = [
+        [(11, other)],  # novel image
+        [(13, other), (15, base)],  # re-upload of batch 0's; copy of seed
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+        for root, _dirs, files in os.walk(f"{src}/b{i}"):
+            for fn in files:
+                os.utime(
+                    os.path.join(root, fn),
+                    (1_700_000_000 + i, 1_700_000_000 + i),
+                )
+
+    handler = _image_catalog_handler(catalog, decisions)
+    q = foreach_batch_sink(
+        (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        ),
+        handler,
+        checkpoint=str(tmp_path / "ckpt"),
+        mode="append",
+    )
+    q.awaitTermination()
+
+    got = {
+        r.doc_id: r.n_prior_candidates
+        for r in spark.read.parquet(decisions).collect()
+    }
+    assert got[11] == 0  # nothing prior matches it
+    assert got[13] >= 1  # ONLY batch 0's appended chunk rows explain this
+    assert got[15] >= 1  # the seed catalog explains this
+
+    # replay batch 0: reads partitions < 0 (seed only), counts identical
+    handler(spark.createDataFrame(batches[0], schema), 0)
+    got2 = {
+        r.doc_id: r.n_prior_candidates
+        for r in spark.read.parquet(decisions).collect()
+    }
+    assert got2 == got
+
+
 def test_dedup_store_retention_expires_and_readmits(spark, tmp_path):
     """r17: the TTL'd store forgets — content absent for
     _FP_TTL_W(=2) batches reads 'novel' again (the seed ages out like
