@@ -58,19 +58,22 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # r09 names (the r15 VERDICT's task-1 arithmetic said 30 r09), so 15 CORE
 # + 2 new registrations + 34 stale = 51 — one name had to move for the
 # drain-to-empty criterion (histogram min >= r10) to hold in one round.
-# r17 rotation (r16 VERDICT task 2): p2_from_json_flatten and
-# a2_tumbling_window_agg move to the freshness sort (both r16-green, so
-# they queue at the very back; projections/from_json stay pinned by
-# p12 + flagship's JSON path, windowed aggs by flagship itself — a
-# sliding-window agg). Funds the drain-to-empty: 50 = 12 CORE + 8
-# released r16 deferrals + ALL 30 r10-stale names, so the last-green
-# histogram min reaches r11 in one round.
+# r17 rotation (r16 VERDICT tasks 2/4/5): p2_from_json_flatten,
+# a2_tumbling_window_agg, u1_u3_udf_sql and j1_enrich_left_outer move to
+# the freshness sort (all r16-green, so they queue at the very back;
+# projections/from_json stay pinned by p12 + flagship's JSON path,
+# windowed aggs by flagship itself — a sliding-window agg; the join
+# family by flagship's dim join + the r11-proven streaming enrich twin;
+# the UDF family by u5_pandas_grouped_agg's periodic re-greens and the
+# freshness sort). Funds BOTH drain-to-empty AND first driver rows for
+# the two r17 operators the verdict's tasks 4/5 require THIS round:
+# 50 = 10 CORE + 8 released r16 deferrals + 2 r17-new
+# (stream_pretrain_gate_v2, stream_split_by_neardup) + ALL 30 r10-stale
+# names, so the last-green histogram min still reaches r11 in one round.
 CORE_WINDOW = [
     "flagship_sliding_alert",
-    # §2.4 projections / §2.10 UDF / §2.6 join (p8-p10/f1 lifetime-proven)
+    # §2.4 projections (p8-p10/f1 lifetime-proven)
     "p12_a1_word_count",
-    "u1_u3_udf_sql",
-    "j1_enrich_left_outer",
     # TPC-H canon (q11 rotated out r10, q3 rotated out r12 — q1 keeps the
     # family pinned; the whole TPC-H tail re-greens via the r12 drain)
     "q1_pricing_summary",
@@ -358,11 +361,13 @@ DEFER_TO_TAIL: dict[str, int] = {
     "stream_dedup_store_ingest": 16,
     "stream_minhash_catalog_ingest": 16,
     "stream_dedup_store_bloom_ingest": 16,
-    # r17 registrations: deferred behind the r10-drain (the r16 VERDICT's
-    # task-2 window: 12 CORE + 8 released r16 names + all 30 r10-stale
-    # = exactly 50); the round-scoped expiry releases these into r18.
-    "stream_pretrain_gate_v2": 17,
-    "stream_split_by_neardup": 17,
+    # r17 registrations deferred behind the r10-drain: the r16 VERDICT's
+    # task-2 window is 10 CORE + 8 released r16 names + 2 r17-new + all
+    # 30 r10-stale = exactly 50. stream_pretrain_gate_v2 and
+    # stream_split_by_neardup are NOT deferred — the verdict's tasks 4/5
+    # require their first driver rows THIS round, funded by the
+    # u1_u3/j1 CORE rotation; the five lifecycle arms below release
+    # into r18 via the round-scoped expiry.
     "stream_dedup_store_compacted": 17,
     "stream_minhash_catalog_compacted": 17,
     "stream_dedup_store_retention": 17,
