@@ -373,6 +373,12 @@ DEFER_TO_TAIL: dict[str, int] = {
     "stream_dedup_store_retention": 17,
     "stream_minhash_catalog_retention": 17,
     "stream_image_catalog_ingest": 17,
+    # r18 registrations: the r17 VERDICT verified the r18 window is an
+    # EXACT 50-slot fit (10 CORE + the 5 released r17 arms + all 35
+    # r11-stale names) with ZERO slack, so every r18-new name defers
+    # behind the drain and releases into r19.
+    "stream_image_catalog_compacted": 18,
+    "stream_image_catalog_retention": 18,
 }
 
 

@@ -3300,7 +3300,12 @@ def _compacted_two_phase_ingest(
 ):
     """Seed state, ingest parts[:2], COMPACT, ingest parts[2:] against
     the compacted state; return the two decisions dirs. Shared by the
-    fp-store and band-catalog compaction twins."""
+    state-maintenance compaction twins (fp store / band catalog / image
+    chunk catalog). ``make_handler`` is called with an EXPLICIT
+    ``retention_batches=None`` — _compact_state is unbounded-state-only
+    (see its docstring), so a factory curried with a TTL window fails
+    here with a TypeError instead of silently corrupting the retention
+    semantics (r17 ADVICE: the caveat must be checkable, not prose)."""
     from ..streaming.sinks import foreach_batch_sink
 
     from . import tmp_run_dir
@@ -3315,7 +3320,7 @@ def _compacted_two_phase_ingest(
     _write_id_ordered_arrivals(os.path.join(base_dir, "arr_a"), parts[:2])
     q = foreach_batch_sink(
         _arrivals_stream(spark, os.path.join(base_dir, "arr_a")),
-        make_handler(state_a, dec_a),
+        make_handler(state_a, dec_a, retention_batches=None),
         checkpoint=os.path.join(base_dir, "ckpt_a"),
         mode="append",
     )
@@ -3326,7 +3331,7 @@ def _compacted_two_phase_ingest(
     _write_id_ordered_arrivals(os.path.join(base_dir, "arr_b"), parts[2:])
     q = foreach_batch_sink(
         _arrivals_stream(spark, os.path.join(base_dir, "arr_b")),
-        make_handler(state_b, dec_b),
+        make_handler(state_b, dec_b, retention_batches=None),
         checkpoint=os.path.join(base_dir, "ckpt_b"),
         mode="append",
     )
@@ -3623,18 +3628,31 @@ def _image_chunk_rows(batch_df: DataFrame) -> DataFrame:
 
 
 def _image_catalog_prior_hits(
-    catalog_dir: str, chunks: DataFrame, batch_id: int
+    catalog_dir: str,
+    chunks: DataFrame,
+    batch_id: int,
+    retention_batches: int | None = None,
 ) -> DataFrame:
     """(doc_id, prior_id) hamming<=3 image near-dups against every PRIOR
     ingested doc — the image twin of _catalog_prior_hits: chunk-keyed
     candidate equi-joins (pigeonhole-complete) + the hamming verify in
     codegen, over catalog partitions batch_id < current plus same-batch
-    smaller ids. May contain duplicates; callers distinct()."""
+    smaller ids. ``retention_batches`` EXPIRES old chunk rows exactly
+    like the band catalog's window (non-recursive — every ingested doc's
+    chunks append regardless of status, so a row is visible iff its
+    batch is in [current - W, current)). May contain duplicates; callers
+    distinct()."""
     from ..operators.dedup import phash_hamming
 
+    prior = chunks.sparkSession.read.parquet(catalog_dir).filter(
+        F.col("batch_id") < batch_id
+    )
+    if retention_batches is not None:
+        prior = prior.filter(
+            F.col("batch_id") >= batch_id - retention_batches
+        )
     prior = (
-        chunks.sparkSession.read.parquet(catalog_dir)
-        .filter(F.col("batch_id") < batch_id)
+        prior
         .select(
             "chunk_id",
             "chunk_val",
@@ -3666,15 +3684,23 @@ def _image_catalog_prior_hits(
     return hits_prior.unionByName(hits_within)
 
 
-def _image_catalog_handler(catalog_dir: str, decisions_dir: str):
+def _image_catalog_handler(
+    catalog_dir: str,
+    decisions_dir: str,
+    retention_batches: int | None = None,
+):
     """foreachBatch handler: fingerprint the batch's images, count
     DISTINCT prior near-dups (earlier partitions + same-batch smaller
     ids, hamming <= 3), append the batch's chunk rows. Both writes are
-    dynamic-overwrite batch partitions — exactly-once on replay."""
+    dynamic-overwrite batch partitions — exactly-once on replay.
+    ``retention_batches`` windows the probe to the last W batches'
+    chunk rows (see _image_catalog_prior_hits); appends are unchanged."""
 
     def handler(batch_df: DataFrame, batch_id: int) -> None:
         chunks = _image_chunk_rows(batch_df)
-        hits = _image_catalog_prior_hits(catalog_dir, chunks, batch_id)
+        hits = _image_catalog_prior_hits(
+            catalog_dir, chunks, batch_id, retention_batches
+        )
         counts = hits.distinct().groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("n")
         )
@@ -3707,32 +3733,162 @@ def stream_image_catalog_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from . import tmp_run_dir
 
+    return _image_catalog_run(spark, sf_dir, "imgcat_")
+
+
+def _image_catalog_run(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str,
+    retention_batches: int | None = None,
+) -> DataFrame:
+    """Seed the chunk catalog, stream the id-ordered arrivals through the
+    image-catalog handler, return the drained decisions — the one ingest
+    body shared by the unbounded and TTL'd registrations (the
+    _mh_catalog_run convention)."""
+    from ..streaming.sinks import foreach_batch_sink
+
+    from . import tmp_run_dir
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    base_dir = tmp_run_dir("imgcat_")
+    base_dir = tmp_run_dir(prefix)
     catalog_dir = os.path.join(base_dir, "catalog")
     decisions_dir = os.path.join(base_dir, "decisions")
     src_dir = os.path.join(base_dir, "arrivals")
 
-    _seed_state(
-        _image_chunk_rows(docs.filter(F.col("doc_id") % 2 == 0)),
-        catalog_dir,
-    )
-    plants = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + _IMG_PLANT_OFFSET).alias("doc_id"), "text"
-    )
-    odds = docs.filter(F.col("doc_id") % 2 == 1)
-    _write_id_ordered_arrivals(
-        src_dir, _id_range_parts(odds, plants, plant_offset=_IMG_PLANT_OFFSET)
-    )
+    _seed_state(_image_catalog_seed(docs), catalog_dir)
+    _write_id_ordered_arrivals(src_dir, _image_arrival_parts(docs))
     q = foreach_batch_sink(
         _arrivals_stream(spark, src_dir),
-        _image_catalog_handler(catalog_dir, decisions_dir),
+        _image_catalog_handler(catalog_dir, decisions_dir, retention_batches),
         checkpoint=os.path.join(base_dir, "ckpt"),
         mode="append",
     )
     q.awaitTermination()
     return spark.read.parquet(decisions_dir).select(
         "doc_id", "n_prior_candidates"
+    )
+
+
+def _image_catalog_seed(docs: DataFrame) -> DataFrame:
+    """The seeded catalog's chunk rows: even doc ids BELOW the plant
+    range (r17 ADVICE: the oracle's seed branch is doc_id % 2 = 0 AND
+    doc_id < _IMG_PLANT_OFFSET, and _id_range_parts' guard only checks
+    the max ODD id — mirror _mh_catalog_seed's bound so a corpus whose
+    even ids reach the plant range cannot diverge from the oracle)."""
+    return _image_chunk_rows(
+        docs.filter(
+            (F.col("doc_id") % 2 == 0)
+            & (F.col("doc_id") < _IMG_PLANT_OFFSET)
+        )
+    )
+
+
+def _image_arrival_parts(docs: DataFrame) -> list:
+    """The image-catalog-ingest arrival files: odd ids in 3 id ranges +
+    the +_IMG_PLANT_OFFSET exact re-crawls of every 7th doc."""
+    plants = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + _IMG_PLANT_OFFSET).alias("doc_id"), "text"
+    )
+    odds = docs.filter(F.col("doc_id") % 2 == 1)
+    return _id_range_parts(odds, plants, plant_offset=_IMG_PLANT_OFFSET)
+
+
+# ---------------------------------------------------------------------------
+# Image-catalog lifecycle symmetry (r18, r17 VERDICT task 5): the text
+# band catalog and the fp store each have a compaction arm AND a TTL arm
+# (r17); the image chunk catalog had neither. Both transfer verbatim:
+# chunk-row appends are per-doc-unique, so _compact_state's novel-only
+# premise holds and the compacted twin registers against
+# STREAM_IMAGE_CATALOG_ORACLE unchanged (the hash IS the compaction-
+# safety proof); catalog visibility is non-recursive (every ingested
+# doc's chunks append regardless of status), so the TTL oracle is the
+# windowed bmap variant of the ingest oracle — the exact template
+# STREAM_MH_CATALOG_RETENTION_ORACLE established, with the band-equality
+# join swapped for the hamming<=3 nibble verify.
+# ---------------------------------------------------------------------------
+
+
+@register("stream_image_catalog_compacted", STREAM_IMAGE_CATALOG_ORACLE)
+def stream_image_catalog_compacted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(doc_id, n_prior_candidates): the image chunk-catalog ingest
+    compacted mid-lifecycle via the shared two-phase body; shares the
+    growing-catalog oracle, so the driver hash proves the collapsed
+    catalog still pairs every later arrival's cover against every prior
+    doc's."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dec_a, dec_b = _compacted_two_phase_ingest(
+        spark,
+        "imgcompact_",
+        _image_catalog_seed(docs),
+        _image_arrival_parts(docs),
+        _image_catalog_handler,
+    )
+    return (
+        spark.read.parquet(dec_a)
+        .unionByName(spark.read.parquet(dec_b))
+        .select("doc_id", "n_prior_candidates")
+    )
+
+
+_IMG_TTL_W = 2
+
+STREAM_IMAGE_CATALOG_RETENTION_ORACLE = f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_IMG_PLANT_OFFSET} AS doc_id, text
+        FROM documents WHERE doc_id % 7 = 0
+    ),
+    {_PHASH_NIBS_CTE.strip()},
+    mx AS (SELECT max(doc_id) AS m FROM documents WHERE doc_id % 2 = 1),
+    bmap AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 AND doc_id < {_IMG_PLANT_OFFSET}
+                        THEN -1
+                    WHEN doc_id >= {_IMG_PLANT_OFFSET} THEN 3
+                    WHEN doc_id <= (SELECT m // 3 FROM mx) THEN 0
+                    WHEN doc_id <= (SELECT (2 * m) // 3 FROM mx) THEN 1
+                    ELSE 2 END AS b
+        FROM corpus
+    ),
+    arr AS (SELECT doc_id FROM corpus
+            WHERE doc_id % 2 = 1 OR doc_id >= {_IMG_PLANT_OFFSET}),
+    hits AS (
+        SELECT DISTINCT a.doc_id, p.doc_id AS prior_id
+        FROM nibs a
+        JOIN bmap ba ON ba.doc_id = a.doc_id
+        JOIN nibs p ON TRUE
+        JOIN bmap bp ON bp.doc_id = p.doc_id
+        WHERE ba.b >= 0
+          AND ((bp.b < ba.b AND bp.b >= ba.b - {_IMG_TTL_W})
+               OR (bp.b = ba.b AND p.doc_id < a.doc_id))
+          AND CAST(list_sum(list_transform(range(1, 17),
+                j -> bit_count(xor(a.nb[j], p.nb[j])))) AS INT) <= 3
+    )
+    SELECT arr.doc_id,
+           CAST(count(h.prior_id) AS BIGINT) AS n_prior_candidates
+    FROM arr LEFT JOIN hits h ON arr.doc_id = h.doc_id
+    GROUP BY arr.doc_id
+    """
+
+
+@register(
+    "stream_image_catalog_retention", STREAM_IMAGE_CATALOG_RETENTION_ORACLE
+)
+def stream_image_catalog_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(doc_id, n_prior_candidates): the image chunk-catalog ingest under
+    a _IMG_TTL_W(=2)-batch retention window — each batch probes only the
+    last W batches' chunk rows (partition-pruned on both sides), so the
+    seed ages out at batch W and the +plant re-crawls of seeded (even)
+    covers stop being counted once the seed is out of window (expiry
+    pinned by test_image_catalog_retention_expires)."""
+    return _image_catalog_run(
+        spark, sf_dir, "imgttl_", retention_batches=_IMG_TTL_W
     )
 
 

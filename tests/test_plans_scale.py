@@ -1150,3 +1150,45 @@ def test_ttl_store_read_pruned_both_sides(spark, tmp_path):
         assert "< 3" in filters and ">= 1" in filters, (
             f"TTL bounds not pushed to partition pruning: {filters}"
         )
+
+
+def test_ttl_image_catalog_read_pruned_both_sides(spark, tmp_path):
+    """r18: the image chunk catalog's retention window must reach the
+    catalog scan as PARTITION filters on BOTH sides (batch_id < current
+    AND >= current - W) — the fp-store pin's image twin."""
+    import pyspark.sql.functions as SF
+
+    from spark_streaming_kafka_example_spark.plans.stream import (
+        _image_catalog_prior_hits,
+        _image_chunk_rows,
+    )
+
+    catalog = str(tmp_path / "catalog")
+    schema = "doc_id long, text string"
+    for b in (-1, 0, 1, 2):
+        _image_chunk_rows(
+            spark.createDataFrame([(10 + b, f"text number {b} here")], schema)
+        ).withColumn("batch_id", SF.lit(b)).write.mode(
+            "append"
+        ).partitionBy("batch_id").parquet(catalog)
+
+    chunks = _image_chunk_rows(
+        spark.createDataFrame([(99, "probe text arriving now")], schema)
+    )
+    hits = _image_catalog_prior_hits(
+        catalog, chunks, batch_id=3, retention_batches=2
+    )
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "catalog" in ln
+    ]
+    assert scans, "no FileScan over the catalog"
+    for ln in scans:
+        pf = ln.split("PartitionFilters: [", 1)
+        assert len(pf) == 2, "catalog scan lost its partition filters"
+        filters = pf[1].split("]", 1)[0]
+        assert "batch_id#" in filters or "batch_id " in filters
+        assert "< 3" in filters and ">= 1" in filters, (
+            f"TTL bounds not pushed to partition pruning: {filters}"
+        )

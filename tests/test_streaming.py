@@ -2279,3 +2279,149 @@ def test_dedup_store_bloom_prunes_and_agrees(spark, sf_dir):
     assert n_poss >= true_hits  # no false negatives
     # ...and the filter must discard a real share of the definite misses
     assert n_poss < n_arr, "Bloom pruned nothing"
+
+
+def test_image_catalog_retention_expires(spark, tmp_path):
+    """r18 (r17 VERDICT task 5): the TTL'd image chunk catalog forgets —
+    chunk rows older than _IMG_TTL_W(=2) batches stop being probed (the
+    seed ages out at batch W, a batch-0 cover source ages out at batch
+    3), proven by running the SAME arrival files through the windowed
+    and unbounded handlers and contrasting the counts."""
+    from spark_streaming_kafka_example_spark.plans.stream import (
+        _IMG_TTL_W,
+        _image_catalog_handler,
+        _image_chunk_rows,
+        _seed_state,
+    )
+    from spark_streaming_kafka_example_spark.streaming.sinks import (
+        foreach_batch_sink,
+    )
+
+    src = str(tmp_path / "arrivals")
+    schema = "doc_id long, text string"
+
+    base = "the quick brown fox jumps over the lazy dog tonight"
+    other = "pack my box with five dozen liquor jugs and carry them"
+
+    batches = [
+        [(11, other)],  # b0: novel image
+        [(13, other)],  # b1: re-upload of b0's (in window)
+        [(15, base)],  # b2: copy of the seed — but the seed aged out
+        [(17, other)],  # b3: b0's rows aged out; b1's still in window
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+        for root, _dirs, files in os.walk(f"{src}/b{i}"):
+            for fn in files:
+                os.utime(
+                    os.path.join(root, fn),
+                    (1_700_000_000 + i, 1_700_000_000 + i),
+                )
+
+    got = {}
+    for mode, retention in [("ttl", _IMG_TTL_W), ("unbounded", None)]:
+        catalog = str(tmp_path / f"catalog_{mode}")
+        decisions = str(tmp_path / f"decisions_{mode}")
+        _seed_state(
+            _image_chunk_rows(spark.createDataFrame([(2, base)], schema)),
+            catalog,
+        )
+        q = foreach_batch_sink(
+            (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src + "/*")
+            ),
+            _image_catalog_handler(catalog, decisions, retention),
+            checkpoint=str(tmp_path / f"ckpt_{mode}"),
+            mode="append",
+        )
+        q.awaitTermination()
+        got[mode] = {
+            r.doc_id: r.n_prior_candidates
+            for r in spark.read.parquet(decisions).collect()
+        }
+
+    assert got["unbounded"] == {11: 0, 13: 1, 15: 1, 17: 2}
+    assert got["ttl"] == {
+        11: 0,
+        13: 1,  # 11 still in window
+        15: 0,  # the seed aged out at batch _IMG_TTL_W
+        17: 1,  # 11's batch-0 rows aged out; 13's batch-1 rows retained
+    }, got["ttl"]
+
+
+def test_image_compacted_ingest_cross_phase(spark):
+    """r18: the image catalog's mid-lifecycle compaction is load-bearing
+    — a phase-B cover duplicating PHASE-A content is counted via the
+    COMPACTED catalog (the only place phase A's chunk rows survive), and
+    a phase-B copy of the seed cover proves the seed rode through the
+    collapse too."""
+    from spark_streaming_kafka_example_spark.plans.stream import (
+        _compacted_two_phase_ingest,
+        _image_catalog_handler,
+        _image_chunk_rows,
+    )
+
+    schema = "doc_id long, text string"
+    base = "the quick brown fox jumps over the lazy dog tonight"
+    other = "pack my box with five dozen liquor jugs and carry them"
+    third = "sphinx of black quartz judge my vow and then some more"
+    seed = _image_chunk_rows(spark.createDataFrame([(2, base)], schema))
+    parts = [
+        spark.createDataFrame(rows, schema)
+        for rows in [
+            [(11, other)],  # phase A: novel
+            [(13, third)],  # phase A: novel
+            [(15, other)],  # phase B: prior ONLY via compacted phase A
+            [(17, base)],  # phase B: prior = the seed through the collapse
+        ]
+    ]
+    dec_a, dec_b = _compacted_two_phase_ingest(
+        spark, "imgcompact_test_", seed, parts, _image_catalog_handler
+    )
+    got = {
+        r.doc_id: r.n_prior_candidates
+        for r in spark.read.parquet(dec_a)
+        .unionByName(spark.read.parquet(dec_b))
+        .collect()
+    }
+    assert got == {11: 0, 13: 0, 15: 1, 17: 1}, got
+
+
+def test_compacted_ingest_rejects_retention_curried_handler(spark):
+    """r18 (r17 ADVICE): _compact_state is unbounded-state-only, and the
+    contract is now CHECKABLE — _compacted_two_phase_ingest builds its
+    handlers with an explicit retention_batches=None, so a factory
+    already curried with a TTL window fails fast with a TypeError
+    instead of silently corrupting the retention semantics."""
+    import pytest as _pytest
+
+    from spark_streaming_kafka_example_spark.functions.text import (
+        fingerprint,
+    )
+    from spark_streaming_kafka_example_spark.plans.stream import (
+        _compacted_two_phase_ingest,
+        _dedup_store_handler,
+    )
+
+    schema = "doc_id long, text string"
+    seed = spark.createDataFrame([(2, "alpha beta")], schema).select(
+        fingerprint("text").alias("fp")
+    )
+    parts = [
+        spark.createDataFrame([(11 + 2 * i, f"word {i}")], schema)
+        for i in range(4)
+    ]
+
+    def curried(state_dir, decisions_dir):  # no retention_batches param
+        return _dedup_store_handler(
+            state_dir, decisions_dir, retention_batches=2
+        )
+
+    with _pytest.raises(TypeError):
+        _compacted_two_phase_ingest(
+            spark, "fpcompact_guard_", seed, parts, curried
+        )
