@@ -155,6 +155,15 @@ FORCE_RECHECK: dict[str, int] = {
     # ranker) — oracle byte-identical, result value-identical (re-measured
     # 0.24 mean at sf0.01), but the earning implementation was refactored.
     "sim_ivfpq_recall": 15,
+    # r18: the gate-v2 Spark body moved into the shared
+    # _gate_maintained_run and its handler gained the default-None image
+    # arm (so stream_pretrain_gate_v3 composes via parameters) — oracle
+    # byte-identical, decisions re-verified value-identical at sf0.001
+    # AND sf0.01, but the r17-earning implementation was refactored
+    # (the sim_ivfpq_recall precedent). PAIRED with a DEFER_TO_TAIL[..]=18
+    # entry: the r18 window is a zero-slack exact fit, so the re-proof
+    # row lands in r19 instead of displacing an r11-stale name.
+    "stream_pretrain_gate_v2": 18,
 }
 
 
@@ -379,6 +388,11 @@ DEFER_TO_TAIL: dict[str, int] = {
     # behind the drain and releases into r19.
     "stream_image_catalog_compacted": 18,
     "stream_image_catalog_retention": 18,
+    "stream_pretrain_gate_v3": 18,
+    # Not a new registration: the FORCE_RECHECK[..]=18 re-entry for the
+    # refactored v2 body defers with the r18-new names for the same
+    # zero-slack reason (see FORCE_RECHECK's r18 comment).
+    "stream_pretrain_gate_v2": 18,
 }
 
 

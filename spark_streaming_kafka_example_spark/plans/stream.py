@@ -3927,6 +3927,7 @@ def stream_image_catalog_retention(
 _GV2_SEED_OFF = 300000  # exact re-crawl of a seeded (even) doc
 _GV2_CROSS_OFF = 500000  # exact copy of an earlier-arriving odd doc
 _GV2_NEAR_OFF = 700000  # tail-truncated re-upload of an earlier odd doc
+_GV3_IMG_OFF = 900000  # cover-stable tail-scramble of an earlier odd doc
 
 PRETRAIN_GATE_V2_ORACLE = f"""
     WITH seed AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
@@ -3992,12 +3993,22 @@ PRETRAIN_GATE_V2_ORACLE = f"""
     """
 
 
-def _gate_v2_handler(store_dir: str, catalog_dir: str, decisions_dir: str):
-    """foreachBatch handler composing the two maintenance arms: decide
+def _gate_v2_handler(
+    store_dir: str,
+    catalog_dir: str,
+    decisions_dir: str,
+    image_catalog_dir: str | None = None,
+):
+    """foreachBatch handler composing the maintenance arms: decide
     (exact via fp store AS OF batch, near via band catalog AS OF batch,
     quality projection), then append novel fps AND the batch's band rows.
-    All three writes (decisions, store append, catalog append) are
-    dynamic-overwrite batch partitions."""
+    All writes (decisions, store append, catalog appends) are
+    dynamic-overwrite batch partitions. ``image_catalog_dir`` (r18, the
+    r17 VERDICT task 4) composes the MAINTAINED image modality in: the
+    batch's cover chunks probe the growing chunk catalog
+    (_image_catalog_prior_hits, batch_id < current) and then append —
+    the default None keeps the v2 twin's decisions byte-identical (the
+    null img_hit column never matches a CASE arm)."""
     from ..functions.text import fingerprint
     from .textprep import quality_p_col
 
@@ -4007,7 +4018,7 @@ def _gate_v2_handler(store_dir: str, catalog_dir: str, decisions_dir: str):
             "text",
             fingerprint("text").alias("fp"),
             quality_p_col().alias("quality_p"),
-        ).localCheckpoint()  # one derivation feeds both arms + both appends
+        ).localCheckpoint()  # one derivation feeds all arms + all appends
         ranked = _fp_store_ranked(
             store_dir, scored.select("doc_id", "fp", "quality_p"), batch_id
         )
@@ -4018,14 +4029,31 @@ def _gate_v2_handler(store_dir: str, catalog_dir: str, decisions_dir: str):
             .distinct()
             .withColumn("near_hit", F.lit(True))
         )
+        joined = ranked.join(near, "doc_id", "left_outer")
+        if image_catalog_dir is not None:
+            chunks = _image_chunk_rows(_gate_cover(scored))
+            imghit = (
+                _image_catalog_prior_hits(
+                    image_catalog_dir, chunks, batch_id
+                )
+                .select("doc_id")
+                .distinct()
+                .withColumn("img_hit", F.lit(True))
+            )
+            joined = joined.join(imghit, "doc_id", "left_outer")
+        else:
+            joined = joined.withColumn(
+                "img_hit", F.lit(None).cast("boolean")
+            )
         reason = (
             F.when(F.col("hit") | (F.col("rn") > 1), "exact_dup")
             .when(F.col("near_hit"), "near_dup")
+            .when(F.col("img_hit"), "near_dup_image")
             .when(F.col("quality_p") < _GATE_QUALITY_LT, "low_quality")
             .otherwise("ok")
         )
         _overwrite_batch_partition(
-            ranked.join(near, "doc_id", "left_outer")
+            joined
             .select("doc_id", reason.alias("reason"))
             .select(
                 "doc_id",
@@ -4045,6 +4073,8 @@ def _gate_v2_handler(store_dir: str, catalog_dir: str, decisions_dir: str):
             batch_id,
         )
         _overwrite_batch_partition(bands, catalog_dir, batch_id)
+        if image_catalog_dir is not None:
+            _overwrite_batch_partition(chunks, image_catalog_dir, batch_id)
 
     return handler
 
@@ -4058,41 +4088,65 @@ def stream_pretrain_gate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     near_dup > low_quality > ok). The +_GV2_CROSS_OFF / +_GV2_NEAR_OFF
     plants arrive in the LAST file and are caught purely by state earlier
     micro-batches appended — the freshness v1's frozen catalog lacks."""
+    return _gate_maintained_run(spark, sf_dir, "gatev2_", image_arm=False)
+
+
+def _gate_maintained_run(
+    spark: SparkSession, sf_dir: str, prefix: str, image_arm: bool
+) -> DataFrame:
+    """Seed the maintained stores, write the plant-bearing id-ordered
+    arrivals, stream them through the composed gate handler, return the
+    drained decisions — the one run body shared by the v2 (text-only)
+    and v3 (+maintained image catalog) gates (r18: factored so the image
+    arm extends via the parameter, never a copy)."""
     from ..streaming.sinks import foreach_batch_sink
 
     from . import tmp_run_dir
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    base_dir = tmp_run_dir("gatev2_")
+    base_dir = tmp_run_dir(prefix)
     store_dir = os.path.join(base_dir, "store")
     catalog_dir = os.path.join(base_dir, "catalog")
     decisions_dir = os.path.join(base_dir, "decisions")
     src_dir = os.path.join(base_dir, "arrivals")
+    image_catalog_dir = (
+        os.path.join(base_dir, "imgcatalog") if image_arm else None
+    )
 
     # Seeds are the shared ingest-arm builders (the CLAUDE.md seed rule):
     # the fp seed is _fp_store_seed verbatim; _mh_catalog_seed's
     # < _MH_PLANT_OFFSET filter is vacuous here (the guard below bounds
-    # every real id far under it), so the band seed is the plain evens too.
+    # every real id far under it), so the band seed is the plain evens
+    # too; the image seed is the evens' COVER chunks (the v1 gate's
+    # prefix-stable cover derivation over the maintained-catalog chunker).
     _seed_state(_fp_store_seed(docs), store_dir)
     _seed_state(_mh_catalog_seed(docs), catalog_dir)
+    if image_arm:
+        _seed_state(
+            _image_chunk_rows(
+                _gate_cover(docs.filter(F.col("doc_id") % 2 == 0))
+            ),
+            image_catalog_dir,
+        )
 
-    # Three plant families share one arrivals file, so their id ranges
+    # The plant families share one arrivals file, so their id ranges
     # must be DISJOINT (a collision would give two arrivals one doc_id —
     # the oracle's quality join would fan out where the handler emits
     # one row per physical arrival). Ranges stay disjoint iff every real
     # id is below the smallest inter-offset gap; _id_range_parts'
     # plant_offset guard only checks the odd max against _GV2_SEED_OFF,
     # so bound the FULL corpus here.
+    offsets = [_GV2_SEED_OFF, _GV2_CROSS_OFF, _GV2_NEAR_OFF] + (
+        [_GV3_IMG_OFF] if image_arm else []
+    )
     m_all = docs.agg(F.max("doc_id")).first()[0]
     gap = min(
-        _GV2_SEED_OFF,
-        _GV2_CROSS_OFF - _GV2_SEED_OFF,
-        _GV2_NEAR_OFF - _GV2_CROSS_OFF,
+        b - a for a, b in zip([0] + offsets[:-1], offsets)
     )
     if m_all is None or m_all >= gap:
         raise ValueError(
-            f"stream_pretrain_gate_v2: max doc_id {m_all} >= plant-family "
-            f"gap {gap}; the three plant id ranges would overlap"
+            f"stream_pretrain_gate: max doc_id {m_all} >= plant-family "
+            f"gap {gap}; the plant id ranges would overlap"
         )
 
     plants = (
@@ -4113,6 +4167,20 @@ def stream_pretrain_gate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    if image_arm:
+        # Cover-stable tail-scramble: same first _GATE_COVER_LEN chars
+        # (identical cover image), texturally unrelated tail (reversed
+        # chars -> different shingles, so the text bands miss w.h.p. and
+        # the IMAGE arm is what catches it).
+        plants = plants.unionByName(
+            docs.filter(F.col("doc_id") % 8 == 1).select(
+                (F.col("doc_id") + _GV3_IMG_OFF).alias("doc_id"),
+                F.expr(
+                    f"concat(substring(text, 1, {_GATE_COVER_LEN}),"
+                    f" reverse(substring(text, {_GATE_COVER_LEN + 1})))"
+                ).alias("text"),
+            )
+        )
     odds = docs.filter(F.col("doc_id") % 2 == 1)
     _write_id_ordered_arrivals(
         src_dir, _id_range_parts(odds, plants, plant_offset=_GV2_SEED_OFF)
@@ -4120,7 +4188,9 @@ def stream_pretrain_gate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = foreach_batch_sink(
         _arrivals_stream(spark, src_dir),
-        _gate_v2_handler(store_dir, catalog_dir, decisions_dir),
+        _gate_v2_handler(
+            store_dir, catalog_dir, decisions_dir, image_catalog_dir
+        ),
         checkpoint=os.path.join(base_dir, "ckpt"),
         mode="append",
     )
@@ -4128,6 +4198,142 @@ def stream_pretrain_gate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(decisions_dir).select(
         "doc_id", "decision", "reason"
     )
+
+
+# ---------------------------------------------------------------------------
+# At-ingest pretrain gate v3 (r18, r17 VERDICT task 4): v2 + the
+# MAINTAINED image modality. v1 gated near_dup_image against a chunk
+# catalog FROZEN at stream start; v2 made the exact/near-text arms
+# maintained but dropped the image arm entirely. v3 composes the r17
+# image-catalog machinery in: every batch's cover images (the v1
+# prefix-stable _gate_cover derivation — the cover renders from the
+# first _GATE_COVER_LEN chars, so tail edits keep it identical) probe
+# the chunk catalog AS OF the batch and then append their own chunk
+# rows. Reason priority is v1's documented order with v2's arms:
+# exact_dup > near_dup > near_dup_image > low_quality > ok. The fourth
+# plant family (+_GV3_IMG_OFF, sources %8=1 — odd, so they ARRIVED in
+# an earlier micro-batch rather than being seeded) keeps the first
+# _GATE_COVER_LEN chars and REVERSES the tail: same cover image,
+# texturally unrelated shingles — caught by chunk rows an earlier batch
+# appended, through the image arm, not the text arms (the cross-batch
+# image catch; pinned by test_pretrain_gate_v3_cross_batch_image).
+# Oracle: v2's text verbatim in structure, plus the cover-corpus nibs
+# chain (renamed via _rename_ctes so it coexists with the shingle
+# corpus) and the earlier-prior image-hit rule.
+# ---------------------------------------------------------------------------
+
+from .llm import _rename_ctes  # noqa: E402
+
+_GV3_NIBS_CTE = _rename_ctes(
+    _PHASH_NIBS_CTE,
+    {
+        "corpus": "covers",
+        "px": "gipx",
+        "pixels": "gipixels",
+        "stat": "gistat",
+        "nibs": "ginibs",
+    },
+)
+
+PRETRAIN_GATE_V3_ORACLE = f"""
+    WITH seed AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    arriving AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id + {_GV2_SEED_OFF} AS doc_id, text
+        FROM documents WHERE doc_id % 6 = 0
+        UNION ALL
+        SELECT doc_id + {_GV2_CROSS_OFF} AS doc_id, text
+        FROM documents WHERE doc_id % 12 = 1
+        UNION ALL
+        SELECT doc_id + {_GV2_NEAR_OFF} AS doc_id,
+               substring(text, 1, CAST(floor(4*length(text)/5.0) AS INT))
+                   AS text
+        FROM documents WHERE doc_id % 10 = 1
+        UNION ALL
+        SELECT doc_id + {_GV3_IMG_OFF} AS doc_id,
+               substring(text, 1, {_GATE_COVER_LEN}) ||
+                   reverse(substring(text, {_GATE_COVER_LEN + 1})) AS text
+        FROM documents WHERE doc_id % 8 = 1
+    ),
+    sfp AS (SELECT DISTINCT {_LLM_FP_SQL.format(t='text')} AS fp FROM seed),
+    ranked AS (
+        SELECT doc_id, {_LLM_FP_SQL.format(t='text')} AS fp,
+               row_number() OVER (
+                   PARTITION BY {_LLM_FP_SQL.format(t='text')}
+                   ORDER BY doc_id) AS rn
+        FROM arriving
+    ),
+    corpus AS (
+        SELECT doc_id, text FROM seed
+        UNION ALL
+        SELECT doc_id, text FROM arriving
+    ),
+    {_MH_SHINGLES_CTE.strip()},
+    hashed AS (SELECT doc_id, {_MH_BASE_H} AS h FROM sh),
+    sig AS (
+        SELECT doc_id,
+           {_MH_SIG_MINS}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+    {_MH_BAND_SELECTS}
+    ),
+    nearhits AS (
+        SELECT DISTINCT a.doc_id
+        FROM bands a JOIN bands p
+          ON a.band_id = p.band_id AND a.band_val = p.band_val
+        WHERE (a.doc_id % 2 = 1 OR a.doc_id >= {_GV2_SEED_OFF})
+          AND ((p.doc_id % 2 = 0 AND p.doc_id < {_GV2_SEED_OFF})
+               OR ((p.doc_id % 2 = 1 OR p.doc_id >= {_GV2_SEED_OFF})
+                   AND p.doc_id < a.doc_id))
+    ),
+    covers AS (
+        SELECT doc_id, substring(text, 1, {_GATE_COVER_LEN}) AS text
+        FROM corpus
+    ),
+    {_GV3_NIBS_CTE.strip()},
+    imghits AS (
+        SELECT DISTINCT a.doc_id
+        FROM ginibs a JOIN ginibs p ON TRUE
+        WHERE (a.doc_id % 2 = 1 OR a.doc_id >= {_GV2_SEED_OFF})
+          AND ((p.doc_id % 2 = 0 AND p.doc_id < {_GV2_SEED_OFF})
+               OR ((p.doc_id % 2 = 1 OR p.doc_id >= {_GV2_SEED_OFF})
+                   AND p.doc_id < a.doc_id))
+          AND CAST(list_sum(list_transform(range(1, 17),
+                j -> bit_count(xor(a.nb[j], p.nb[j])))) AS INT) <= 3
+    ),
+    {_quality_cte_sql('arriving').strip()}
+    SELECT r.doc_id,
+           CASE WHEN s.fp IS NOT NULL OR r.rn > 1 OR n.doc_id IS NOT NULL
+                     OR i.doc_id IS NOT NULL
+                     OR q.quality_p < {_GATE_QUALITY_LT}
+                THEN 'drop' ELSE 'keep' END AS decision,
+           CASE WHEN s.fp IS NOT NULL OR r.rn > 1 THEN 'exact_dup'
+                WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                WHEN i.doc_id IS NOT NULL THEN 'near_dup_image'
+                WHEN q.quality_p < {_GATE_QUALITY_LT} THEN 'low_quality'
+                ELSE 'ok' END AS reason
+    FROM ranked r
+    LEFT JOIN sfp s ON r.fp = s.fp
+    LEFT JOIN nearhits n ON r.doc_id = n.doc_id
+    LEFT JOIN imghits i ON r.doc_id = i.doc_id
+    JOIN quality q ON r.doc_id = q.doc_id
+    """
+
+
+@register("stream_pretrain_gate_v3", PRETRAIN_GATE_V3_ORACLE)
+def stream_pretrain_gate_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, decision, reason) per arriving doc, gated against
+    INGEST-MAINTAINED state across ALL the arms: exact-dup via the fp
+    store, near-dup via the text band catalog, near-dup-image via the
+    growing cover chunk catalog, low-quality via the stateless score —
+    reason priority exact_dup > near_dup > near_dup_image > low_quality
+    > ok. The +_GV3_IMG_OFF cover-stable tail-scrambles of EARLIER-
+    ARRIVING odd docs are caught purely by chunk rows previous
+    micro-batches appended — the image freshness v1's frozen catalog and
+    v2's missing image arm both lack."""
+    return _gate_maintained_run(spark, sf_dir, "gatev3_", image_arm=True)
 
 
 # ---------------------------------------------------------------------------

@@ -2425,3 +2425,107 @@ def test_compacted_ingest_rejects_retention_curried_handler(spark):
         _compacted_two_phase_ingest(
             spark, "fpcompact_guard_", seed, parts, curried
         )
+
+
+def test_pretrain_gate_v3_cross_batch_image(spark, tmp_path):
+    """r18 (r17 VERDICT task 4): the v3 gate's image arm reads the
+    MAINTAINED chunk catalog — a cover-stable tail-scramble of content
+    that arrived in an EARLIER micro-batch (same first _GATE_COVER_LEN
+    chars, reversed tail: identical cover image, unrelated shingles) is
+    caught via the chunk rows that batch appended, with reason
+    near_dup_image — below both exact arms, above low_quality; and a
+    replayed batch reproduces its decisions and appends."""
+    import pyspark.sql.functions as SF
+
+    from spark_streaming_kafka_example_spark.functions.text import (
+        fingerprint,
+    )
+    from spark_streaming_kafka_example_spark.operators import dedup as DD
+    from spark_streaming_kafka_example_spark.plans.stream import (
+        _GATE_COVER_LEN,
+        _gate_cover,
+        _gate_v2_handler,
+        _image_chunk_rows,
+        _seed_state,
+    )
+    from spark_streaming_kafka_example_spark.streaming.sinks import (
+        foreach_batch_sink,
+    )
+
+    store = str(tmp_path / "store")
+    catalog = str(tmp_path / "catalog")
+    imgcatalog = str(tmp_path / "imgcatalog")
+    decisions = str(tmp_path / "decisions")
+    src = str(tmp_path / "arrivals")
+    schema = "doc_id long, text string"
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "small red hen counts seven bright stars tonight")
+    other = ("pack my box with five dozen liquor jugs and then carry "
+             "them down the long winding cellar stairs quietly")
+
+    def scramble(t):  # cover-stable: v3's plant transformation
+        return t[:_GATE_COVER_LEN] + t[_GATE_COVER_LEN:][::-1]
+
+    seed = spark.createDataFrame([(2, base)], schema)
+    seed.select(fingerprint("text").alias("fp")).withColumn(
+        "batch_id", SF.lit(-1)
+    ).write.partitionBy("batch_id").parquet(store)
+    DD.lsh_band_values(
+        DD.minhash_signatures(DD.doc_shingles(seed, distinct=False))
+    ).withColumn("batch_id", SF.lit(-1)).write.partitionBy(
+        "batch_id"
+    ).parquet(catalog)
+    _seed_state(_image_chunk_rows(_gate_cover(seed)), imgcatalog)
+
+    batches = [
+        [(11, other)],  # novel content, novel cover
+        # cover-scramble of batch 0's arrival; cover-scramble of the seed
+        [(13, scramble(other)), (15, scramble(base))],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+        for root, _dirs, files in os.walk(f"{src}/b{i}"):
+            for fn in files:
+                os.utime(
+                    os.path.join(root, fn),
+                    (1_700_000_000 + i, 1_700_000_000 + i),
+                )
+
+    handler = _gate_v2_handler(store, catalog, decisions, imgcatalog)
+    q = foreach_batch_sink(
+        (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        ),
+        handler,
+        checkpoint=str(tmp_path / "ckpt"),
+        mode="append",
+    )
+    q.awaitTermination()
+
+    got = {
+        r.doc_id: (r.decision, r.reason)
+        for r in spark.read.parquet(decisions).collect()
+    }
+    # 13's cover matches ONLY batch 0's appended chunk rows (the seed
+    # never saw `other`); 15's matches the seed catalog. Both scrambles
+    # have novel fps and unrelated shingles, so the image arm is the
+    # catching arm.
+    assert got[13] == ("drop", "near_dup_image")
+    assert got[15] == ("drop", "near_dup_image")
+    assert got[11][1] in ("ok", "low_quality")
+
+    # replay batch 0: reads partitions < 0 (seed only), decisions and
+    # image-catalog appends identical (dynamic overwrite)
+    n_chunks = spark.read.parquet(imgcatalog).count()
+    handler(spark.createDataFrame(batches[0], schema), 0)
+    got2 = {
+        r.doc_id: (r.decision, r.reason)
+        for r in spark.read.parquet(decisions).collect()
+    }
+    assert got2 == got
+    assert spark.read.parquet(imgcatalog).count() == n_chunks
