@@ -393,6 +393,7 @@ DEFER_TO_TAIL: dict[str, int] = {
     # refactored v2 body defers with the r18-new names for the same
     # zero-slack reason (see FORCE_RECHECK's r18 comment).
     "stream_pretrain_gate_v2": 18,
+    "stream_split_by_neardup_incremental": 18,
 }
 
 

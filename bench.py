@@ -201,6 +201,14 @@ HEADLINE = [
     "stream_dedup_store_retention",
     "stream_minhash_catalog_retention",
     "stream_image_catalog_ingest",
+    # r18: the image catalog's lifecycle symmetry (compaction + TTL),
+    # the v3 gate composing the maintained image arm, and the
+    # ingest-maintained cluster map for the near-dup split (a cluster
+    # formed entirely after stream start still moves as one unit).
+    "stream_image_catalog_compacted",
+    "stream_image_catalog_retention",
+    "stream_pretrain_gate_v3",
+    "stream_split_by_neardup_incremental",
 ]
 _HEADLINE_SET = frozenset(HEADLINE)
 

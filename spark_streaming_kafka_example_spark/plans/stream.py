@@ -3123,7 +3123,15 @@ def _catalog_prior_hits(
     hits_prior = bands.join(prior, ["band_id", "band_val"]).select(
         "doc_id", "prior_id"
     )
-    hits_within = (
+    return hits_prior.unionByName(_within_batch_band_hits(bands))
+
+
+def _within_batch_band_hits(bands: DataFrame) -> DataFrame:
+    """(doc_id, prior_id) same-batch band collisions with a smaller
+    doc_id — the batch-bounded self-join arm of _catalog_prior_hits,
+    factored (r18) so the first micro-batch of a seedless ingest (no
+    catalog directory yet) can probe within itself alone."""
+    return (
         bands.join(
             bands.select(
                 "band_id", "band_val", F.col("doc_id").alias("prior_id")
@@ -3133,7 +3141,6 @@ def _catalog_prior_hits(
         .filter(F.col("prior_id") < F.col("doc_id"))
         .select("doc_id", "prior_id")
     )
-    return hits_prior.unionByName(hits_within)
 
 
 # One oracle for the growing-catalog ingest AND its mid-lifecycle
@@ -4334,6 +4341,215 @@ def stream_pretrain_gate_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batches appended — the image freshness v1's frozen catalog and
     v2's missing image arm both lack."""
     return _gate_maintained_run(spark, sf_dir, "gatev3_", image_arm=True)
+
+
+# ---------------------------------------------------------------------------
+# Ingest-maintained cluster map for the near-dup split (r18, r17 VERDICT
+# task 6). stream_split_by_neardup reads a rep-fp map MATERIALIZED from
+# the last batch clustering run — between refreshes, a brand-new
+# near-dup pair arriving at ingest still gates independently. This twin
+# maintains the map AT ingest with a deterministic incremental
+# clustering derived from the band catalog's earlier-prior rule: an
+# arriving doc's PARENT is its earliest (min doc_id) band-sharing prior
+# — seedless catalog partitions appended by earlier batches, or
+# same-batch smaller ids — and the doc adopts its parent's cluster
+# REPRESENTATIVE (else founds its own cluster as its own rep). Parent
+# ids are strictly smaller than the doc's, so rep resolution follows a
+# strictly-decreasing chain: prior-batch parents resolve through the
+# maintained (doc_id, rep_id, rep_fp) map in one join; same-batch
+# chains resolve in a bounded pointer-chasing loop (<= the batch's
+# parent-chain depth iterations, each one equi-join round,
+# localCheckpoint-truncated — the connected_components convergence
+# idiom). The split gates on the representative's fingerprint, so a
+# cluster formed ENTIRELY after stream start (both members arrived via
+# the stream, in different micro-batches) still moves as one unit —
+# the gap the batch-refresh twin has between refreshes.
+#
+# NOTE this is deliberately NOT connected components: parent edges form
+# a forest keyed on the earliest-prior rule, and a doc with no smaller
+# band-sharing neighbor founds its own cluster even if a LARGER
+# neighbor later bridges it into another component (doc 3 banding with
+# both 1 and 2 parents to 1; doc 2, banding with neither below it,
+# stays its own rep). That is the honest at-ingest semantics — cluster
+# membership is decided ONCE, at arrival, and never retroactively
+# rewritten — and the oracle replays exactly it via the recursive
+# parent-chain (root = min of the strictly-decreasing ancestor chain).
+# Candidates are band collisions (no jaccard verify): the catalog
+# stores band rows only, so the verify would need prior docs' shingle
+# sets — the precision trade the n_prior_candidates arms already
+# document.
+#
+# Scale: per batch one band-keyed catalog join + one doc-keyed map join
+# (both UNHINTED — state grows with the corpus), the batch-bounded
+# within-batch self-join, and |batch| + |batch| x bands appended rows;
+# never a state rewrite. Arrival order is id order by construction
+# (_id_range_parts), so the oracle is order-free.
+# ---------------------------------------------------------------------------
+
+from .llm import NEAR_CORPUS_CTE, near_plants  # noqa: E402
+from .textprep import _splitc_case_sql  # noqa: E402
+
+SPLIT_BY_NEARDUP_INC_ORACLE = f"""
+    WITH RECURSIVE {NEAR_CORPUS_CTE.strip()},
+    {_MH_SHINGLES_CTE.strip()},
+    hashed AS (SELECT doc_id, {_MH_BASE_H} AS h FROM sh),
+    sig AS (
+        SELECT doc_id,
+           {_MH_SIG_MINS}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+    {_MH_BAND_SELECTS}
+    ),
+    par AS (
+        SELECT a.doc_id, min(p.doc_id) AS parent
+        FROM bands a JOIN bands p
+          ON a.band_id = p.band_id AND a.band_val = p.band_val
+         AND p.doc_id < a.doc_id
+        GROUP BY a.doc_id
+    ),
+    chain(doc_id, anc) AS (
+        SELECT doc_id, parent FROM par
+        UNION ALL
+        SELECT c.doc_id, p.parent FROM chain c JOIN par p ON p.doc_id = c.anc
+    ),
+    root AS (SELECT doc_id, min(anc) AS rep_id FROM chain GROUP BY doc_id),
+    fps AS (SELECT doc_id, {_LLM_FP_SQL.format(t='text')} AS fp FROM corpus)
+    SELECT f.doc_id,
+           {_splitc_case_sql('coalesce(rf.fp, f.fp)')} AS split
+    FROM fps f
+    LEFT JOIN root r ON f.doc_id = r.doc_id
+    LEFT JOIN fps rf ON rf.doc_id = r.rep_id
+    """
+
+
+def _neardup_clustermap_handler(
+    catalog_dir: str, map_dir: str, decisions_dir: str
+):
+    """foreachBatch handler maintaining the incremental cluster map:
+    band the batch, pick each doc's earliest band-sharing prior as its
+    parent, resolve representatives (map join for prior-batch parents;
+    bounded pointer-chasing for same-batch chains), gate the split on
+    the rep's fingerprint, then append the batch's map rows AND band
+    rows. All three writes are dynamic-overwrite batch partitions —
+    exactly-once on replay (reads bounded batch_id < current)."""
+    from ..functions.text import fingerprint
+
+    def handler(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        scored = batch_df.select(
+            "doc_id", "text", fingerprint("text").alias("fp")
+        ).localCheckpoint()
+        bands = _batch_band_rows(scored)
+        hits = _within_batch_band_hits(bands)
+        if os.path.isdir(catalog_dir):  # absent only before batch 0
+            hits = _catalog_prior_hits(catalog_dir, bands, batch_id)
+        par = hits.groupBy("doc_id").agg(F.min("prior_id").alias("parent"))
+        base = scored.select("doc_id", "fp").join(par, "doc_id", "left_outer")
+        if os.path.isdir(map_dir):
+            repmap = (
+                spark.read.parquet(map_dir)
+                .filter(F.col("batch_id") < batch_id)
+                .select(
+                    F.col("doc_id").alias("parent"), "rep_id", "rep_fp"
+                )
+            )
+            base = base.join(repmap, "parent", "left_outer")
+        else:
+            base = base.withColumn(
+                "rep_id", F.lit(None).cast("long")
+            ).withColumn("rep_fp", F.lit(None).cast("string"))
+        base = base.localCheckpoint()  # one derivation feeds both arms
+
+        # Founding docs (no parent) rep themselves; prior-batch parents
+        # carry their map row. Same-batch parents (rep still null) chase
+        # the strictly-decreasing parent chain against the growing
+        # resolved set — depth-bounded, so the loop terminates.
+        resolved = base.filter(
+            F.col("parent").isNull() | F.col("rep_id").isNotNull()
+        ).select(
+            "doc_id",
+            F.coalesce(F.col("rep_id"), F.col("doc_id")).alias("rep_id"),
+            F.coalesce(F.col("rep_fp"), F.col("fp")).alias("rep_fp"),
+        ).localCheckpoint()
+        pending = base.filter(
+            F.col("parent").isNotNull() & F.col("rep_id").isNull()
+        ).select("doc_id", F.col("parent").alias("anc"))
+        par_b = base.select(
+            F.col("doc_id").alias("anc"), F.col("parent").alias("anc2")
+        )
+        for _ in range(1000):  # anti-hang bound far above any real depth
+            pending = pending.localCheckpoint()
+            if pending.isEmpty():
+                break
+            res_anc = resolved.select(
+                F.col("doc_id").alias("anc"), "rep_id", "rep_fp"
+            )
+            hit = pending.join(res_anc, "anc").select(
+                "doc_id", "rep_id", "rep_fp"
+            )
+            pending = (
+                pending.join(res_anc.select("anc"), "anc", "left_anti")
+                .join(par_b, "anc")
+                .select("doc_id", F.col("anc2").alias("anc"))
+            )
+            resolved = resolved.unionByName(hit).localCheckpoint()
+        else:
+            raise RuntimeError(
+                "_neardup_clustermap_handler: parent chain did not "
+                "resolve — strictly-decreasing ids make this unreachable"
+            )
+
+        _overwrite_batch_partition(
+            resolved.select(
+                "doc_id",
+                cluster_split_column(F.col("rep_fp")).alias("split"),
+            ),
+            decisions_dir,
+            batch_id,
+        )
+        _overwrite_batch_partition(
+            resolved.select("doc_id", "rep_id", "rep_fp"), map_dir, batch_id
+        )
+        _overwrite_batch_partition(bands, catalog_dir, batch_id)
+
+    return handler
+
+
+@register("stream_split_by_neardup_incremental", SPLIT_BY_NEARDUP_INC_ORACLE)
+def stream_split_by_neardup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(doc_id, split) per arriving doc under the INGEST-MAINTAINED
+    cluster map: every doc (the whole corpus plus the near_plants
+    re-crawls stream in — no frozen clustering run) adopts its earliest
+    band-sharing prior's cluster representative and gates on the rep's
+    fingerprint, so a near-dup pair whose members BOTH arrive after
+    stream start, in different micro-batches, still lands in one split
+    (pinned by test_stream_split_by_neardup_incremental_cross_batch)."""
+    from ..streaming.sinks import foreach_batch_sink
+
+    from . import tmp_run_dir
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base_dir = tmp_run_dir("ndinc_")
+    catalog_dir = os.path.join(base_dir, "catalog")
+    map_dir = os.path.join(base_dir, "clustermap")
+    decisions_dir = os.path.join(base_dir, "decisions")
+    src_dir = os.path.join(base_dir, "arrivals")
+
+    _write_id_ordered_arrivals(
+        src_dir,
+        _id_range_parts(docs, near_plants(docs), plant_offset=100000),
+    )
+    q = foreach_batch_sink(
+        _arrivals_stream(spark, src_dir),
+        _neardup_clustermap_handler(catalog_dir, map_dir, decisions_dir),
+        checkpoint=os.path.join(base_dir, "ckpt"),
+        mode="append",
+    )
+    q.awaitTermination()
+    return spark.read.parquet(decisions_dir).select("doc_id", "split")
 
 
 # ---------------------------------------------------------------------------

@@ -2529,3 +2529,131 @@ def test_pretrain_gate_v3_cross_batch_image(spark, tmp_path):
     }
     assert got2 == got
     assert spark.read.parquet(imgcatalog).count() == n_chunks
+
+
+def test_stream_split_by_neardup_incremental_cross_batch(spark, tmp_path):
+    """r18 (r17 VERDICT task 6): the INGEST-MAINTAINED cluster map closes
+    the batch-refresh twin's gap — a near-dup pair whose members BOTH
+    arrive after stream start, in DIFFERENT micro-batches, still lands
+    in one split (the later member adopts the earlier's rep through the
+    appended band catalog, where the stateless own-fp gate measurably
+    disagrees), and a same-batch parent CHAIN C->B->A (C band-shares B
+    but not A) resolves to A's rep through the pointer-chasing loop.
+    Replaying the last batch leaves the decisions byte-identical."""
+    from collections import defaultdict
+
+    from spark_streaming_kafka_example_spark.plans.stream import (
+        _batch_band_rows,
+        _neardup_clustermap_handler,
+    )
+    from spark_streaming_kafka_example_spark.plans.textprep import (
+        cluster_split_column,
+    )
+    from spark_streaming_kafka_example_spark.streaming.sinks import (
+        foreach_batch_sink,
+    )
+
+    # Chain family: B = A minus its last 4 words, C = A minus its last 8.
+    a_txt = (
+        "charlie foxtrot india lima oscar romeo uniform xray "
+        "alpha delta golf juliet mike papa seed4"
+    )
+    b_txt = " ".join(a_txt.split()[:-4])
+    c_txt = " ".join(a_txt.split()[:-8])
+    # Cross-batch pair: Y = X minus its last 4 words; X and Y's OWN
+    # fingerprints gate to different splits (hunted fixture).
+    x_txt = (
+        "juliet mike papa sierra victor yankee bravo echo hotel "
+        "kilo november quebec tango whiskey tag5 end5"
+    )
+    y_txt = " ".join(x_txt.split()[:-4])
+
+    schema = "doc_id long, text string"
+    ids = {"A": 10, "B": 11, "C": 12, "X": 13, "Y": 20}
+    texts = {"A": a_txt, "B": b_txt, "C": c_txt, "X": x_txt, "Y": y_txt}
+    docs = spark.createDataFrame(
+        [(i, texts[k]) for k, i in ids.items()], schema
+    )
+
+    # Fixture preconditions (else the band machinery changed under us).
+    bands = defaultdict(set)
+    for r in _batch_band_rows(docs).collect():
+        bands[r.doc_id].add((r.band_id, r.band_val))
+    share = lambda p, q: bool(bands[ids[p]] & bands[ids[q]])  # noqa: E731
+    assert share("A", "B") and share("B", "C") and not share("A", "C"), (
+        "fixture regression: chain A<-B<-C structure lost"
+    )
+    assert share("X", "Y"), "fixture regression: X/Y no longer band-share"
+    assert not any(
+        share(p, q) for p in ("X", "Y") for q in ("A", "B", "C")
+    ), "fixture regression: pair family collides with chain family"
+    own = {
+        r.doc_id: r.split
+        for r in docs.select(
+            "doc_id", cluster_split_column().alias("split")
+        ).collect()
+    }
+    assert own[ids["X"]] != own[ids["Y"]], (
+        "fixture regression: the stateless gate no longer disagrees"
+    )
+
+    # Batch 0 = the chain family + X; batch 1 = Y alone (id order held).
+    src = str(tmp_path / "arrivals")
+    batches = [
+        [(ids[k], texts[k]) for k in ("A", "B", "C", "X")],
+        [(ids["Y"], texts["Y"])],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+        for root, _dirs, files in os.walk(f"{src}/b{i}"):
+            for fn in files:
+                os.utime(
+                    os.path.join(root, fn),
+                    (1_700_000_000 + i, 1_700_000_000 + i),
+                )
+
+    catalog = str(tmp_path / "catalog")
+    map_dir = str(tmp_path / "clustermap")
+    decisions = str(tmp_path / "decisions")
+    handler = _neardup_clustermap_handler(catalog, map_dir, decisions)
+    q = foreach_batch_sink(
+        (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        ),
+        handler,
+        checkpoint=str(tmp_path / "ckpt"),
+        mode="append",
+    )
+    q.awaitTermination()
+
+    got = {
+        r.doc_id: r.split for r in spark.read.parquet(decisions).collect()
+    }
+    reps = {
+        r.doc_id: r.rep_id for r in spark.read.parquet(map_dir).collect()
+    }
+
+    # Same-batch chain: B and C both resolve to A's cluster (C through
+    # the pointer-chasing loop — it never band-shares A directly).
+    assert reps[ids["B"]] == ids["A"] and reps[ids["C"]] == ids["A"]
+    assert got[ids["B"]] == got[ids["C"]] == own[ids["A"]]
+    # Founding docs rep themselves and gate on their own fp.
+    assert reps[ids["A"]] == ids["A"] and got[ids["A"]] == own[ids["A"]]
+    assert reps[ids["X"]] == ids["X"] and got[ids["X"]] == own[ids["X"]]
+    # THE pin: a cluster formed entirely after stream start, its members
+    # in different micro-batches, moves as one unit — where the
+    # stateless own-fp gate provably disagrees.
+    assert reps[ids["Y"]] == ids["X"]
+    assert got[ids["Y"]] == own[ids["X"]] != own[ids["Y"]]
+
+    # Replay of the last batch is idempotent (dynamic-overwrite
+    # partitions + batch_id < current reads).
+    handler(spark.createDataFrame(batches[1], schema), 1)
+    got2 = {
+        r.doc_id: r.split for r in spark.read.parquet(decisions).collect()
+    }
+    assert got2 == got
