@@ -394,6 +394,7 @@ DEFER_TO_TAIL: dict[str, int] = {
     # zero-slack reason (see FORCE_RECHECK's r18 comment).
     "stream_pretrain_gate_v2": 18,
     "stream_split_by_neardup_incremental": 18,
+    "stream_split_by_neardup_inc_compacted": 18,
 }
 
 

@@ -209,6 +209,7 @@ HEADLINE = [
     "stream_image_catalog_retention",
     "stream_pretrain_gate_v3",
     "stream_split_by_neardup_incremental",
+    "stream_split_by_neardup_inc_compacted",
 ]
 _HEADLINE_SET = frozenset(HEADLINE)
 

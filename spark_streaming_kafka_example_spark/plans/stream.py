@@ -4552,6 +4552,67 @@ def stream_split_by_neardup_incremental(
     return spark.read.parquet(decisions_dir).select("doc_id", "split")
 
 
+@register(
+    "stream_split_by_neardup_inc_compacted", SPLIT_BY_NEARDUP_INC_ORACLE
+)
+def stream_split_by_neardup_inc_compacted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(doc_id, split): the incremental cluster-map ingest compacted
+    mid-lifecycle — BOTH state relations (band catalog and rep map;
+    appends are per-doc-unique, so _compact_state's novel-only premise
+    holds for each) collapse to one batch_id=-1 partition between the
+    two arrival phases. Registers against SPLIT_BY_NEARDUP_INC_ORACLE
+    VERBATIM: the driver hash proves a phase-B arrival still adopts a
+    phase-A rep through the collapse. Bespoke two-phase body rather
+    than _compacted_two_phase_ingest because this state is SEEDLESS and
+    two-relation (that body seeds exactly one state dir); the phase
+    structure — ingest parts[:2], compact, ingest parts[2:] against the
+    compacted dirs, union both decisions — is the same."""
+    from ..streaming.sinks import foreach_batch_sink
+
+    from . import tmp_run_dir
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base_dir = tmp_run_dir("ndinccomp_")
+    parts = _id_range_parts(docs, near_plants(docs), plant_offset=100000)
+
+    dirs = {
+        f"{kind}_{ph}": os.path.join(base_dir, f"{kind}_{ph}")
+        for kind in ("catalog", "clustermap", "decisions")
+        for ph in ("a", "b")
+    }
+    _write_id_ordered_arrivals(os.path.join(base_dir, "arr_a"), parts[:2])
+    q = foreach_batch_sink(
+        _arrivals_stream(spark, os.path.join(base_dir, "arr_a")),
+        _neardup_clustermap_handler(
+            dirs["catalog_a"], dirs["clustermap_a"], dirs["decisions_a"]
+        ),
+        checkpoint=os.path.join(base_dir, "ckpt_a"),
+        mode="append",
+    )
+    q.awaitTermination()
+
+    _compact_state(spark, dirs["catalog_a"], dirs["catalog_b"])
+    _compact_state(spark, dirs["clustermap_a"], dirs["clustermap_b"])
+
+    _write_id_ordered_arrivals(os.path.join(base_dir, "arr_b"), parts[2:])
+    q = foreach_batch_sink(
+        _arrivals_stream(spark, os.path.join(base_dir, "arr_b")),
+        _neardup_clustermap_handler(
+            dirs["catalog_b"], dirs["clustermap_b"], dirs["decisions_b"]
+        ),
+        checkpoint=os.path.join(base_dir, "ckpt_b"),
+        mode="append",
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(dirs["decisions_a"])
+        .unionByName(spark.read.parquet(dirs["decisions_b"]))
+        .select("doc_id", "split")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Windowed streaming count-min (r11): heavy hitters PER TIME WINDOW — the
 # frequency companion to stream_hll_windowed's windowed distinct count,

@@ -2657,3 +2657,52 @@ def test_stream_split_by_neardup_incremental_cross_batch(spark, tmp_path):
         r.doc_id: r.split for r in spark.read.parquet(decisions).collect()
     }
     assert got2 == got
+
+
+def test_neardup_inc_compacted_adopts_through_collapse(spark, tmp_path):
+    """r18: the incremental cluster map's mid-lifecycle compaction is
+    load-bearing — a phase-B arrival near-dupping a PHASE-A doc adopts
+    its rep through the COMPACTED catalog + map (the only place phase
+    A's state survives), where the stateless own-fp gate disagrees."""
+    from spark_streaming_kafka_example_spark.plans.stream import (
+        _compact_state,
+        _neardup_clustermap_handler,
+    )
+    from spark_streaming_kafka_example_spark.plans.textprep import (
+        cluster_split_column,
+    )
+
+    # The hunted X/Y pair from the cross-batch test: Y = X minus its
+    # last 4 words; they band-share and their own fps gate differently.
+    x_txt = (
+        "juliet mike papa sierra victor yankee bravo echo hotel "
+        "kilo november quebec tango whiskey tag5 end5"
+    )
+    y_txt = " ".join(x_txt.split()[:-4])
+    schema = "doc_id long, text string"
+    docs = spark.createDataFrame([(13, x_txt), (20, y_txt)], schema)
+    own = {
+        r.doc_id: r.split
+        for r in docs.select(
+            "doc_id", cluster_split_column().alias("split")
+        ).collect()
+    }
+    assert own[13] != own[20], "fixture regression: gates agree"
+
+    cat_a, map_a, dec_a, cat_b, map_b, dec_b = (
+        str(tmp_path / d)
+        for d in ("cat_a", "map_a", "dec_a", "cat_b", "map_b", "dec_b")
+    )
+    handler_a = _neardup_clustermap_handler(cat_a, map_a, dec_a)
+    handler_a(spark.createDataFrame([(13, x_txt)], schema), 0)
+
+    _compact_state(spark, cat_a, cat_b)
+    _compact_state(spark, map_a, map_b)
+
+    handler_b = _neardup_clustermap_handler(cat_b, map_b, dec_b)
+    handler_b(spark.createDataFrame([(20, y_txt)], schema), 0)
+
+    reps = {r.doc_id: r.rep_id for r in spark.read.parquet(map_b).collect()}
+    got = {r.doc_id: r.split for r in spark.read.parquet(dec_b).collect()}
+    assert reps[20] == 13, reps
+    assert got[20] == own[13] != own[20]
