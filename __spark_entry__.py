@@ -395,6 +395,7 @@ DEFER_TO_TAIL: dict[str, int] = {
     "stream_pretrain_gate_v2": 18,
     "stream_split_by_neardup_incremental": 18,
     "stream_split_by_neardup_inc_compacted": 18,
+    "stream_split_by_neardup_inc_audit": 18,
 }
 
 

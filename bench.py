@@ -210,6 +210,7 @@ HEADLINE = [
     "stream_pretrain_gate_v3",
     "stream_split_by_neardup_incremental",
     "stream_split_by_neardup_inc_compacted",
+    "stream_split_by_neardup_inc_audit",
 ]
 _HEADLINE_SET = frozenset(HEADLINE)
 

@@ -4389,8 +4389,11 @@ def stream_pretrain_gate_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .llm import NEAR_CORPUS_CTE, near_plants  # noqa: E402
 from .textprep import _splitc_case_sql  # noqa: E402
 
-SPLIT_BY_NEARDUP_INC_ORACLE = f"""
-    WITH RECURSIVE {NEAR_CORPUS_CTE.strip()},
+# The chain CTEs (corpus -> bands -> earliest-prior parents -> recursive
+# ancestor chain -> roots -> fps) shared by the assignment oracle and the
+# cluster-leakage audit oracle — one definition, so the replayed
+# semantics cannot diverge between them.
+_NDINC_CHAIN_CTES = f"""{NEAR_CORPUS_CTE.strip()},
     {_MH_SHINGLES_CTE.strip()},
     hashed AS (SELECT doc_id, {_MH_BASE_H} AS h FROM sh),
     sig AS (
@@ -4414,7 +4417,10 @@ SPLIT_BY_NEARDUP_INC_ORACLE = f"""
         SELECT c.doc_id, p.parent FROM chain c JOIN par p ON p.doc_id = c.anc
     ),
     root AS (SELECT doc_id, min(anc) AS rep_id FROM chain GROUP BY doc_id),
-    fps AS (SELECT doc_id, {_LLM_FP_SQL.format(t='text')} AS fp FROM corpus)
+    fps AS (SELECT doc_id, {_LLM_FP_SQL.format(t='text')} AS fp FROM corpus)"""
+
+SPLIT_BY_NEARDUP_INC_ORACLE = f"""
+    WITH RECURSIVE {_NDINC_CHAIN_CTES}
     SELECT f.doc_id,
            {_splitc_case_sql('coalesce(rf.fp, f.fp)')} AS split
     FROM fps f
@@ -4527,12 +4533,22 @@ def stream_split_by_neardup_incremental(
     fingerprint, so a near-dup pair whose members BOTH arrive after
     stream start, in different micro-batches, still lands in one split
     (pinned by test_stream_split_by_neardup_incremental_cross_batch)."""
+    decisions_dir, _map_dir = _ndinc_run(spark, sf_dir, "ndinc_")
+    return spark.read.parquet(decisions_dir).select("doc_id", "split")
+
+
+def _ndinc_run(
+    spark: SparkSession, sf_dir: str, prefix: str
+) -> tuple[str, str]:
+    """Stream the near corpus (id-ordered) through the cluster-map
+    handler; return (decisions_dir, map_dir) — the one ingest body
+    shared by the assignment registration and the leakage audit."""
     from ..streaming.sinks import foreach_batch_sink
 
     from . import tmp_run_dir
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    base_dir = tmp_run_dir("ndinc_")
+    base_dir = tmp_run_dir(prefix)
     catalog_dir = os.path.join(base_dir, "catalog")
     map_dir = os.path.join(base_dir, "clustermap")
     decisions_dir = os.path.join(base_dir, "decisions")
@@ -4549,7 +4565,75 @@ def stream_split_by_neardup_incremental(
         mode="append",
     )
     q.awaitTermination()
-    return spark.read.parquet(decisions_dir).select("doc_id", "split")
+    return decisions_dir, map_dir
+
+
+@register(
+    "stream_split_by_neardup_inc_audit",
+    f"""
+    WITH RECURSIVE {_NDINC_CHAIN_CTES},
+    sp AS (
+        SELECT f.doc_id,
+               {_splitc_case_sql('coalesce(rf.fp, f.fp)')} AS split,
+               coalesce(r.rep_id, f.doc_id) AS cluster_id
+        FROM fps f
+        LEFT JOIN root r ON f.doc_id = r.doc_id
+        LEFT JOIN fps rf ON rf.doc_id = r.rep_id
+    ),
+    tc AS (SELECT DISTINCT cluster_id FROM sp WHERE split = 'train'),
+    ev AS (SELECT sp.split, (t.cluster_id IS NOT NULL) AS leaked
+           FROM sp LEFT JOIN tc t ON sp.cluster_id = t.cluster_id
+           WHERE sp.split <> 'train')
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN leaked THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cluster_leaked,
+           round(sum(CASE WHEN leaked THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS cluster_leak_rate
+    FROM ev GROUP BY split
+    """,
+)
+def stream_split_by_neardup_inc_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cluster-level leakage audit over the INGEST-MAINTAINED split
+    (leaked = an eval doc sharing an incremental cluster with any train
+    doc): exactly 0 on every eval split BY CONSTRUCTION — every member
+    of a cluster gates on the representative's fingerprint, so a
+    cluster is always wholly inside one split — and the driver hash
+    proves it against the recursive-chain oracle's replay. The cluster
+    key is the maintained map's rep_id (founders rep themselves), the
+    split_by_neardup_cluster_audit convention over at-ingest state."""
+    decisions_dir, map_dir = _ndinc_run(spark, sf_dir, "ndincaudit_")
+    sp = (
+        spark.read.parquet(decisions_dir)
+        .select("doc_id", "split")
+        .join(
+            spark.read.parquet(map_dir).select(
+                "doc_id", F.col("rep_id").alias("cluster_id")
+            ),
+            "doc_id",
+        )
+        .localCheckpoint(eager=False)  # feeds train-cluster set + eval side
+    )
+    tc = (
+        sp.filter(F.col("split") == "train")
+        .select("cluster_id")
+        .distinct()
+    )
+    ev = sp.filter(F.col("split") != "train").join(
+        tc.withColumn("leaked", F.lit(True)), "cluster_id", "left_outer"
+    )
+    return ev.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("leaked"), 1).otherwise(0)).alias(
+            "n_cluster_leaked"
+        ),
+        F.round(
+            F.sum(F.when(F.col("leaked"), 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("cluster_leak_rate"),
+    )
 
 
 @register(
