@@ -211,6 +211,9 @@ HEADLINE = [
     "stream_split_by_neardup_incremental",
     "stream_split_by_neardup_inc_compacted",
     "stream_split_by_neardup_inc_audit",
+    # r18: the embedding modality's dedup-maintenance arm (the matrix's
+    # vector row as a true dedup arm, not just IVF serving).
+    "stream_embedding_catalog_ingest",
 ]
 _HEADLINE_SET = frozenset(HEADLINE)
 

@@ -674,10 +674,17 @@ def _fp_arrival_parts(docs: DataFrame) -> list:
     return _id_range_parts(odds, plants, plant_offset=_FP_PLANT_OFFSET)
 
 
-def _arrivals_stream(spark: SparkSession, src_dir: str) -> DataFrame:
-    """One file per micro-batch over the id-ordered arrival files."""
+def _arrivals_stream(
+    spark: SparkSession,
+    src_dir: str,
+    schema: str = "doc_id long, text string",
+) -> DataFrame:
+    """One file per micro-batch over the id-ordered arrival files. The
+    default schema is the document ingests'; the embedding-catalog arm
+    passes its vector schema (id column stays doc_id — the shared
+    id-ordered plumbing keys on it)."""
     return (
-        spark.readStream.schema("doc_id long, text string")
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(src_dir + "/*")
     )
@@ -3896,6 +3903,218 @@ def stream_image_catalog_retention(
     pinned by test_image_catalog_retention_expires)."""
     return _image_catalog_run(
         spark, sf_dir, "imgttl_", retention_batches=_IMG_TTL_W
+    )
+
+
+# ---------------------------------------------------------------------------
+# At-ingest embedding near-dup catalog (r18): the EMBEDDING modality's
+# dedup-maintenance arm, completing the matrix's vector row as a true
+# dedup arm (the IVF appendix is the SERVING arm). Each micro-batch's
+# vectors hyperplane-band-code (dedup_embedding_cosine's fixed
+# bands/bits/seed constants — FIXED hyperplanes, so codes never depend
+# on corpus growth), probe the code catalog's partitions batch_id <
+# current on (band_id, code), cosine-verify collisions via the
+# Arrow-batched numpy kernel (round-4, the embedding_near_pairs
+# contract) against the vector store, then append their own code rows
+# AND vectors as dynamic-overwrite batch partitions. Two state
+# relations (codes + vectors, the incremental-cluster-map convention)
+# so the catalog stays bands-wide while each vector is stored once.
+# Candidates are band collisions; exact copies hash identically in
+# every band (structurally impossible to miss) and a pair at cos=0.99
+# survives >= 1 of 16 bands with prob 1-3e-9 — so the all-pairs
+# earlier-prior oracle stays the checker, exactly as it does for
+# dedup_embedding_cosine. Plants = exact re-crawls of every 5th vector
+# (+_EMBCAT_OFF): even sources dup the SEED, odd sources arrived in an
+# earlier micro-batch — the cross-batch catch
+# (test_embedding_catalog_cross_batch_growth pins growth + replay).
+# Scale: per batch one band-keyed catalog join + one id-keyed vector
+# fetch (both UNHINTED — state grows with the corpus), verify only on
+# collisions (~n/2^bits bucket occupancy), appends |batch| x bands code
+# rows + |batch| vectors, never a state rewrite.
+# ---------------------------------------------------------------------------
+
+_EMBCAT_OFF = 100000
+
+STREAM_EMB_CATALOG_ORACLE = f"""
+    WITH vcorpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + {_EMBCAT_OFF}, CAST(embedding AS DOUBLE[])
+        FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    arr AS (SELECT vec_id, v FROM vcorpus
+            WHERE vec_id % 2 = 1 OR vec_id >= {_EMBCAT_OFF}),
+    hits AS (
+        SELECT a.vec_id, p.vec_id AS prior_id
+        FROM arr a JOIN vcorpus p
+          ON ((p.vec_id % 2 = 0 AND p.vec_id < {_EMBCAT_OFF})
+              OR ((p.vec_id % 2 = 1 OR p.vec_id >= {_EMBCAT_OFF})
+                  AND p.vec_id < a.vec_id))
+        WHERE round({{dot}} / ({{na}} * {{np}}), 4) >= 0.99
+    )
+    SELECT arr.vec_id,
+           CAST(count(h.prior_id) AS BIGINT) AS n_prior_neardups
+    FROM arr LEFT JOIN hits h ON arr.vec_id = h.vec_id
+    GROUP BY arr.vec_id
+    """.format(
+    dot="list_sum(list_transform(list_zip(a.v, p.v), x -> x[1] * x[2]))",
+    na="sqrt(list_sum(list_transform(a.v, x -> x * x)))",
+    np="sqrt(list_sum(list_transform(p.v, x -> x * x)))",
+)
+
+
+def _emb_code_rows(batch_df: DataFrame) -> DataFrame:
+    """(doc_id, band_id, code) hyperplane-LSH band codes for a
+    micro-batch's vectors — the embedding twin of _batch_band_rows,
+    sharing embedding_near_pairs' fixed family constants (its
+    bands/bits/seed DEFAULTS). Checkpointed: one pandas-UDF derivation
+    feeds the probe, the within-batch self-join AND the catalog
+    append."""
+    from ..operators.dedup import hyperplane_band_codes
+
+    return (
+        batch_df.select(
+            "doc_id",
+            hyperplane_band_codes("embedding").alias("_codes"),
+        )
+        .select("doc_id", F.posexplode("_codes").alias("band_id", "code"))
+        .localCheckpoint()
+    )
+
+
+def _embedding_catalog_handler(
+    codes_dir: str, vecs_dir: str, decisions_dir: str
+):
+    """foreachBatch handler: band-code the batch's vectors, collect
+    candidate (doc_id, prior_id) band collisions (earlier partitions +
+    same-batch smaller ids), cosine-verify them round-4 against the
+    vector store, count DISTINCT verified priors, append the batch's
+    code rows and vectors. All writes dynamic-overwrite batch
+    partitions — exactly-once on replay; reads bounded batch_id <
+    current."""
+    from ..functions.vectors import cosine_pandas
+
+    def handler(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.localCheckpoint()
+        codes = _emb_code_rows(batch)
+        cand = (
+            codes.join(
+                codes.select(
+                    "band_id", "code", F.col("doc_id").alias("prior_id")
+                ),
+                ["band_id", "code"],
+            )
+            .filter(F.col("prior_id") < F.col("doc_id"))
+            .select("doc_id", "prior_id")
+        )
+        prior_vecs = batch.select(
+            F.col("doc_id").alias("prior_id"),
+            F.col("embedding").alias("pv"),
+        )
+        if os.path.isdir(codes_dir):  # absent only before batch 0
+            prior_codes = (
+                spark.read.parquet(codes_dir)
+                .filter(F.col("batch_id") < batch_id)
+                .select(
+                    "band_id", "code", F.col("doc_id").alias("prior_id")
+                )
+            )
+            cand = cand.unionByName(
+                codes.join(prior_codes, ["band_id", "code"]).select(
+                    "doc_id", "prior_id"
+                )
+            )
+            prior_vecs = prior_vecs.unionByName(
+                spark.read.parquet(vecs_dir)
+                .filter(F.col("batch_id") < batch_id)
+                .select(
+                    F.col("doc_id").alias("prior_id"),
+                    F.col("embedding").alias("pv"),
+                )
+            )
+        hits = (
+            cand.distinct()
+            .join(
+                batch.select("doc_id", F.col("embedding").alias("av")),
+                "doc_id",
+            )
+            .join(prior_vecs, "prior_id")
+            .filter(F.round(cosine_pandas("av", "pv"), 4) >= 0.99)
+            .select("doc_id", "prior_id")
+        )
+        counts = hits.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        _overwrite_batch_partition(
+            batch.select("doc_id")
+            .join(counts, "doc_id", "left_outer")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("n"), F.lit(0))
+                .cast("long")
+                .alias("n_prior_neardups"),
+            ),
+            decisions_dir,
+            batch_id,
+        )
+        _overwrite_batch_partition(codes, codes_dir, batch_id)
+        _overwrite_batch_partition(
+            batch.select("doc_id", "embedding"), vecs_dir, batch_id
+        )
+
+    return handler
+
+
+_EMB_ARRIVAL_SCHEMA = "doc_id long, embedding array<float>"
+
+
+@register("stream_embedding_catalog_ingest", STREAM_EMB_CATALOG_ORACLE)
+def stream_embedding_catalog_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(vec_id, n_prior_neardups): each arriving vector's count of
+    cosine>=0.99 near-dups among every PRIOR ingested vector — seeded
+    evens (below the plant range) plus everything earlier micro-batches
+    appended. The +_EMBCAT_OFF plants are exact re-crawls of every 5th
+    vector: even sources dup the seed, ODD sources arrived earlier in
+    the stream, so their copies are caught purely by appended
+    partitions (the cross-batch catch)."""
+    from ..streaming.sinks import foreach_batch_sink
+
+    from . import tmp_run_dir
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    base_dir = tmp_run_dir("embcat_")
+    codes_dir = os.path.join(base_dir, "codes")
+    vecs_dir = os.path.join(base_dir, "vectors")
+    decisions_dir = os.path.join(base_dir, "decisions")
+    src_dir = os.path.join(base_dir, "arrivals")
+
+    seed = emb.filter(
+        (F.col("doc_id") % 2 == 0) & (F.col("doc_id") < _EMBCAT_OFF)
+    ).localCheckpoint()  # one derivation feeds both seeded relations
+    _seed_state(_emb_code_rows(seed), codes_dir)
+    _seed_state(seed.select("doc_id", "embedding"), vecs_dir)
+
+    plants = emb.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + _EMBCAT_OFF).alias("doc_id"), "embedding"
+    )
+    odds = emb.filter(F.col("doc_id") % 2 == 1)
+    _write_id_ordered_arrivals(
+        src_dir, _id_range_parts(odds, plants, plant_offset=_EMBCAT_OFF)
+    )
+    q = foreach_batch_sink(
+        _arrivals_stream(spark, src_dir, schema=_EMB_ARRIVAL_SCHEMA),
+        _embedding_catalog_handler(codes_dir, vecs_dir, decisions_dir),
+        checkpoint=os.path.join(base_dir, "ckpt"),
+        mode="append",
+    )
+    q.awaitTermination()
+    return spark.read.parquet(decisions_dir).select(
+        F.col("doc_id").alias("vec_id"), "n_prior_neardups"
     )
 
 

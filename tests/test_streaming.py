@@ -2706,3 +2706,79 @@ def test_neardup_inc_compacted_adopts_through_collapse(spark, tmp_path):
     got = {r.doc_id: r.split for r in spark.read.parquet(dec_b).collect()}
     assert reps[20] == 13, reps
     assert got[20] == own[13] != own[20]
+
+
+def test_embedding_catalog_cross_batch_growth(spark, tmp_path):
+    """r18: the embedding near-dup catalog's growth is load-bearing — an
+    exact copy of a vector that arrived in an EARLIER micro-batch is
+    counted purely via the code rows + vector that batch appended (the
+    seed never saw it); and a replayed batch, bounded to partitions
+    below its own batch_id, reproduces its counts exactly."""
+    from spark_streaming_kafka_example_spark.plans.stream import (
+        _EMB_ARRIVAL_SCHEMA,
+        _emb_code_rows,
+        _embedding_catalog_handler,
+        _seed_state,
+    )
+    from spark_streaming_kafka_example_spark.streaming.sinks import (
+        foreach_batch_sink,
+    )
+
+    codes = str(tmp_path / "codes")
+    vecs = str(tmp_path / "vectors")
+    decisions = str(tmp_path / "decisions")
+    src = str(tmp_path / "arrivals")
+
+    def vec(seed):  # deterministic unit-norm-ish 64-dim vectors
+        return [float(((seed * 31 + i * 7) % 13) - 6) for i in range(64)]
+
+    rows = lambda pairs: spark.createDataFrame(  # noqa: E731
+        pairs, _EMB_ARRIVAL_SCHEMA
+    )
+    seed_df = rows([(2, vec(1))]).localCheckpoint()
+    _seed_state(_emb_code_rows(seed_df), codes)
+    _seed_state(seed_df.select("doc_id", "embedding"), vecs)
+
+    batches = [
+        [(11, vec(5))],  # novel vector
+        [(13, vec(5)), (15, vec(1))],  # copy of batch 0's; copy of seed
+    ]
+    for i, pairs in enumerate(batches):
+        rows(pairs).coalesce(1).write.parquet(f"{src}/b{i}")
+        for root, _dirs, files in os.walk(f"{src}/b{i}"):
+            for fn in files:
+                os.utime(
+                    os.path.join(root, fn),
+                    (1_700_000_000 + i, 1_700_000_000 + i),
+                )
+
+    handler = _embedding_catalog_handler(codes, vecs, decisions)
+    q = foreach_batch_sink(
+        (
+            spark.readStream.schema(_EMB_ARRIVAL_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        ),
+        handler,
+        checkpoint=str(tmp_path / "ckpt"),
+        mode="append",
+    )
+    q.awaitTermination()
+
+    got = {
+        r.doc_id: r.n_prior_neardups
+        for r in spark.read.parquet(decisions).collect()
+    }
+    assert got == {
+        11: 0,  # nothing prior is cosine-close to it
+        13: 1,  # ONLY batch 0's appended code rows + vector explain this
+        15: 1,  # the seeded relations explain this
+    }, got
+
+    # replay batch 0: reads partitions < 0 (seed only), counts identical
+    handler(rows(batches[0]), 0)
+    got2 = {
+        r.doc_id: r.n_prior_neardups
+        for r in spark.read.parquet(decisions).collect()
+    }
+    assert got2 == got
