@@ -397,6 +397,8 @@ DEFER_TO_TAIL: dict[str, int] = {
     "stream_split_by_neardup_inc_compacted": 18,
     "stream_split_by_neardup_inc_audit": 18,
     "stream_embedding_catalog_ingest": 18,
+    "stream_embedding_catalog_compacted": 18,
+    "stream_embedding_catalog_retention": 18,
 }
 
 

@@ -212,8 +212,11 @@ HEADLINE = [
     "stream_split_by_neardup_inc_compacted",
     "stream_split_by_neardup_inc_audit",
     # r18: the embedding modality's dedup-maintenance arm (the matrix's
-    # vector row as a true dedup arm, not just IVF serving).
+    # vector row as a true dedup arm, not just IVF serving) + its
+    # lifecycle twins.
     "stream_embedding_catalog_ingest",
+    "stream_embedding_catalog_compacted",
+    "stream_embedding_catalog_retention",
 ]
 _HEADLINE_SET = frozenset(HEADLINE)
 

@@ -3963,6 +3963,33 @@ STREAM_EMB_CATALOG_ORACLE = f"""
 )
 
 
+def _emb_prior_relations(
+    spark: SparkSession,
+    codes_dir: str,
+    vecs_dir: str,
+    batch_id: int,
+    retention_batches: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """The (prior code rows, prior vectors) visible to a batch: both
+    bounded batch_id < current, both windowed to [current - W, current)
+    under retention — the bounds reach BOTH scans as partition filters
+    (pinned by test_ttl_embedding_catalog_read_pruned_both_sides)."""
+    prior_codes = spark.read.parquet(codes_dir).filter(
+        F.col("batch_id") < batch_id
+    )
+    prior_store = spark.read.parquet(vecs_dir).filter(
+        F.col("batch_id") < batch_id
+    )
+    if retention_batches is not None:
+        prior_codes = prior_codes.filter(
+            F.col("batch_id") >= batch_id - retention_batches
+        )
+        prior_store = prior_store.filter(
+            F.col("batch_id") >= batch_id - retention_batches
+        )
+    return prior_codes, prior_store
+
+
 def _emb_code_rows(batch_df: DataFrame) -> DataFrame:
     """(doc_id, band_id, code) hyperplane-LSH band codes for a
     micro-batch's vectors — the embedding twin of _batch_band_rows,
@@ -3983,7 +4010,10 @@ def _emb_code_rows(batch_df: DataFrame) -> DataFrame:
 
 
 def _embedding_catalog_handler(
-    codes_dir: str, vecs_dir: str, decisions_dir: str
+    codes_dir: str,
+    vecs_dir: str,
+    decisions_dir: str,
+    retention_batches: int | None = None,
 ):
     """foreachBatch handler: band-code the batch's vectors, collect
     candidate (doc_id, prior_id) band collisions (earlier partitions +
@@ -3991,7 +4021,9 @@ def _embedding_catalog_handler(
     vector store, count DISTINCT verified priors, append the batch's
     code rows and vectors. All writes dynamic-overwrite batch
     partitions — exactly-once on replay; reads bounded batch_id <
-    current."""
+    current. ``retention_batches`` windows BOTH state reads to the last
+    W batches (non-recursive — every vector's rows always append, so a
+    row is visible iff its batch is in [current - W, current))."""
     from ..functions.vectors import cosine_pandas
 
     def handler(batch_df: DataFrame, batch_id: int) -> None:
@@ -4013,22 +4045,19 @@ def _embedding_catalog_handler(
             F.col("embedding").alias("pv"),
         )
         if os.path.isdir(codes_dir):  # absent only before batch 0
-            prior_codes = (
-                spark.read.parquet(codes_dir)
-                .filter(F.col("batch_id") < batch_id)
-                .select(
-                    "band_id", "code", F.col("doc_id").alias("prior_id")
-                )
+            prior_codes, prior_store = _emb_prior_relations(
+                spark, codes_dir, vecs_dir, batch_id, retention_batches
             )
             cand = cand.unionByName(
-                codes.join(prior_codes, ["band_id", "code"]).select(
-                    "doc_id", "prior_id"
-                )
+                codes.join(
+                    prior_codes.select(
+                        "band_id", "code", F.col("doc_id").alias("prior_id")
+                    ),
+                    ["band_id", "code"],
+                ).select("doc_id", "prior_id")
             )
             prior_vecs = prior_vecs.unionByName(
-                spark.read.parquet(vecs_dir)
-                .filter(F.col("batch_id") < batch_id)
-                .select(
+                prior_store.select(
                     F.col("doc_id").alias("prior_id"),
                     F.col("embedding").alias("pv"),
                 )
@@ -4080,41 +4109,201 @@ def stream_embedding_catalog_ingest(
     vector: even sources dup the seed, ODD sources arrived earlier in
     the stream, so their copies are caught purely by appended
     partitions (the cross-batch catch)."""
+    return _embedding_catalog_run(spark, sf_dir, "embcat_")
+
+
+def _emb_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings relation with vec_id renamed to doc_id — the id
+    column the shared id-ordered arrival plumbing keys on."""
+    return load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+
+
+def _emb_catalog_seed(emb: DataFrame) -> DataFrame:
+    """The seeded vectors: even ids BELOW the plant range (the
+    _image_catalog_seed bound — the oracle's seed branch has it)."""
+    return emb.filter(
+        (F.col("doc_id") % 2 == 0) & (F.col("doc_id") < _EMBCAT_OFF)
+    )
+
+
+def _emb_arrival_parts(emb: DataFrame) -> list:
+    """The embedding-catalog arrival files: odd ids in 3 id ranges + the
+    +_EMBCAT_OFF exact re-crawls of every 5th vector."""
+    plants = emb.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + _EMBCAT_OFF).alias("doc_id"), "embedding"
+    )
+    odds = emb.filter(F.col("doc_id") % 2 == 1)
+    return _id_range_parts(odds, plants, plant_offset=_EMBCAT_OFF)
+
+
+def _embedding_catalog_run(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str,
+    retention_batches: int | None = None,
+) -> DataFrame:
+    """Seed the code catalog + vector store, stream the id-ordered
+    arrivals through the embedding-catalog handler, return the drained
+    decisions — the one ingest body shared by the unbounded and TTL'd
+    registrations (the _image_catalog_run convention)."""
     from ..streaming.sinks import foreach_batch_sink
 
     from . import tmp_run_dir
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("doc_id"), "embedding"
-    )
-    base_dir = tmp_run_dir("embcat_")
+    emb = _emb_table(spark, sf_dir)
+    base_dir = tmp_run_dir(prefix)
     codes_dir = os.path.join(base_dir, "codes")
     vecs_dir = os.path.join(base_dir, "vectors")
     decisions_dir = os.path.join(base_dir, "decisions")
     src_dir = os.path.join(base_dir, "arrivals")
 
-    seed = emb.filter(
-        (F.col("doc_id") % 2 == 0) & (F.col("doc_id") < _EMBCAT_OFF)
-    ).localCheckpoint()  # one derivation feeds both seeded relations
+    seed = _emb_catalog_seed(emb).localCheckpoint()
     _seed_state(_emb_code_rows(seed), codes_dir)
     _seed_state(seed.select("doc_id", "embedding"), vecs_dir)
 
-    plants = emb.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + _EMBCAT_OFF).alias("doc_id"), "embedding"
-    )
-    odds = emb.filter(F.col("doc_id") % 2 == 1)
-    _write_id_ordered_arrivals(
-        src_dir, _id_range_parts(odds, plants, plant_offset=_EMBCAT_OFF)
-    )
+    _write_id_ordered_arrivals(src_dir, _emb_arrival_parts(emb))
     q = foreach_batch_sink(
         _arrivals_stream(spark, src_dir, schema=_EMB_ARRIVAL_SCHEMA),
-        _embedding_catalog_handler(codes_dir, vecs_dir, decisions_dir),
+        _embedding_catalog_handler(
+            codes_dir, vecs_dir, decisions_dir, retention_batches
+        ),
         checkpoint=os.path.join(base_dir, "ckpt"),
         mode="append",
     )
     q.awaitTermination()
     return spark.read.parquet(decisions_dir).select(
         F.col("doc_id").alias("vec_id"), "n_prior_neardups"
+    )
+
+
+@register("stream_embedding_catalog_compacted", STREAM_EMB_CATALOG_ORACLE)
+def stream_embedding_catalog_compacted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(vec_id, n_prior_neardups): the embedding-catalog ingest
+    compacted mid-lifecycle — BOTH state relations (code rows and
+    vectors; appends are per-vector-unique, so _compact_state's
+    novel-only premise holds for each) collapse to one batch_id=-1
+    partition between the two arrival phases. Registers against
+    STREAM_EMB_CATALOG_ORACLE VERBATIM: the driver hash proves a
+    phase-B copy of a phase-A vector is still counted through the
+    collapse. Bespoke two-phase body (seedful but TWO-relation — the
+    shared _compacted_two_phase_ingest seeds exactly one state dir),
+    same phase structure as the cluster-map compaction."""
+    from ..streaming.sinks import foreach_batch_sink
+
+    from . import tmp_run_dir
+
+    emb = _emb_table(spark, sf_dir)
+    base_dir = tmp_run_dir("embcompact_")
+    parts = _emb_arrival_parts(emb)
+    dirs = {
+        f"{kind}_{ph}": os.path.join(base_dir, f"{kind}_{ph}")
+        for kind in ("codes", "vectors", "decisions")
+        for ph in ("a", "b")
+    }
+    seed = _emb_catalog_seed(emb).localCheckpoint()
+    _seed_state(_emb_code_rows(seed), dirs["codes_a"])
+    _seed_state(seed.select("doc_id", "embedding"), dirs["vectors_a"])
+
+    _write_id_ordered_arrivals(os.path.join(base_dir, "arr_a"), parts[:2])
+    q = foreach_batch_sink(
+        _arrivals_stream(
+            spark, os.path.join(base_dir, "arr_a"), schema=_EMB_ARRIVAL_SCHEMA
+        ),
+        _embedding_catalog_handler(
+            dirs["codes_a"], dirs["vectors_a"], dirs["decisions_a"],
+            retention_batches=None,
+        ),
+        checkpoint=os.path.join(base_dir, "ckpt_a"),
+        mode="append",
+    )
+    q.awaitTermination()
+
+    _compact_state(spark, dirs["codes_a"], dirs["codes_b"])
+    _compact_state(spark, dirs["vectors_a"], dirs["vectors_b"])
+
+    _write_id_ordered_arrivals(os.path.join(base_dir, "arr_b"), parts[2:])
+    q = foreach_batch_sink(
+        _arrivals_stream(
+            spark, os.path.join(base_dir, "arr_b"), schema=_EMB_ARRIVAL_SCHEMA
+        ),
+        _embedding_catalog_handler(
+            dirs["codes_b"], dirs["vectors_b"], dirs["decisions_b"],
+            retention_batches=None,
+        ),
+        checkpoint=os.path.join(base_dir, "ckpt_b"),
+        mode="append",
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(dirs["decisions_a"])
+        .unionByName(spark.read.parquet(dirs["decisions_b"]))
+        .select(F.col("doc_id").alias("vec_id"), "n_prior_neardups")
+    )
+
+
+_EMBCAT_TTL_W = 2
+
+STREAM_EMB_CATALOG_RETENTION_ORACLE = f"""
+    WITH vcorpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + {_EMBCAT_OFF}, CAST(embedding AS DOUBLE[])
+        FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    mx AS (SELECT max(vec_id) AS m FROM embeddings WHERE vec_id % 2 = 1),
+    bmap AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 2 = 0 AND vec_id < {_EMBCAT_OFF}
+                        THEN -1
+                    WHEN vec_id >= {_EMBCAT_OFF} THEN 3
+                    WHEN vec_id <= (SELECT m // 3 FROM mx) THEN 0
+                    WHEN vec_id <= (SELECT (2 * m) // 3 FROM mx) THEN 1
+                    ELSE 2 END AS b
+        FROM vcorpus
+    ),
+    arr AS (SELECT vec_id, v FROM vcorpus
+            WHERE vec_id % 2 = 1 OR vec_id >= {_EMBCAT_OFF}),
+    hits AS (
+        SELECT a.vec_id, p.vec_id AS prior_id
+        FROM arr a
+        JOIN bmap ba ON ba.vec_id = a.vec_id
+        JOIN vcorpus p ON TRUE
+        JOIN bmap bp ON bp.vec_id = p.vec_id
+        WHERE ((bp.b < ba.b AND bp.b >= ba.b - {_EMBCAT_TTL_W})
+               OR (bp.b = ba.b AND p.vec_id < a.vec_id))
+          AND round({{dot}} / ({{na}} * {{np}}), 4) >= 0.99
+    )
+    SELECT arr.vec_id,
+           CAST(count(h.prior_id) AS BIGINT) AS n_prior_neardups
+    FROM arr LEFT JOIN hits h ON arr.vec_id = h.vec_id
+    GROUP BY arr.vec_id
+    """.format(
+    dot="list_sum(list_transform(list_zip(a.v, p.v), x -> x[1] * x[2]))",
+    na="sqrt(list_sum(list_transform(a.v, x -> x * x)))",
+    np="sqrt(list_sum(list_transform(p.v, x -> x * x)))",
+)
+
+
+@register(
+    "stream_embedding_catalog_retention",
+    STREAM_EMB_CATALOG_RETENTION_ORACLE,
+)
+def stream_embedding_catalog_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(vec_id, n_prior_neardups): the embedding-catalog ingest under a
+    _EMBCAT_TTL_W(=2)-batch retention window — each batch probes only
+    the last W batches' code rows + vectors (both reads
+    partition-pruned on both sides), so the seed ages out at batch W
+    and the +plant re-crawls of seeded (even) vectors stop being
+    counted once the seed is out of window (expiry pinned by
+    test_embedding_catalog_retention_expires)."""
+    return _embedding_catalog_run(
+        spark, sf_dir, "embttl_", retention_batches=_EMBCAT_TTL_W
     )
 
 

@@ -1192,3 +1192,49 @@ def test_ttl_image_catalog_read_pruned_both_sides(spark, tmp_path):
         assert "< 3" in filters and ">= 1" in filters, (
             f"TTL bounds not pushed to partition pruning: {filters}"
         )
+
+
+def test_ttl_embedding_catalog_read_pruned_both_sides(spark, tmp_path):
+    """r18: the embedding catalog's retention window must reach BOTH
+    state scans (code rows and vectors) as PARTITION filters
+    (batch_id < current AND >= current - W) — the image pin's vector
+    twin."""
+    import pyspark.sql.functions as SF
+
+    from spark_streaming_kafka_example_spark.plans.stream import (
+        _emb_code_rows,
+        _emb_prior_relations,
+    )
+
+    codes = str(tmp_path / "codes")
+    vecs = str(tmp_path / "vectors")
+    schema = "doc_id long, embedding array<float>"
+    for b in (-1, 0, 1, 2):
+        df = spark.createDataFrame(
+            [(10 + b, [float(b + i) for i in range(64)])], schema
+        )
+        _emb_code_rows(df).withColumn("batch_id", SF.lit(b)).write.mode(
+            "append"
+        ).partitionBy("batch_id").parquet(codes)
+        df.withColumn("batch_id", SF.lit(b)).write.mode(
+            "append"
+        ).partitionBy("batch_id").parquet(vecs)
+
+    prior_codes, prior_store = _emb_prior_relations(
+        spark, codes, vecs, batch_id=3, retention_batches=2
+    )
+    for rel, path_word in ((prior_codes, "codes"), (prior_store, "vectors")):
+        # each relation's plan holds exactly one FileScan (its own state
+        # dir); the location string truncates under pytest's long tmp
+        # paths, so don't key the match on the dir name
+        plan = rel._jdf.queryExecution().executedPlan().toString()
+        scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+        assert scans, f"no FileScan over {path_word}"
+        for ln in scans:
+            pf = ln.split("PartitionFilters: [", 1)
+            assert len(pf) == 2, f"{path_word} scan lost its partition filters"
+            filters = pf[1].split("]", 1)[0]
+            assert "batch_id#" in filters or "batch_id " in filters
+            assert "< 3" in filters and ">= 1" in filters, (
+                f"TTL bounds not pushed to partition pruning: {filters}"
+            )

@@ -2782,3 +2782,110 @@ def test_embedding_catalog_cross_batch_growth(spark, tmp_path):
         for r in spark.read.parquet(decisions).collect()
     }
     assert got2 == got
+
+
+def test_embedding_catalog_retention_expires(spark, tmp_path):
+    """r18: the TTL'd embedding catalog forgets — code rows + vectors
+    older than _EMBCAT_TTL_W(=2) batches stop being probed (the seed
+    ages out at batch W, a batch-0 vector ages out at batch 3), proven
+    by running the SAME arrival files through the windowed and
+    unbounded handlers and contrasting the counts."""
+    from spark_streaming_kafka_example_spark.plans.stream import (
+        _EMB_ARRIVAL_SCHEMA,
+        _EMBCAT_TTL_W,
+        _emb_code_rows,
+        _embedding_catalog_handler,
+        _seed_state,
+    )
+    from spark_streaming_kafka_example_spark.streaming.sinks import (
+        foreach_batch_sink,
+    )
+
+    src = str(tmp_path / "arrivals")
+
+    def vec(seed):
+        return [float(((seed * 31 + i * 7) % 13) - 6) for i in range(64)]
+
+    rows = lambda pairs: spark.createDataFrame(  # noqa: E731
+        pairs, _EMB_ARRIVAL_SCHEMA
+    )
+    batches = [
+        [(11, vec(5))],  # b0: novel vector
+        [(13, vec(5))],  # b1: copy of b0's (in window)
+        [(15, vec(1))],  # b2: copy of the seed — but the seed aged out
+        [(17, vec(5))],  # b3: b0's rows aged out; b1's still in window
+    ]
+    for i, pairs in enumerate(batches):
+        rows(pairs).coalesce(1).write.parquet(f"{src}/b{i}")
+        for root, _dirs, files in os.walk(f"{src}/b{i}"):
+            for fn in files:
+                os.utime(
+                    os.path.join(root, fn),
+                    (1_700_000_000 + i, 1_700_000_000 + i),
+                )
+
+    got = {}
+    for mode, retention in [("ttl", _EMBCAT_TTL_W), ("unbounded", None)]:
+        codes = str(tmp_path / f"codes_{mode}")
+        vecs = str(tmp_path / f"vectors_{mode}")
+        decisions = str(tmp_path / f"decisions_{mode}")
+        seed_df = rows([(2, vec(1))]).localCheckpoint()
+        _seed_state(_emb_code_rows(seed_df), codes)
+        _seed_state(seed_df.select("doc_id", "embedding"), vecs)
+        q = foreach_batch_sink(
+            (
+                spark.readStream.schema(_EMB_ARRIVAL_SCHEMA)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src + "/*")
+            ),
+            _embedding_catalog_handler(codes, vecs, decisions, retention),
+            checkpoint=str(tmp_path / f"ckpt_{mode}"),
+            mode="append",
+        )
+        q.awaitTermination()
+        got[mode] = {
+            r.doc_id: r.n_prior_neardups
+            for r in spark.read.parquet(decisions).collect()
+        }
+
+    assert got["unbounded"] == {11: 0, 13: 1, 15: 1, 17: 2}
+    assert got["ttl"] == {
+        11: 0,
+        13: 1,  # 11 still in window
+        15: 0,  # the seed aged out at batch _EMBCAT_TTL_W
+        17: 1,  # 11's batch-0 rows aged out; 13's batch-1 rows retained
+    }, got["ttl"]
+
+
+def test_embedding_compacted_ingest_cross_phase(spark):
+    """r18: the embedding catalog's mid-lifecycle compaction is
+    load-bearing — a phase-B vector duplicating PHASE-A content is
+    counted via the COMPACTED relations (the only place phase A's code
+    rows + vectors survive), and a phase-B copy of the seed proves the
+    seed rode through the collapse too."""
+    from spark_streaming_kafka_example_spark import plans
+    from spark_streaming_kafka_example_spark.plans import (  # noqa: F401
+        stream as _force_registration,
+    )
+
+    # The registered compacted twin shares the unbounded twin's oracle;
+    # value-compare the two registrations directly at sf0.001 — phase B
+    # holds the third odd-id range AND the plants, whose sources sit in
+    # the seed and phase A, so equality is exactly the
+    # through-the-collapse claim.
+    sf_dir = "/root/testdata/sf0.001"
+    comp = {
+        r.vec_id: r.n_prior_neardups
+        for r in plans.QUERIES["stream_embedding_catalog_compacted"](
+            spark, sf_dir
+        ).collect()
+    }
+    plain = {
+        r.vec_id: r.n_prior_neardups
+        for r in plans.QUERIES["stream_embedding_catalog_ingest"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert comp == plain
+    # non-vacuous: phase-B plants (ids >= 100000) DO count priors
+    assert any(v > 0 for k, v in comp.items() if k >= 100000)
