@@ -3957,9 +3957,11 @@ STREAM_EMB_CATALOG_ORACLE = f"""
     FROM arr LEFT JOIN hits h ON arr.vec_id = h.vec_id
     GROUP BY arr.vec_id
     """.format(
-    dot="list_sum(list_transform(list_zip(a.v, p.v), x -> x[1] * x[2]))",
-    na="sqrt(list_sum(list_transform(a.v, x -> x * x)))",
-    np="sqrt(list_sum(list_transform(p.v, x -> x * x)))",
+    # Rendered from llm's _DOT/_NORM templates (r18 ADVICE) so this text
+    # can never silently diverge from dedup_embedding_cosine's 0.99 rule.
+    dot=_DOT.format(a="a.v", b="p.v"),
+    na=_NORM.format(a="a.v"),
+    np=_NORM.format(a="p.v"),
 )
 
 
@@ -4044,6 +4046,14 @@ def _embedding_catalog_handler(
             F.col("doc_id").alias("prior_id"),
             F.col("embedding").alias("pv"),
         )
+        if os.path.isdir(codes_dir) != os.path.isdir(vecs_dir):
+            # fail fast on a half-seeded state pair (r18 ADVICE) instead
+            # of an opaque mid-stream AnalysisException on the lone read
+            raise RuntimeError(
+                "_embedding_catalog_handler: state dirs out of sync — "
+                f"codes={os.path.isdir(codes_dir)} "
+                f"vectors={os.path.isdir(vecs_dir)}"
+            )
         if os.path.isdir(codes_dir):  # absent only before batch 0
             prior_codes, prior_store = _emb_prior_relations(
                 spark, codes_dir, vecs_dir, batch_id, retention_batches
@@ -4282,9 +4292,10 @@ STREAM_EMB_CATALOG_RETENTION_ORACLE = f"""
     FROM arr LEFT JOIN hits h ON arr.vec_id = h.vec_id
     GROUP BY arr.vec_id
     """.format(
-    dot="list_sum(list_transform(list_zip(a.v, p.v), x -> x[1] * x[2]))",
-    na="sqrt(list_sum(list_transform(a.v, x -> x * x)))",
-    np="sqrt(list_sum(list_transform(p.v, x -> x * x)))",
+    # Same _DOT/_NORM renders as STREAM_EMB_CATALOG_ORACLE (r18 ADVICE).
+    dot=_DOT.format(a="a.v", b="p.v"),
+    na=_NORM.format(a="a.v"),
+    np=_NORM.format(a="p.v"),
 )
 
 
@@ -4855,9 +4866,10 @@ def _neardup_clustermap_handler(
             "doc_id", "text", fingerprint("text").alias("fp")
         ).localCheckpoint()
         bands = _batch_band_rows(scored)
-        hits = _within_batch_band_hits(bands)
         if os.path.isdir(catalog_dir):  # absent only before batch 0
             hits = _catalog_prior_hits(catalog_dir, bands, batch_id)
+        else:  # seedless first batch probes within itself alone
+            hits = _within_batch_band_hits(bands)
         par = hits.groupBy("doc_id").agg(F.min("prior_id").alias("parent"))
         base = scored.select("doc_id", "fp").join(par, "doc_id", "left_outer")
         if os.path.isdir(map_dir):
