@@ -13,7 +13,7 @@ import pandas as pd
 from pyspark.sql import Column, functions as F
 from pyspark.sql import types as T
 
-__all__ = ["dot", "norm", "cosine", "cosine_pandas"]
+__all__ = ["dot", "norm", "cosine", "cosine_pandas", "cosine_all_pandas"]
 
 
 def dot(a, b) -> Column:
@@ -60,3 +60,48 @@ def cosine_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
         na = na + x * x
         nb = nb + y * y
     return pd.Series(num / (np.sqrt(na) * np.sqrt(nb)))
+
+
+@F.pandas_udf(T.ArrayType(T.DoubleType()))
+def cosine_all_pandas(a: pd.Series, cents_flat: pd.Series) -> pd.Series:
+    """Per row: the cosines against EVERY centroid of a BATCH-CONSTANT
+    flattened codebook column (the similarity._centroids_row 1-row fold,
+    cross-joined onto the corpus and flattened k*dim row-major so the
+    Arrow -> pandas conversion stays numeric — a nested array<struct>
+    column here materializes millions of per-element Python objects and
+    costs more than the maths). output[i] pairs with centroid i in
+    flatten order.
+
+    This is the nearest-centroid hot path (r19): one Arrow batch crosses
+    the boundary per corpus partition and numpy computes the n x k cosine
+    matrix — replacing a k-way row explosion through the pairwise kernel
+    followed by a corpus-wide argmax shuffle.
+
+    BIT-IDENTICAL to ``cosine_pandas`` per (row, centroid) pair: the
+    accumulators run the same sequential dim-order fold
+    ``(((0 + x0*c0) + x1*c1) + ...)`` — ``num`` accumulates one outer
+    product per dimension, ``na``/``nc`` the squared terms — followed by
+    the same single sqrt-product divide, so round(4) downstream cannot
+    diverge. Rounding and the argmax tie-break deliberately stay on the
+    JVM side (similarity._nearest_centroid_struct) where their semantics
+    are already oracle-proven."""
+    import numpy as np
+
+    if len(a) == 0:
+        return pd.Series([], dtype=object)
+    av = np.stack(a.to_numpy()).astype(np.float64, copy=False)
+    n, dim = av.shape
+    C = np.asarray(cents_flat.iloc[0], dtype=np.float64).reshape(-1, dim)
+    k = C.shape[0]
+    nc = np.zeros(k)
+    for i in range(dim):
+        nc = nc + C[:, i] * C[:, i]
+    snc = np.sqrt(nc)
+    num = np.zeros((n, k))
+    na = np.zeros(n)
+    for i in range(dim):
+        x = av[:, i]
+        num = num + x[:, None] * C[None, :, i]
+        na = na + x * x
+    res = num / (np.sqrt(na)[:, None] * snc[None, :])
+    return pd.Series(list(res))

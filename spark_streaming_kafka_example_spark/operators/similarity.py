@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.vectors import cosine_pandas
+from ..functions.vectors import cosine_all_pandas, cosine_pandas
 
 __all__ = [
     "brute_force_topk",
@@ -61,20 +61,60 @@ def brute_force_topk(
     )
 
 
-def _argmax_centroid(scored: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """Nearest-centroid argmax as a hash aggregation: max_by on the
-    (ccos, -cent_id) struct reproduces the (desc ccos, asc cent_id)
-    window-rank tie-break with map-side partial aggregation and NO sort —
-    at scale this shuffles one pre-combined row per vector instead of
-    sort-exchanging corpus x k scored rows. Keys are unique per group
-    (cent_id is distinct), so the result is deterministic.
-
-    Output: (id_col, bucket, vec_col)."""
-    key = F.struct(F.col("ccos"), (-F.col("cent_id")).alias("neg_cent"))
-    return scored.groupBy(id_col).agg(
-        F.max_by("cent_id", key).alias("bucket"),
-        F.first(vec_col).alias(vec_col),  # constant within the group
+def _centroids_row(centroids: DataFrame, cents_col: str = "_cents") -> DataFrame:
+    """The FIXED-K centroid table folded into ONE row holding an
+    array<struct<cent_id, cv>> (r19): cross-joining this single broadcast
+    row gives every corpus row the whole centroid set as a column, so the
+    nearest-centroid argmax becomes a WITHIN-ROW array_max — zero
+    exchanges — instead of a k-way row explosion followed by a corpus-wide
+    groupBy shuffle that carried the full vector per scored row. The fold
+    is order-insensitive (argmax over a set), so collect_list's partition
+    nondeterminism cannot change results. Stays lazy: no collect, the
+    1-row aggregate materializes with the consuming action."""
+    return centroids.agg(
+        F.collect_list(
+            F.struct(F.col("cent_id"), F.col("cv"))
+        ).alias(cents_col)
     )
+
+
+def _scored_cents(vec, cents="_cents"):
+    """array<struct<ccos, neg_cent, cv>>: every centroid scored against
+    this row's vector. ``cents`` is a column (name or expression) holding
+    array<struct<cent_id, cv>>. Cosines come batched from
+    ``cosine_all_pandas`` (one Arrow pass, bit-identical per pair to the
+    proven pairwise kernel); round(4) and the struct layout stay
+    JVM-side so the comparison semantics are exactly the pre-r19 ones."""
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    cents = F.col(cents) if isinstance(cents, str) else cents
+    # Only the vector and the FLATTENED numeric codebook cross the Python
+    # boundary (see cosine_all_pandas); the struct array stays JVM-side
+    # for the zip. flatten order == array order, so zip_with pairs
+    # centroid i with cosine i.
+    flat = F.flatten(F.transform(cents, lambda s: s["cv"]))
+    return F.zip_with(
+        cents,
+        cosine_all_pandas(vec, flat),
+        lambda s, c: F.struct(
+            F.round(c, 4).alias("ccos"),
+            (-s["cent_id"]).alias("neg_cent"),
+            s["cv"].alias("cv"),
+        ),
+    )
+
+
+def _nearest_centroid_struct(vec, cents_col: str = "_cents"):
+    """Within-row nearest-centroid selection: array_max over
+    struct(ccos, -cent_id, cv) reproduces exactly the old
+    max_by(cent_id, struct(ccos, -cent_id)) aggregation semantics —
+    max cosine first (struct ordering treats NaN as greatest, like
+    max_by), then the LOWEST cent_id on ties; the winning struct's cv
+    IS the codebook decode. Cosine values are bit-identical to the old
+    pairwise-kernel path (see cosine_all_pandas), so round(4) matches
+    the oracle unchanged.
+
+    Returns the winning struct; read .neg_cent (negated bucket) / .cv."""
+    return F.array_max(_scored_cents(vec, cents_col))
 
 
 def kmeans_centroids(
@@ -99,18 +139,16 @@ def kmeans_centroids(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
     )
     for _ in range(iterations):
-        scored = (
+        # r19: within-row argmax against the 1-row folded centroid set —
+        # the old crossJoin(k rows) + pandas cosine + corpus-wide max_by
+        # shuffle (which carried the full vector per scored row) becomes
+        # a zero-exchange projection; values bit-identical (see
+        # _nearest_centroid_struct).
+        best = _nearest_centroid_struct(vec_col)
+        assigned = (
             emb.select(F.col(id_col), F.col(vec_col))
-            .crossJoin(F.broadcast(cent))
-            .select(
-                id_col,
-                vec_col,
-                "cent_id",
-                F.round(cosine_pandas(vec_col, "cv"), 4).alias("ccos"),
-            )
-        )
-        assigned = _argmax_centroid(scored, id_col, vec_col).select(
-            "bucket", F.col(vec_col)
+            .crossJoin(F.broadcast(_centroids_row(cent)))
+            .select((-best["neg_cent"]).alias("bucket"), F.col(vec_col))
         )
         per_dim = (
             assigned.select("bucket", F.posexplode(vec_col).alias("ord", "val"))
@@ -139,21 +177,17 @@ def assign_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Assign every corpus vector to its nearest centroid (broadcast
-    centroids; one pass over the corpus, argmax via hash agg — no sort)."""
+    """Assign every corpus vector to its nearest centroid (broadcast the
+    1-row folded centroid set; one MAP-SIDE pass over the corpus — the
+    argmax is a within-row array_max, so the assignment has ZERO
+    exchanges; r19, previously a k-way crossJoin + corpus-wide max_by
+    shuffle that moved the full vector per scored row)."""
     c = centroids.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv"))
-    scored = (
+    best = _nearest_centroid_struct(vec_col)
+    return (
         corpus.select(F.col(id_col), F.col(vec_col))
-        .crossJoin(F.broadcast(c))
-        .select(
-            id_col,
-            vec_col,
-            "cent_id",
-            F.round(cosine_pandas(vec_col, "cv"), 4).alias("ccos"),
-        )
-    )
-    return _argmax_centroid(scored, id_col, vec_col).select(
-        id_col, vec_col, "bucket"
+        .crossJoin(F.broadcast(_centroids_row(c)))
+        .select(id_col, vec_col, (-best["neg_cent"]).alias("bucket"))
     )
 
 
@@ -170,10 +204,21 @@ def probe_buckets(
     probe). Centroids broadcast (FIXED-K); rank ties break on cent_id so
     the probed set is reproducible across engines."""
     c = centroids.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv"))
+    # r19: same (q_id, cent_id, ccos) rows as the old k-way crossJoin +
+    # pairwise pandas cosine, now produced by exploding the within-row
+    # scored-centroid array (batched kernel, bit-identical values) — one
+    # broadcast row instead of k; the window rank (and therefore the
+    # probed set, ties included) is unchanged.
     qprobe = (
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
-        .crossJoin(F.broadcast(c))
-        .select("q_id", "qv", "cent_id", F.round(cosine_pandas("qv", "cv"), 4).alias("ccos"))
+        .crossJoin(F.broadcast(_centroids_row(c)))
+        .select("q_id", "qv", F.explode(_scored_cents("qv")).alias("_sc"))
+        .select(
+            "q_id",
+            "qv",
+            (-F.col("_sc.neg_cent")).alias("cent_id"),
+            F.col("_sc.ccos").alias("ccos"),
+        )
     )
     wq = Window.partitionBy("q_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
     return (

@@ -2961,38 +2961,130 @@ _PQ_ADC_SQL = f"""
     """
 
 
-def _pq_reconstruction(emb: DataFrame, out_col: str = "embedding") -> DataFrame:
-    """(vec_id, out_col): every vector's PQ RECONSTRUCTION — per subspace,
-    train the deterministic k-means codebook, code each subvector as its
-    nearest centroid, and concatenate the 4 looked-up centroids back into
-    a 64-dim vector. The single definition sim_pq_adc_recall and
-    sim_ivfpq_recall share (r12): both oracles replay the same four
-    renamed subspace chains, so both Spark sides must build the same
-    reconstruction. Scale: codebooks are _PQ_M x _KMEANS_K x _PQ_SUBDIM
-    floats (constant, broadcast); each subspace is one
-    broadcast-centroid pass."""
-    from ..operators.similarity import assign_buckets, kmeans_centroids
-
-    recon = None
+def _pq_codebooks(emb: DataFrame) -> DataFrame:
+    """(m, cent_id, cv): all _PQ_M per-subspace PQ codebooks — the same
+    deterministic spherical k-means the per-subspace oracle chains replay
+    (init = the k lowest-id subvectors, 2 Lloyd rounds, cosine round(4)
+    assignment with lowest-cent_id tie-break, per-dim avg round(6)) —
+    trained FUSED (r19): one corpus pass per Lloyd iteration computes all
+    four subspace assignments within the row (batched cosine kernel +
+    within-row argmax against the 1-row folded codebook set), and ONE
+    (m, bucket, ord) aggregation updates all four codebooks, where the
+    previous shape ran four independent trainings = 4x the corpus scans,
+    4x the shuffles, 4x the broadcast-chain materializations per
+    iteration. Per-group members are identical to the per-subspace
+    trainings (m = ord div SUBDIM partitions the exploded dims exactly
+    as the slices did), so the round(6) means and every downstream
+    round(4) cosine are unchanged."""
+    base = emb.select("vec_id", "embedding")
+    cents = None
     for m in range(_PQ_M):
-        sub = emb.select(
-            "vec_id",
-            F.slice("embedding", m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
-            .alias("embedding"),
+        cm = base.filter(F.col("vec_id") < _KMEANS_K).select(
+            F.lit(m).alias("m"),
+            F.col("vec_id").alias("cent_id"),
+            F.slice("embedding", m * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("cv"),
         )
-        cent = kmeans_centroids(sub, k=_KMEANS_K, iterations=2)
-        codes = assign_buckets(
-            sub,
-            cent.select(F.col("cent_id").alias("vec_id"),
-                        F.col("cv").alias("embedding")),
-        ).select("vec_id", "bucket")
-        rc = codes.join(
-            F.broadcast(cent), codes["bucket"] == cent["cent_id"]
-        ).select("vec_id", F.col("cv").alias(f"cv{m}"))
-        recon = rc if recon is None else recon.join(rc, "vec_id")
-    return recon.select(
+        cents = cm if cents is None else cents.unionByName(cm)
+    for _ in range(2):  # fixed Lloyd rounds, synced with _kmeans_iter_sql
+        row = cents.agg(
+            F.collect_list(F.struct("m", "cent_id", "cv")).alias("_call")
+        )
+        buckets = F.array(
+            *[
+                (-_pq_nearest(m)["neg_cent"])
+                for m in range(_PQ_M)
+            ]
+        )
+        assigned = (
+            base.crossJoin(F.broadcast(row))
+            .select(buckets.alias("_bks"), F.col("embedding"))
+        )
+        sm = (F.col("ord") / F.lit(_PQ_SUBDIM)).cast("int")
+        per_dim = (
+            assigned.select(
+                "_bks", F.posexplode("embedding").alias("ord", "val")
+            )
+            .select(
+                sm.alias("m"),
+                F.element_at("_bks", sm + 1).alias("bucket"),
+                "ord",
+                "val",
+            )
+            .groupBy("m", "bucket", "ord")
+            .agg(F.round(F.avg("val"), 6).alias("val"))
+        )
+        cents = (
+            per_dim.groupBy("m", "bucket")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ord", "val"))),
+                    lambda s: s["val"],
+                ).alias("cv")
+            )
+            .select("m", F.col("bucket").alias("cent_id"), "cv")
+            # k*_PQ_M-row lineage cut per round (the kmeans_centroids
+            # idiom) so analyzed trees stay one iteration deep
+            .localCheckpoint(eager=False)
+        )
+    return cents
+
+
+def _pq_subspace_cents(m: int, all_col: str = "_call"):
+    """Subspace m's array<struct<cent_id, cv>> sliced out of the 1-row
+    folded (m, cent_id, cv) codebook set."""
+    return F.transform(
+        F.filter(F.col(all_col), lambda s: s["m"] == F.lit(m)),
+        lambda s: F.struct(s["cent_id"].alias("cent_id"), s["cv"].alias("cv")),
+    )
+
+
+def _pq_nearest(m: int, all_col: str = "_call"):
+    """Subspace m's winning struct(ccos, neg_cent, cv) for this row — the
+    code (-neg_cent) AND its decode (cv) in one within-row argmax, exact
+    max_by semantics (similarity._nearest_centroid_struct)."""
+    from ..operators.similarity import _scored_cents
+
+    return F.array_max(
+        _scored_cents(
+            F.slice("embedding", m * _PQ_SUBDIM + 1, _PQ_SUBDIM),
+            _pq_subspace_cents(m, all_col),
+        )
+    )
+
+
+def _pq_reconstruction(
+    emb: DataFrame, out_col: str = "embedding", keep: tuple = ()
+) -> DataFrame:
+    """(vec_id, *keep, out_col): every vector's PQ RECONSTRUCTION — per
+    subspace, train the deterministic k-means codebook, code each
+    subvector as its nearest centroid, and concatenate the 4 looked-up
+    centroids back into a 64-dim vector. The single definition
+    sim_pq_adc_recall and sim_ivfpq_recall share (r12): both oracles
+    replay the same four renamed subspace chains, so both Spark sides
+    must build the same reconstruction.
+
+    r19 shape: the four codebooks fold to one broadcast row each
+    (similarity._centroids_row) and code+decode happen WITHIN the row
+    (array_max over struct(ccos, -cent_id, cv) — exactly the old max_by
+    tie-break, the winning struct's cv IS the decode), so the whole
+    reconstruction is ONE map-side projection over the corpus — the
+    previous shape paid a per-subspace corpus-wide argmax shuffle plus
+    three corpus-sized vec_id joins to stitch the four subspaces back
+    together. Values are bit-identical (JVM cosine == cosine_pandas,
+    re-verified on the full sf0.1 corpus this round). ``keep`` forwards
+    extra input columns (e.g. the coarse bucket) so callers don't need a
+    corpus-sized re-join to recover them. Scale: codebooks are
+    _PQ_M x _KMEANS_K x _PQ_SUBDIM floats (constant, broadcast)."""
+    cbs = _pq_codebooks(emb)
+    row = cbs.agg(
+        F.collect_list(F.struct("m", "cent_id", "cv")).alias("_call")
+    )
+    return emb.crossJoin(F.broadcast(row)).select(
         "vec_id",
-        F.concat(*[F.col(f"cv{m}") for m in range(_PQ_M)]).alias(out_col),
+        *keep,
+        F.concat(
+            *[_pq_nearest(m)["cv"] for m in range(_PQ_M)]
+        ).alias(out_col),
     )
 
 
@@ -3162,14 +3254,18 @@ def _ivfpq_recall_frame(emb: DataFrame) -> DataFrame:
     cent_as_emb = coarse.select(
         F.col("cent_id").alias("vec_id"), F.col("cv").alias("embedding")
     )
-    assigned = assign_buckets(emb, cent_as_emb).select("vec_id", "bucket")
+    # r19: coarse bucket + PQ reconstruction computed in ONE map-side
+    # corpus pass (the coded catalog — bucket forwarded through
+    # _pq_reconstruction's keep, so no corpus-sized assigned ⋈ recon
+    # vec_id join remains; same rows, both relations were 1:1 on vec_id).
     probed = probe_buckets(queries, cent_as_emb, n_probe=2)
-    recon = _pq_reconstruction(emb, out_col="rv")
+    catalog = _pq_reconstruction(
+        assign_buckets(emb, cent_as_emb), out_col="rv", keep=("bucket",)
+    )
     cand = (
         F.broadcast(probed)
-        .join(assigned, "bucket")
+        .join(catalog, "bucket")
         .filter(F.col("q_id") != F.col("vec_id"))
-        .join(recon, "vec_id")
         .select(
             "q_id",
             F.col("vec_id").alias("n_id"),
@@ -3351,17 +3447,19 @@ def sim_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_as_emb = coarse.select(
         F.col("cent_id").alias("vec_id"), F.col("cv").alias("embedding")
     )
-    # Lazy lineage cuts (the kmeans_centroids idiom): assigned_v feeds the
-    # residual chain AND the candidate join, and res is sliced by all four
-    # subspace trainings plus the reconstruction join — without the cuts
-    # one action replays the corpus x centroids argmax derivation many
-    # times over (r12 review). At cluster scale these are "write the
-    # assignment / residual tables once".
-    assigned_v = assign_buckets(emb, cent_as_emb).localCheckpoint(eager=False)
+    # Lazy lineage cut (the kmeans_centroids idiom): res is sliced by all
+    # four subspace trainings plus the catalog projection — without the
+    # cut one action replays the residual derivation many times over
+    # (r12 review). At cluster scale this is "write the residual table
+    # once". r19: the assignment itself is now a map-side projection
+    # (assign_buckets has zero exchanges) and the residual subtraction
+    # joins the broadcast coarse table, so res is one map-side pass; the
+    # old separate assigned_v checkpoint and the rres ⋈ res ⋈ assigned
+    # corpus-sized vec_id re-joins are gone — bucket and the decoded
+    # residual travel in ONE catalog row via _pq_reconstruction's keep.
     res = (
-        assigned_v.join(
-            F.broadcast(coarse), assigned_v["bucket"] == coarse["cent_id"]
-        )
+        assign_buckets(emb, cent_as_emb)
+        .join(F.broadcast(coarse), F.col("bucket") == coarse["cent_id"])
         .select(
             "vec_id",
             F.zip_with("embedding", "cv", lambda x, y: x - y)
@@ -3370,21 +3468,20 @@ def sim_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    rres = _pq_reconstruction(res.select("vec_id", "embedding"), out_col="rres")
-    recon = (
-        rres.join(res.select("vec_id", "bucket"), "vec_id")
+    catalog = (
+        _pq_reconstruction(res, out_col="rres", keep=("bucket",))
         .join(F.broadcast(coarse), F.col("bucket") == coarse["cent_id"])
         .select(
             "vec_id",
+            "bucket",
             F.zip_with("cv", "rres", lambda x, y: x + y).alias("rv"),
         )
     )
     probed = probe_buckets(queries, cent_as_emb, n_probe=2)
     cand = (
         F.broadcast(probed)
-        .join(assigned_v.select("vec_id", "bucket"), "bucket")
+        .join(catalog, "bucket")
         .filter(F.col("q_id") != F.col("vec_id"))
-        .join(recon, "vec_id")
         .select(
             "q_id",
             F.col("vec_id").alias("n_id"),

@@ -476,13 +476,62 @@ from .llm import _FP_SQL as _LLM_FP_SQL  # noqa: E402  (one fp definition)
 # ---------------------------------------------------------------------------
 
 
+def _run_jobs(*thunks):
+    """Run independent Spark actions CONCURRENTLY from driver threads
+    (optimization guide §2.6: actions are only sequential because the
+    driver calls them sequentially; FIFO scheduling backfills each job's
+    straggler tail with the next job's tasks). Used for the independent
+    state writes inside the foreachBatch maintenance handlers and the
+    independent seed/arrival writes in their setups — at any scale these
+    jobs share no lineage ordering requirement (each targets its own
+    directory and replay overwrites per-partition), so overlapping them
+    costs nothing and collapses the serialized per-job latency the
+    driver otherwise pays. Returns the thunk results in order;
+    exceptions propagate."""
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        return [f.result() for f in [pool.submit(t) for t in thunks]]
+
+
 def _write_id_ordered_arrivals(src_dir: str, parts: list) -> None:
     """Write each part as one file with ascending mtimes so the file
     source replays them IN ORDER under maxFilesPerTrigger=1 — arrival
     order == doc_id order is what lets a first-arrival-wins oracle rank
-    by doc_id (shared by the fp-store and minhash-catalog ingests)."""
-    for i, part in enumerate(parts):
-        part.coalesce(1).write.parquet(os.path.join(src_dir, f"b{i}"))
+    by doc_id (shared by the fp-store and minhash-catalog ingests).
+
+    r19: ONE Spark job writes every part (partitionBy on the part tag,
+    one task per part, then the partition dirs rename into the b{i}
+    layout the reader globs) — the per-part coalesce(1) writes paid one
+    serialized job + commit per part. Intra-file row order changes
+    (shuffle by tag), which no consumer observes: every handler decides
+    by doc_id rank / set joins, never by arrival-row position, and the
+    oracles replay by doc_id. One file per part is guaranteed (the
+    dynamic-partition writer opens one file per partition value per
+    task), keeping batch boundaries — which TTL oracles hard-code —
+    exactly as before; a missing partition dir (an empty part) fails
+    loudly below rather than silently shifting batch numbering."""
+    tagged = parts[0].withColumn("_arr_part", F.lit(0))
+    for i, part in enumerate(parts[1:], start=1):
+        tagged = tagged.unionByName(part.withColumn("_arr_part", F.lit(i)))
+    stage_dir = src_dir + "__stage"
+    (
+        tagged.repartition(len(parts), "_arr_part")
+        .write.partitionBy("_arr_part")
+        .parquet(stage_dir)
+    )
+    os.makedirs(src_dir, exist_ok=True)
+    for i in range(len(parts)):
+        part_dir = os.path.join(stage_dir, f"_arr_part={i}")
+        if not os.path.isdir(part_dir):
+            raise ValueError(
+                f"_write_id_ordered_arrivals: part {i} wrote no rows — "
+                "an empty arrival file would silently renumber the "
+                "micro-batches the oracles replay"
+            )
+        os.rename(part_dir, os.path.join(src_dir, f"b{i}"))
     for i in range(len(parts)):
         for root, _dirs, files in os.walk(os.path.join(src_dir, f"b{i}")):
             for fn in files:
@@ -590,22 +639,26 @@ def _dedup_store_handler(
             "doc_id", fingerprint("text").alias("fp")
         ).localCheckpoint()  # one derivation feeds decisions AND the append
         ranked = _fp_store_ranked(store_dir, fps, batch_id, retention_batches)
-        _overwrite_batch_partition(
-            ranked.select(
-                "doc_id",
-                F.when(F.col("hit") | (F.col("rn") > 1), "duplicate")
-                .otherwise("novel")
-                .alias("status"),
+        # The two state writes are independent (own dirs, replay
+        # overwrites per-partition) — overlap them (r19, guide §2.6).
+        _run_jobs(
+            lambda: _overwrite_batch_partition(
+                ranked.select(
+                    "doc_id",
+                    F.when(F.col("hit") | (F.col("rn") > 1), "duplicate")
+                    .otherwise("novel")
+                    .alias("status"),
+                ),
+                decisions_dir,
+                batch_id,
             ),
-            decisions_dir,
-            batch_id,
-        )
-        _overwrite_batch_partition(
-            ranked.filter(F.col("hit").isNull() & (F.col("rn") == 1)).select(
-                "fp"
+            lambda: _overwrite_batch_partition(
+                ranked.filter(
+                    F.col("hit").isNull() & (F.col("rn") == 1)
+                ).select("fp"),
+                store_dir,
+                batch_id,
             ),
-            store_dir,
-            batch_id,
         )
 
     return handler
@@ -702,8 +755,11 @@ def _fp_store_setup(spark: SparkSession, sf_dir: str, prefix: str):
     decisions_dir = os.path.join(base_dir, "decisions")
     src_dir = os.path.join(base_dir, "arrivals")
 
-    _seed_state(_fp_store_seed(docs), store_dir)
-    _write_id_ordered_arrivals(src_dir, _fp_arrival_parts(docs))
+    # Seed and arrival writes are independent jobs — overlap (r19 §2.6).
+    _run_jobs(
+        lambda: _seed_state(_fp_store_seed(docs), store_dir),
+        lambda: _write_id_ordered_arrivals(src_dir, _fp_arrival_parts(docs)),
+    )
     return base_dir, store_dir, decisions_dir, _arrivals_stream(spark, src_dir)
 
 
@@ -821,36 +877,26 @@ def _dedup_store_bloom_handler(
         ranked = fps.withColumn("rn", F.row_number().over(w)).join(
             store_hits.withColumn("hit", F.lit(True)), "fp", "left_outer"
         )
-        (
-            ranked.select(
-                "doc_id",
-                F.when(F.col("hit") | (F.col("rn") > 1), "duplicate")
-                .otherwise("novel")
-                .alias("status"),
-            )
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(decisions_dir)
-        )
         novel = ranked.filter(
             F.col("hit").isNull() & (F.col("rn") == 1)
         ).select("fp").localCheckpoint()  # feeds the store AND bits appends
-        (
-            novel.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(store_dir)
-        )
-        (
-            _store_bloom_bits(novel, m)
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(bits_dir)
+        # Three independent state writes (own dirs, replay overwrites
+        # per-partition) — overlap them (r19, guide §2.6).
+        _run_jobs(
+            lambda: _overwrite_batch_partition(
+                ranked.select(
+                    "doc_id",
+                    F.when(F.col("hit") | (F.col("rn") > 1), "duplicate")
+                    .otherwise("novel")
+                    .alias("status"),
+                ),
+                decisions_dir,
+                batch_id,
+            ),
+            lambda: _overwrite_batch_partition(novel, store_dir, batch_id),
+            lambda: _overwrite_batch_partition(
+                _store_bloom_bits(novel, m), bits_dir, batch_id
+            ),
         )
 
     return handler
@@ -3068,19 +3114,22 @@ def _mh_catalog_handler(
         counts = hits.distinct().groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("n")
         )
-        _overwrite_batch_partition(
-            batch_df.select("doc_id")
-            .join(counts, "doc_id", "left_outer")
-            .select(
-                "doc_id",
-                F.coalesce(F.col("n"), F.lit(0))
-                .cast("long")
-                .alias("n_prior_candidates"),
+        # Independent writes (own dirs) — overlap them (r19, guide §2.6).
+        _run_jobs(
+            lambda: _overwrite_batch_partition(
+                batch_df.select("doc_id")
+                .join(counts, "doc_id", "left_outer")
+                .select(
+                    "doc_id",
+                    F.coalesce(F.col("n"), F.lit(0))
+                    .cast("long")
+                    .alias("n_prior_candidates"),
+                ),
+                decisions_dir,
+                batch_id,
             ),
-            decisions_dir,
-            batch_id,
+            lambda: _overwrite_batch_partition(bands, catalog_dir, batch_id),
         )
-        _overwrite_batch_partition(bands, catalog_dir, batch_id)
 
     return handler
 
@@ -3223,8 +3272,11 @@ def _mh_catalog_run(
     decisions_dir = os.path.join(base_dir, "decisions")
     src_dir = os.path.join(base_dir, "arrivals")
 
-    _seed_state(_mh_catalog_seed(docs), catalog_dir)
-    _write_id_ordered_arrivals(src_dir, _mh_arrival_parts(docs))
+    # Seed and arrival writes are independent jobs — overlap (r19 §2.6).
+    _run_jobs(
+        lambda: _seed_state(_mh_catalog_seed(docs), catalog_dir),
+        lambda: _write_id_ordered_arrivals(src_dir, _mh_arrival_parts(docs)),
+    )
     q = foreach_batch_sink(
         _arrivals_stream(spark, src_dir),
         _mh_catalog_handler(catalog_dir, decisions_dir, retention_batches),
@@ -3718,19 +3770,22 @@ def _image_catalog_handler(
         counts = hits.distinct().groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("n")
         )
-        _overwrite_batch_partition(
-            batch_df.select("doc_id")
-            .join(counts, "doc_id", "left_outer")
-            .select(
-                "doc_id",
-                F.coalesce(F.col("n"), F.lit(0))
-                .cast("long")
-                .alias("n_prior_candidates"),
+        # Independent writes (own dirs) — overlap them (r19, guide §2.6).
+        _run_jobs(
+            lambda: _overwrite_batch_partition(
+                batch_df.select("doc_id")
+                .join(counts, "doc_id", "left_outer")
+                .select(
+                    "doc_id",
+                    F.coalesce(F.col("n"), F.lit(0))
+                    .cast("long")
+                    .alias("n_prior_candidates"),
+                ),
+                decisions_dir,
+                batch_id,
             ),
-            decisions_dir,
-            batch_id,
+            lambda: _overwrite_batch_partition(chunks, catalog_dir, batch_id),
         )
-        _overwrite_batch_partition(chunks, catalog_dir, batch_id)
 
     return handler
 
@@ -3770,8 +3825,13 @@ def _image_catalog_run(
     decisions_dir = os.path.join(base_dir, "decisions")
     src_dir = os.path.join(base_dir, "arrivals")
 
-    _seed_state(_image_catalog_seed(docs), catalog_dir)
-    _write_id_ordered_arrivals(src_dir, _image_arrival_parts(docs))
+    # Seed and arrival writes are independent jobs — overlap (r19 §2.6).
+    _run_jobs(
+        lambda: _seed_state(_image_catalog_seed(docs), catalog_dir),
+        lambda: _write_id_ordered_arrivals(
+            src_dir, _image_arrival_parts(docs)
+        ),
+    )
     q = foreach_batch_sink(
         _arrivals_stream(spark, src_dir),
         _image_catalog_handler(catalog_dir, decisions_dir, retention_batches),
@@ -4085,21 +4145,24 @@ def _embedding_catalog_handler(
         counts = hits.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("n")
         )
-        _overwrite_batch_partition(
-            batch.select("doc_id")
-            .join(counts, "doc_id", "left_outer")
-            .select(
-                "doc_id",
-                F.coalesce(F.col("n"), F.lit(0))
-                .cast("long")
-                .alias("n_prior_neardups"),
+        # Independent writes (own dirs) — overlap them (r19, guide §2.6).
+        _run_jobs(
+            lambda: _overwrite_batch_partition(
+                batch.select("doc_id")
+                .join(counts, "doc_id", "left_outer")
+                .select(
+                    "doc_id",
+                    F.coalesce(F.col("n"), F.lit(0))
+                    .cast("long")
+                    .alias("n_prior_neardups"),
+                ),
+                decisions_dir,
+                batch_id,
             ),
-            decisions_dir,
-            batch_id,
-        )
-        _overwrite_batch_partition(codes, codes_dir, batch_id)
-        _overwrite_batch_partition(
-            batch.select("doc_id", "embedding"), vecs_dir, batch_id
+            lambda: _overwrite_batch_partition(codes, codes_dir, batch_id),
+            lambda: _overwrite_batch_partition(
+                batch.select("doc_id", "embedding"), vecs_dir, batch_id
+            ),
         )
 
     return handler
@@ -4170,10 +4233,15 @@ def _embedding_catalog_run(
     src_dir = os.path.join(base_dir, "arrivals")
 
     seed = _emb_catalog_seed(emb).localCheckpoint()
-    _seed_state(_emb_code_rows(seed), codes_dir)
-    _seed_state(seed.select("doc_id", "embedding"), vecs_dir)
-
-    _write_id_ordered_arrivals(src_dir, _emb_arrival_parts(emb))
+    # The two seed writes and the arrival write are independent jobs —
+    # overlap (r19 §2.6). _emb_code_rows eagerly checkpoints its code
+    # derivation before the pool, so the thunks only write.
+    code_rows = _emb_code_rows(seed)
+    _run_jobs(
+        lambda: _seed_state(code_rows, codes_dir),
+        lambda: _seed_state(seed.select("doc_id", "embedding"), vecs_dir),
+        lambda: _write_id_ordered_arrivals(src_dir, _emb_arrival_parts(emb)),
+    )
     q = foreach_batch_sink(
         _arrivals_stream(spark, src_dir, schema=_EMB_ARRIVAL_SCHEMA),
         _embedding_catalog_handler(
@@ -4232,8 +4300,11 @@ def stream_embedding_catalog_compacted(
     )
     q.awaitTermination()
 
-    _compact_state(spark, dirs["codes_a"], dirs["codes_b"])
-    _compact_state(spark, dirs["vectors_a"], dirs["vectors_b"])
+    # The two relations compact independently — overlap (r19 §2.6).
+    _run_jobs(
+        lambda: _compact_state(spark, dirs["codes_a"], dirs["codes_b"]),
+        lambda: _compact_state(spark, dirs["vectors_a"], dirs["vectors_b"]),
+    )
 
     _write_id_ordered_arrivals(os.path.join(base_dir, "arr_b"), parts[2:])
     q = foreach_batch_sink(
@@ -4478,29 +4549,40 @@ def _gate_v2_handler(
             .when(F.col("quality_p") < _GATE_QUALITY_LT, "low_quality")
             .otherwise("ok")
         )
-        _overwrite_batch_partition(
-            joined
-            .select("doc_id", reason.alias("reason"))
-            .select(
-                "doc_id",
-                F.when(F.col("reason") == "ok", "keep")
-                .otherwise("drop")
-                .alias("decision"),
-                "reason",
+        # All state writes are independent (own dirs, replay overwrites
+        # per-partition) — overlap them (r19, guide §2.6): the decisions
+        # write is the slow one (every probe arm in its lineage) and the
+        # three appends backfill its tail.
+        writes = [
+            lambda: _overwrite_batch_partition(
+                joined
+                .select("doc_id", reason.alias("reason"))
+                .select(
+                    "doc_id",
+                    F.when(F.col("reason") == "ok", "keep")
+                    .otherwise("drop")
+                    .alias("decision"),
+                    "reason",
+                ),
+                decisions_dir,
+                batch_id,
             ),
-            decisions_dir,
-            batch_id,
-        )
-        _overwrite_batch_partition(
-            ranked.filter(F.col("hit").isNull() & (F.col("rn") == 1)).select(
-                "fp"
+            lambda: _overwrite_batch_partition(
+                ranked.filter(
+                    F.col("hit").isNull() & (F.col("rn") == 1)
+                ).select("fp"),
+                store_dir,
+                batch_id,
             ),
-            store_dir,
-            batch_id,
-        )
-        _overwrite_batch_partition(bands, catalog_dir, batch_id)
+            lambda: _overwrite_batch_partition(bands, catalog_dir, batch_id),
+        ]
         if image_catalog_dir is not None:
-            _overwrite_batch_partition(chunks, image_catalog_dir, batch_id)
+            writes.append(
+                lambda: _overwrite_batch_partition(
+                    chunks, image_catalog_dir, batch_id
+                )
+            )
+        _run_jobs(*writes)
 
     return handler
 
@@ -4545,14 +4627,18 @@ def _gate_maintained_run(
     # every real id far under it), so the band seed is the plain evens
     # too; the image seed is the evens' COVER chunks (the v1 gate's
     # prefix-stable cover derivation over the maintained-catalog chunker).
-    _seed_state(_fp_store_seed(docs), store_dir)
-    _seed_state(_mh_catalog_seed(docs), catalog_dir)
+    seed_writes = [
+        lambda: _seed_state(_fp_store_seed(docs), store_dir),
+        lambda: _seed_state(_mh_catalog_seed(docs), catalog_dir),
+    ]
     if image_arm:
-        _seed_state(
-            _image_chunk_rows(
-                _gate_cover(docs.filter(F.col("doc_id") % 2 == 0))
-            ),
-            image_catalog_dir,
+        seed_writes.append(
+            lambda: _seed_state(
+                _image_chunk_rows(
+                    _gate_cover(docs.filter(F.col("doc_id") % 2 == 0))
+                ),
+                image_catalog_dir,
+            )
         )
 
     # The plant families share one arrivals file, so their id ranges
@@ -4608,8 +4694,14 @@ def _gate_maintained_run(
             )
         )
     odds = docs.filter(F.col("doc_id") % 2 == 1)
-    _write_id_ordered_arrivals(
-        src_dir, _id_range_parts(odds, plants, plant_offset=_GV2_SEED_OFF)
+    # Seeds and arrivals are independent jobs — overlap (r19 §2.6); the
+    # guard above already raised before any of them starts.
+    _run_jobs(
+        *seed_writes,
+        lambda: _write_id_ordered_arrivals(
+            src_dir,
+            _id_range_parts(odds, plants, plant_offset=_GV2_SEED_OFF),
+        ),
     )
 
     q = foreach_batch_sink(
@@ -4926,18 +5018,23 @@ def _neardup_clustermap_handler(
                 "resolve — strictly-decreasing ids make this unreachable"
             )
 
-        _overwrite_batch_partition(
-            resolved.select(
-                "doc_id",
-                cluster_split_column(F.col("rep_fp")).alias("split"),
+        # Independent writes (own dirs) — overlap them (r19, guide §2.6).
+        _run_jobs(
+            lambda: _overwrite_batch_partition(
+                resolved.select(
+                    "doc_id",
+                    cluster_split_column(F.col("rep_fp")).alias("split"),
+                ),
+                decisions_dir,
+                batch_id,
             ),
-            decisions_dir,
-            batch_id,
+            lambda: _overwrite_batch_partition(
+                resolved.select("doc_id", "rep_id", "rep_fp"),
+                map_dir,
+                batch_id,
+            ),
+            lambda: _overwrite_batch_partition(bands, catalog_dir, batch_id),
         )
-        _overwrite_batch_partition(
-            resolved.select("doc_id", "rep_id", "rep_fp"), map_dir, batch_id
-        )
-        _overwrite_batch_partition(bands, catalog_dir, batch_id)
 
     return handler
 
@@ -5097,8 +5194,13 @@ def stream_split_by_neardup_inc_compacted(
     )
     q.awaitTermination()
 
-    _compact_state(spark, dirs["catalog_a"], dirs["catalog_b"])
-    _compact_state(spark, dirs["clustermap_a"], dirs["clustermap_b"])
+    # The two relations compact independently — overlap (r19 §2.6).
+    _run_jobs(
+        lambda: _compact_state(spark, dirs["catalog_a"], dirs["catalog_b"]),
+        lambda: _compact_state(
+            spark, dirs["clustermap_a"], dirs["clustermap_b"]
+        ),
+    )
 
     _write_id_ordered_arrivals(os.path.join(base_dir, "arr_b"), parts[2:])
     q = foreach_batch_sink(
@@ -5596,18 +5698,24 @@ def stream_ivfpq_probe_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cent = kmeans_centroids(emb, k=_KMEANS_K, iterations=2)
     cent_arr = _centroid_literal_array(cent.collect(), _KMEANS_K)
-    assigned = assign_buckets(
-        emb,
-        cent.select(F.col("cent_id").alias("vec_id"),
-                    F.col("cv").alias("embedding")),
-    ).select(F.col("vec_id").alias("n_id"), "bucket")
     # The coded catalog: one bucket id + one reconstruction per corpus
     # vector, materialized once (at scale: the written IVF-PQ index).
-    catalog = assigned.join(
-        _pq_reconstruction(emb, out_col="rv")
-        .withColumnRenamed("vec_id", "n_id"),
-        "n_id",
-    ).localCheckpoint()
+    # r19: both come out of ONE map-side corpus pass (zero-exchange
+    # assign_buckets + _pq_reconstruction's keep) — the old shape paid a
+    # corpus-sized assigned ⋈ recon vec_id join here.
+    catalog = (
+        _pq_reconstruction(
+            assign_buckets(
+                emb,
+                cent.select(F.col("cent_id").alias("vec_id"),
+                            F.col("cv").alias("embedding")),
+            ),
+            out_col="rv",
+            keep=("bucket",),
+        )
+        .withColumnRenamed("vec_id", "n_id")
+        .localCheckpoint()
+    )
 
     q = (
         embeddings_stream(spark, sf_dir)

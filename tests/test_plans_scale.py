@@ -553,15 +553,25 @@ def test_ivf_recall_no_cartesian_beyond_broadcast(plan_of):
     assert "BroadcastNestedLoopJoin" in plan  # the documented broadcast crossJoins
 
 
-def test_clustered_recall_synthesis_broadcast(plan_of):
+def test_clustered_recall_synthesis_broadcast(spark, sf_dir, plan_of):
     """sim_ivfpq_clustered_recall's corpus synthesis is four equi-joins
     against the constant 8-row prototype relation — all broadcast
     (FIXED-K), with no distributed cartesian anywhere in the composed
     recall plan (the brute/probe crossJoins stay broadcast, as in
-    sim_ivf_recall)."""
+    sim_ivf_recall). r19: the proto joins are pinned on the SYNTHESIS
+    plan itself — in the composed plan they sit behind the documented
+    lazy lineage cut, which the fused PQ-codebook training now
+    materializes before explain, so they no longer print there."""
+    from spark_streaming_kafka_example_spark.plans.llm import (
+        _clustered_corpus,
+    )
+
+    synth = formatted_plan(_clustered_corpus(spark, sf_dir))
+    assert synth.count("BroadcastHashJoin") >= 4  # the proto joins
+    assert "CartesianProduct" not in synth
+
     plan = plan_of("sim_ivfpq_clustered_recall")
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastHashJoin") >= 4  # the proto joins
     assert "BroadcastNestedLoopJoin" in plan  # broadcast crossJoins
 
 
