@@ -29,7 +29,23 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_session", "stop_session"]
+__all__ = ["get_session", "stop_session", "run_parallel"]
+
+
+def run_parallel(*thunks):
+    """Run independent Spark actions CONCURRENTLY from driver threads
+    (optimization guide §2.6: actions are only sequential because the
+    driver calls them sequentially; FIFO scheduling backfills each job's
+    straggler tail with the next job's tasks). The session-level utility
+    behind plans.stream._run_jobs and the independent-training overlap in
+    plans.llm. Only for thunks with NO lineage ordering requirement.
+    Returns the thunk results in order; exceptions propagate."""
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        return [f.result() for f in [pool.submit(t) for t in thunks]]
 
 
 def _default_parallelism() -> int:

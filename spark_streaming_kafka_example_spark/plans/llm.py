@@ -3053,7 +3053,10 @@ def _pq_nearest(m: int, all_col: str = "_call"):
 
 
 def _pq_reconstruction(
-    emb: DataFrame, out_col: str = "embedding", keep: tuple = ()
+    emb: DataFrame,
+    out_col: str = "embedding",
+    keep: tuple = (),
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, *keep, out_col): every vector's PQ RECONSTRUCTION — per
     subspace, train the deterministic k-means codebook, code each
@@ -3073,9 +3076,13 @@ def _pq_reconstruction(
     together. Values are bit-identical (JVM cosine == cosine_pandas,
     re-verified on the full sf0.1 corpus this round). ``keep`` forwards
     extra input columns (e.g. the coarse bucket) so callers don't need a
-    corpus-sized re-join to recover them. Scale: codebooks are
+    corpus-sized re-join to recover them. ``codebooks`` lets a caller
+    train on an equal-valued but lineage-independent relation (e.g. the
+    raw corpus rather than the coarse-assigned projection) so coarse and
+    PQ trainings can overlap — the vectors are identical either way, so
+    the codebooks are too. Scale: codebooks are
     _PQ_M x _KMEANS_K x _PQ_SUBDIM floats (constant, broadcast)."""
-    cbs = _pq_codebooks(emb)
+    cbs = codebooks if codebooks is not None else _pq_codebooks(emb)
     row = cbs.agg(
         F.collect_list(F.struct("m", "cent_id", "cv")).alias("_call")
     )
@@ -3249,8 +3256,20 @@ def _ivfpq_recall_frame(emb: DataFrame) -> DataFrame:
         probe_buckets,
     )
 
+    from ..engine import run_parallel
+
     queries = emb.filter(F.col("vec_id") < 5)
-    coarse = kmeans_centroids(emb, k=_KMEANS_K, iterations=2)
+    # The coarse quantizer and the four PQ codebooks train on the SAME
+    # corpus but independently of each other — build them in parallel
+    # driver threads (r19, guide §2.6: each construction executes its
+    # training stages through the lazy-checkpoint lineage cut, and the
+    # two chains share no ordering requirement). Training the codebooks
+    # on emb rather than the coarse-assigned projection is value-
+    # identical (same vectors) and keeps the chains independent.
+    coarse, cbs = run_parallel(
+        lambda: kmeans_centroids(emb, k=_KMEANS_K, iterations=2),
+        lambda: _pq_codebooks(emb),
+    )
     cent_as_emb = coarse.select(
         F.col("cent_id").alias("vec_id"), F.col("cv").alias("embedding")
     )
@@ -3260,7 +3279,10 @@ def _ivfpq_recall_frame(emb: DataFrame) -> DataFrame:
     # vec_id join remains; same rows, both relations were 1:1 on vec_id).
     probed = probe_buckets(queries, cent_as_emb, n_probe=2)
     catalog = _pq_reconstruction(
-        assign_buckets(emb, cent_as_emb), out_col="rv", keep=("bucket",)
+        assign_buckets(emb, cent_as_emb),
+        out_col="rv",
+        keep=("bucket",),
+        codebooks=cbs,
     )
     cand = (
         F.broadcast(probed)

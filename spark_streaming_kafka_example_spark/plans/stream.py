@@ -476,24 +476,13 @@ from .llm import _FP_SQL as _LLM_FP_SQL  # noqa: E402  (one fp definition)
 # ---------------------------------------------------------------------------
 
 
-def _run_jobs(*thunks):
-    """Run independent Spark actions CONCURRENTLY from driver threads
-    (optimization guide §2.6: actions are only sequential because the
-    driver calls them sequentially; FIFO scheduling backfills each job's
-    straggler tail with the next job's tasks). Used for the independent
-    state writes inside the foreachBatch maintenance handlers and the
-    independent seed/arrival writes in their setups — at any scale these
-    jobs share no lineage ordering requirement (each targets its own
-    directory and replay overwrites per-partition), so overlapping them
-    costs nothing and collapses the serialized per-job latency the
-    driver otherwise pays. Returns the thunk results in order;
-    exceptions propagate."""
-    if len(thunks) == 1:
-        return [thunks[0]()]
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
-        return [f.result() for f in [pool.submit(t) for t in thunks]]
+# Used for the independent state writes inside the foreachBatch
+# maintenance handlers and the independent seed/arrival writes in their
+# setups — at any scale these jobs share no lineage ordering requirement
+# (each targets its own directory and replay overwrites per-partition),
+# so overlapping them costs nothing and collapses the serialized
+# per-job latency the driver otherwise pays.
+from ..engine import run_parallel as _run_jobs  # noqa: E402
 
 
 def _write_id_ordered_arrivals(src_dir: str, parts: list) -> None:
@@ -4519,7 +4508,14 @@ def _gate_v2_handler(
         ranked = _fp_store_ranked(
             store_dir, scored.select("doc_id", "fp", "quality_p"), batch_id
         )
-        bands = _batch_band_rows(scored)
+        # The band derivation and the cover-image chunk derivation are
+        # independent eager materializations off the one checkpointed
+        # scored relation — overlap them (r19, guide §2.6).
+        derive = [lambda: _batch_band_rows(scored)]
+        if image_catalog_dir is not None:
+            derive.append(lambda: _image_chunk_rows(_gate_cover(scored)))
+        derived = _run_jobs(*derive)
+        bands = derived[0]
         near = (
             _catalog_prior_hits(catalog_dir, bands, batch_id)
             .select("doc_id")
@@ -4528,7 +4524,7 @@ def _gate_v2_handler(
         )
         joined = ranked.join(near, "doc_id", "left_outer")
         if image_catalog_dir is not None:
-            chunks = _image_chunk_rows(_gate_cover(scored))
+            chunks = derived[1]
             imghit = (
                 _image_catalog_prior_hits(
                     image_catalog_dir, chunks, batch_id
@@ -4983,13 +4979,25 @@ def _neardup_clustermap_handler(
         # carry their map row. Same-batch parents (rep still null) chase
         # the strictly-decreasing parent chain against the growing
         # resolved set — depth-bounded, so the loop terminates.
+        # r19 loop shape: ONE eager materialization per hop — a single
+        # left-outer pass splits the pending set into rows whose ancestor
+        # just resolved (rep_id non-null; resolved reps are always
+        # non-null by construction) and rows that advance one hop
+        # (par_b's inner/outer distinction is immaterial: every same-
+        # batch ancestor is in base, and an unresolved ancestor always
+        # has a parent, else it would be a founder and resolved).
+        # resolved stays a LAZY union over checkpointed pieces, so the
+        # old shape's two extra jobs per hop (pending checkpoint +
+        # eager resolved-union checkpoint) are gone; results are
+        # identical — the same (doc_id, rep) pairs resolve at the same
+        # hop, only the materialization boundaries moved.
         resolved = base.filter(
             F.col("parent").isNull() | F.col("rep_id").isNotNull()
         ).select(
             "doc_id",
             F.coalesce(F.col("rep_id"), F.col("doc_id")).alias("rep_id"),
             F.coalesce(F.col("rep_fp"), F.col("fp")).alias("rep_fp"),
-        ).localCheckpoint()
+        )
         pending = base.filter(
             F.col("parent").isNotNull() & F.col("rep_id").isNull()
         ).select("doc_id", F.col("parent").alias("anc"))
@@ -4997,21 +5005,25 @@ def _neardup_clustermap_handler(
             F.col("doc_id").alias("anc"), F.col("parent").alias("anc2")
         )
         for _ in range(1000):  # anti-hang bound far above any real depth
-            pending = pending.localCheckpoint()
             if pending.isEmpty():
                 break
             res_anc = resolved.select(
                 F.col("doc_id").alias("anc"), "rep_id", "rep_fp"
             )
-            hit = pending.join(res_anc, "anc").select(
-                "doc_id", "rep_id", "rep_fp"
+            step = (
+                pending.join(res_anc, "anc", "left_outer")
+                .join(par_b, "anc", "left_outer")
+                .select("doc_id", "rep_id", "rep_fp", "anc2")
+                .localCheckpoint()
             )
-            pending = (
-                pending.join(res_anc.select("anc"), "anc", "left_anti")
-                .join(par_b, "anc")
-                .select("doc_id", F.col("anc2").alias("anc"))
+            resolved = resolved.unionByName(
+                step.filter(F.col("rep_id").isNotNull()).select(
+                    "doc_id", "rep_id", "rep_fp"
+                )
             )
-            resolved = resolved.unionByName(hit).localCheckpoint()
+            pending = step.filter(F.col("rep_id").isNull()).select(
+                "doc_id", F.col("anc2").alias("anc")
+            )
         else:
             raise RuntimeError(
                 "_neardup_clustermap_handler: parent chain did not "
@@ -5695,8 +5707,15 @@ def stream_ivfpq_probe_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import cosine, cosine_pandas
     from ..operators.similarity import assign_buckets, kmeans_centroids
 
+    from .llm import _pq_codebooks
+
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent = kmeans_centroids(emb, k=_KMEANS_K, iterations=2)
+    # Coarse training and the four PQ codebook trainings are independent
+    # — overlap them (r19, guide §2.6; the _ivfpq_recall_frame pattern).
+    cent, cbs = _run_jobs(
+        lambda: kmeans_centroids(emb, k=_KMEANS_K, iterations=2),
+        lambda: _pq_codebooks(emb),
+    )
     cent_arr = _centroid_literal_array(cent.collect(), _KMEANS_K)
     # The coded catalog: one bucket id + one reconstruction per corpus
     # vector, materialized once (at scale: the written IVF-PQ index).
@@ -5712,6 +5731,7 @@ def stream_ivfpq_probe_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             out_col="rv",
             keep=("bucket",),
+            codebooks=cbs,
         )
         .withColumnRenamed("vec_id", "n_id")
         .localCheckpoint()
