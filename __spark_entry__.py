@@ -148,13 +148,13 @@ FORCE_RECHECK: dict[str, int] = {
     # r15: the fold changed again — dedupe-by-id, NaN exclusion (ADVICE)
     # and the ProcessingTimeTimeout TTL (r14 VERDICT task 2). Identical
     # single-batch drained values, but force fresh rows under the new code.
-    "stream_ann_probe": 15,
-    "stream_ivfpq_probe": 15,
+    # (Both expired on r15 green rows; re-entered at 19 below — the r19
+    # rewrite touched them again.)
     # r15: sim_ivfpq_recall's Spark body moved into the shared
     # _ivfpq_recall_frame (so sim_ivfpq_clustered_recall runs the identical
     # ranker) — oracle byte-identical, result value-identical (re-measured
     # 0.24 mean at sf0.01), but the earning implementation was refactored.
-    "sim_ivfpq_recall": 15,
+    # (Expired on the r15 green row; re-entered at 19 below.)
     # r18: the gate-v2 Spark body moved into the shared
     # _gate_maintained_run and its handler gained the default-None image
     # arm (so stream_pretrain_gate_v3 composes via parameters) — oracle
@@ -164,6 +164,33 @@ FORCE_RECHECK: dict[str, int] = {
     # entry: the r18 window is a zero-slack exact fit, so the re-proof
     # row lands in r19 instead of displacing an r11-stale name.
     "stream_pretrain_gate_v2": 18,
+    # r20 (r19 VERDICT task 2): the 20 paths whose Spark bodies the r19
+    # optimization round rewrote (nearest-centroid/PQ zero-exchange tier,
+    # overlapped lifecycle-arm state writes) but whose r19 window slot
+    # never came — oracles byte-identical, builder parity green at
+    # sf0.001/sf0.01, but the green rows on file predate the rewrite
+    # (the r14/r15/r18 refactor-re-proof precedent, this time for the
+    # whole rewritten set).
+    "sim_ivf_recall": 19,
+    "sim_ivf_indexed_topk": 19,
+    "sim_ivf_probe_only": 19,
+    "sim_ivf_compacted_probe": 19,
+    "stream_ivf_appendix_probe": 19,
+    "sim_ivfpq_recall": 19,
+    "sim_ivfpq_clustered_recall": 19,
+    "sim_pq_adc_recall": 19,
+    "stream_ann_probe": 19,
+    "stream_ivfpq_probe": 19,
+    "dedup_semdedup": 19,
+    "stream_dedup_store_ingest": 19,
+    "stream_dedup_store_bloom_ingest": 19,
+    "stream_dedup_store_compacted": 19,
+    "stream_dedup_store_retention": 19,
+    "stream_minhash_catalog_ingest": 19,
+    "stream_minhash_catalog_compacted": 19,
+    "stream_minhash_catalog_retention": 19,
+    "stream_image_catalog_ingest": 19,
+    "stream_split_by_neardup": 19,
 }
 
 

@@ -48,6 +48,19 @@ def run_parallel(*thunks):
         return [f.result() for f in [pool.submit(t) for t in thunks]]
 
 
+def materialize(df):
+    """Execute ``df``'s pending computation NOW (one count() through its
+    lazy localCheckpoint lineage cut) and return it. run_parallel thunks
+    wrap independent trainings with this so the §2.6 overlap is GENUINE:
+    a thunk that only constructs a lazy frame returns instantly and
+    overlaps nothing — the trainings would still serialize at the first
+    consuming action (r19 ADVICE, measured r20). The count is a k-row
+    action; the checkpoint it fills is what every later consumer
+    reuses."""
+    df.count()
+    return df
+
+
 def _default_parallelism() -> int:
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if cpus:

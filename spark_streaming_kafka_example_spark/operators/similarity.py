@@ -37,6 +37,36 @@ __all__ = [
 ]
 
 
+def _centroid_literal_array(cent_rows, k: int):
+    """Embed a FIXED-K centroid table as a plan-literal array of
+    (cent_id, cv) structs. Guards the scale contract: the collect feeding
+    this must be bounded by the centroid count k, never by the corpus.
+    (Moved here from plans.stream in r20 so the batch tier shares the one
+    guarded builder; stream re-exports it.)
+
+    Built as ONE parsed SQL expression, not nested F.lit()/F.struct()
+    calls: k x dim literals as individual Column objects cost a py4j
+    round trip EACH (measured 1.6s for 32x64 — more than the whole query
+    it was meant to speed up); one expr string is a single round trip
+    and parses server-side in ms. repr(float) round-trips exactly and
+    SQL double literals parse correctly-rounded, so the embedded values
+    are bit-identical to the F.lit path."""
+    if len(cent_rows) > k:
+        raise ValueError(
+            f"centroid relation must be fixed-k (<= {k} rows), got"
+            f" {len(cent_rows)} — a corpus-size-dependent centroid set"
+            " cannot be embedded as plan literals"
+        )
+    parts = [
+        "named_struct('cent_id', {cid}, 'cv', array({cv}))".format(
+            cid=int(r["cent_id"]),
+            cv=", ".join(f"{float(x)!r}D" for x in r["cv"]),
+        )
+        for r in cent_rows
+    ]
+    return F.expr("array(" + ", ".join(parts) + ")")
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -176,18 +206,26 @@ def assign_buckets(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cv: bool = False,
 ) -> DataFrame:
     """Assign every corpus vector to its nearest centroid (broadcast the
     1-row folded centroid set; one MAP-SIDE pass over the corpus — the
     argmax is a within-row array_max, so the assignment has ZERO
     exchanges; r19, previously a k-way crossJoin + corpus-wide max_by
-    shuffle that moved the full vector per scored row)."""
+    shuffle that moved the full vector per scored row).
+
+    ``keep_cv`` (r20): additionally emit the winning centroid's vector
+    as ``cv`` — the argmax struct already holds it, so callers that need
+    it (residual coding) skip a bucket⋈centroid re-join."""
     c = centroids.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv"))
     best = _nearest_centroid_struct(vec_col)
+    cols = [F.col(id_col), F.col(vec_col), (-best["neg_cent"]).alias("bucket")]
+    if keep_cv:
+        cols.append(best["cv"].alias("cv"))
     return (
         corpus.select(F.col(id_col), F.col(vec_col))
         .crossJoin(F.broadcast(_centroids_row(c)))
-        .select(id_col, vec_col, (-best["neg_cent"]).alias("bucket"))
+        .select(*cols)
     )
 
 

@@ -762,6 +762,17 @@ def stride_centroids(emb: DataFrame) -> DataFrame:
     )
 
 
+# r20 note (r19 VERDICT task 5, attempted and MEASURED OUT): embedding
+# the stride centroid set as plan literals (collect + one parsed expr)
+# does erase the folded-row 1-row agg + broadcast stage, but at
+# _STRIDE_K_CAP=32 x 64 dims the 2048-literal catalyst tree costs more
+# in analysis/codegen than the stage it removes — interleaved min-of-4
+# at sf0.1: folded-row 1.46s, expr-literal 2.83s, collected-local-row
+# 2.14s (OPTIMIZATION_r20.md). The r19 folded-row form stays; the
+# literal idiom remains right where a FIXED-K set must live inside a
+# STREAMING projection (the k=8 at-ingest probes).
+
+
 @register("sim_ivf_topk", _IVF_STRIDE_SQL)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -924,6 +935,22 @@ _IVF_KMEANS_SQL = f"""
         FROM scored)
     WHERE rnk <= 5
     """
+
+
+# r20 note (r19 VERDICT task 4, attempted and MEASURED OUT alongside the
+# stride literal above): collecting the trained coarse centroids / PQ
+# codebooks and embedding them as plan literals regressed the whole
+# kmeans/PQ tier — alternating r19-vs-literal runs: sim_ivfpq_recall
+# 5.29/5.50 -> 6.45/6.70, sim_pq_adc_recall 3.45/3.56 -> 4.96/5.37
+# (min-of-3 each, two rounds). Mechanism: a k x d literal array is
+# COPIED into the expression tree at every reference (_pq_nearest
+# references the codebook set ~3x per subspace x 4 subspaces), so
+# catalyst analysis/codegen pay ~thousands of literal nodes per plan,
+# where the folded-row form duplicates only a column reference. The
+# r19 folded-row forms stay; what r20 KEEPS from the experiment is the
+# genuine §2.6 training overlap (engine.materialize thunks in
+# _ivfpq_recall_frame / stream_ivfpq_probe_plan) and assign_buckets'
+# keep_cv (join elimination with no literals, residual path).
 
 
 @register("sim_ivf_kmeans_topk", _IVF_KMEANS_SQL)
@@ -3256,19 +3283,21 @@ def _ivfpq_recall_frame(emb: DataFrame) -> DataFrame:
         probe_buckets,
     )
 
-    from ..engine import run_parallel
+    from ..engine import materialize, run_parallel
 
     queries = emb.filter(F.col("vec_id") < 5)
     # The coarse quantizer and the four PQ codebooks train on the SAME
-    # corpus but independently of each other — build them in parallel
-    # driver threads (r19, guide §2.6: each construction executes its
-    # training stages through the lazy-checkpoint lineage cut, and the
-    # two chains share no ordering requirement). Training the codebooks
+    # corpus but independently of each other — train them in parallel
+    # driver threads (guide §2.6). r20 (r19 ADVICE): the thunks
+    # MATERIALIZE their chains (engine.materialize = one k-row count
+    # through the lazy-checkpoint cut), so the overlap is genuine — the
+    # r19 lazy-construction thunks ran no jobs and the trainings still
+    # serialized at the first consuming action. Training the codebooks
     # on emb rather than the coarse-assigned projection is value-
     # identical (same vectors) and keeps the chains independent.
     coarse, cbs = run_parallel(
-        lambda: kmeans_centroids(emb, k=_KMEANS_K, iterations=2),
-        lambda: _pq_codebooks(emb),
+        lambda: materialize(kmeans_centroids(emb, k=_KMEANS_K, iterations=2)),
+        lambda: materialize(_pq_codebooks(emb)),
     )
     cent_as_emb = coarse.select(
         F.col("cent_id").alias("vec_id"), F.col("cv").alias("embedding")
@@ -3473,31 +3502,31 @@ def sim_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # four subspace trainings plus the catalog projection — without the
     # cut one action replays the residual derivation many times over
     # (r12 review). At cluster scale this is "write the residual table
-    # once". r19: the assignment itself is now a map-side projection
-    # (assign_buckets has zero exchanges) and the residual subtraction
-    # joins the broadcast coarse table, so res is one map-side pass; the
-    # old separate assigned_v checkpoint and the rres ⋈ res ⋈ assigned
-    # corpus-sized vec_id re-joins are gone — bucket and the decoded
-    # residual travel in ONE catalog row via _pq_reconstruction's keep.
+    # once". r19: the assignment itself is a map-side projection with
+    # zero exchanges; r20: keep_cv forwards the winning centroid's vector
+    # in the SAME row (the within-row argmax already holds it), so the
+    # residual subtraction and the later coarse_cv + decoded-residual add
+    # need NO bucket ⋈ centroid broadcast joins at all — bucket, cv and
+    # the decoded residual travel in ONE catalog row via
+    # _pq_reconstruction's keep (plan: 2 BroadcastHashJoins removed, see
+    # plans/r20/sim_ivfpq_residual_recall_*).
     res = (
-        assign_buckets(emb, cent_as_emb)
-        .join(F.broadcast(coarse), F.col("bucket") == coarse["cent_id"])
+        assign_buckets(emb, cent_as_emb, keep_cv=True)
         .select(
             "vec_id",
             F.zip_with("embedding", "cv", lambda x, y: x - y)
             .alias("embedding"),
             "bucket",
+            "cv",
         )
         .localCheckpoint(eager=False)
     )
-    catalog = (
-        _pq_reconstruction(res, out_col="rres", keep=("bucket",))
-        .join(F.broadcast(coarse), F.col("bucket") == coarse["cent_id"])
-        .select(
-            "vec_id",
-            "bucket",
-            F.zip_with("cv", "rres", lambda x, y: x + y).alias("rv"),
-        )
+    catalog = _pq_reconstruction(
+        res, out_col="rres", keep=("bucket", "cv")
+    ).select(
+        "vec_id",
+        "bucket",
+        F.zip_with("cv", "rres", lambda x, y: x + y).alias("rv"),
     )
     probed = probe_buckets(queries, cent_as_emb, n_probe=2)
     cand = (

@@ -521,6 +521,12 @@ def _write_id_ordered_arrivals(src_dir: str, parts: list) -> None:
                 "micro-batches the oracles replay"
             )
         os.rename(part_dir, os.path.join(src_dir, f"b{i}"))
+    # The staging dir has served its purpose (_SUCCESS marker + any
+    # empty partition dirs would otherwise accumulate per run and trap
+    # future directory scans — r19 ADVICE).
+    import shutil
+
+    shutil.rmtree(stage_dir, ignore_errors=True)
     for i in range(len(parts)):
         for root, _dirs, files in os.walk(os.path.join(src_dir, f"b{i}")):
             for fn in files:
@@ -557,6 +563,36 @@ def _id_range_parts(
         odds.filter(F.col("doc_id") > 2 * m // 3),
         plants,
     ]
+
+
+# Explicit state-relation schemas (r20, guide §6 / r19 VERDICT task 1):
+# every per-batch state read names the WRITER's schema instead of
+# re-inferring it from parquet footers — measured ~70-95 ms of
+# driver-side footer-read latency saved per read on this host, paid 1-3x
+# per micro-batch by every maintenance handler. batch_id is the
+# partition column every state write appends (int: F.lit(batch_id)).
+# The strings must track the writers exactly; schemas were captured from
+# the live relations (simpleString) when introduced.
+_FP_STORE_SCHEMA = "fp string, batch_id int"
+_BLOOM_BITS_SCHEMA = "pos bigint, batch_id int"
+_MH_CATALOG_SCHEMA = (
+    "doc_id long, band_id int, band_val string, batch_id int"
+)
+_IMG_CATALOG_SCHEMA = (
+    "doc_id long, phash string, chunk_id int, chunk_val string, "
+    "batch_id int"
+)
+_EMB_CODES_SCHEMA = "doc_id long, band_id int, code int, batch_id int"
+_EMB_VECS_SCHEMA = "doc_id long, embedding array<float>, batch_id int"
+_CLUSTER_MAP_SCHEMA = (
+    "doc_id long, rep_id long, rep_fp string, batch_id int"
+)
+
+
+def _read_state(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Partitioned state-dir read with the writer's explicit schema (no
+    per-batch footer inference — see the schema constants above)."""
+    return spark.read.schema(schema).parquet(path)
 
 
 def _overwrite_batch_partition(
@@ -596,9 +632,9 @@ def _fp_store_ranked(
     BOTH sides. Output columns: the fps columns + rn + hit (True / null)."""
     from pyspark.sql import Window
 
-    store = fps.sparkSession.read.parquet(store_dir).filter(
-        F.col("batch_id") < batch_id
-    )
+    store = _read_state(
+        fps.sparkSession, store_dir, _FP_STORE_SCHEMA
+    ).filter(F.col("batch_id") < batch_id)
     if retention_batches is not None:
         store = store.filter(
             F.col("batch_id") >= batch_id - retention_batches
@@ -842,7 +878,7 @@ def _dedup_store_bloom_handler(
               for j in range(_STORE_BLOOM_K)],
         )
         bits = (
-            spark.read.parquet(bits_dir)
+            _read_state(spark, bits_dir, _BLOOM_BITS_SCHEMA)
             .filter(F.col("batch_id") < batch_id)
             .select("pos")
             .distinct()
@@ -856,7 +892,7 @@ def _dedup_store_bloom_handler(
         # ONLY possible fps touch the store (the fp-keyed join the Bloom
         # exists to spare; definite misses never read it)
         store_hits = possible.select("fp").join(
-            spark.read.parquet(store_dir)
+            _read_state(spark, store_dir, _FP_STORE_SCHEMA)
             .filter(F.col("batch_id") < batch_id)
             .select("fp"),
             "fp",
@@ -907,7 +943,7 @@ def stream_dedup_store_bloom_ingest(
     )
     bits_dir = os.path.join(base_dir, "bloombits")
 
-    seed = spark.read.parquet(store_dir).select("fp")
+    seed = _read_state(spark, store_dir, _FP_STORE_SCHEMA).select("fp")
     n_seed = seed.count()  # one scalar: sizes m for the store's lifetime
     m = min(_STORE_BLOOM_M_CAP, 1 << max(8 * n_seed - 1, 1).bit_length())
     (
@@ -1515,25 +1551,10 @@ def stream_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .llm import _IVF_KMEANS_SQL, _KMEANS_K  # noqa: E402  (same result/oracle)
 
 
-def _centroid_literal_array(cent_rows, k: int):
-    """Embed a FIXED-K centroid table as a plan-literal array of
-    (cent_id, cv) structs. Guards the scale contract: the collect feeding
-    this must be bounded by the centroid count k, never by the corpus."""
-    if len(cent_rows) > k:
-        raise ValueError(
-            f"centroid relation must be fixed-k (<= {k} rows), got"
-            f" {len(cent_rows)} — a corpus-size-dependent centroid set"
-            " cannot be embedded as plan literals"
-        )
-    return F.array(*[
-        F.struct(
-            F.lit(int(r["cent_id"])).alias("cent_id"),
-            F.array(*[F.lit(float(x)) for x in r["cv"]])
-            .cast("array<double>")
-            .alias("cv"),
-        )
-        for r in cent_rows
-    ])
+# r20: the guarded literal builder moved to operators.similarity (and
+# became ONE parsed expr instead of a py4j round trip per value); this
+# name stays the streaming modules' import path.
+from ..operators.similarity import _centroid_literal_array  # noqa: E402
 
 
 @register("stream_ann_probe", _IVF_KMEANS_SQL)
@@ -2892,7 +2913,6 @@ def stream_hll_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id").isNotNull())
         .select("ts", "event_type", "user_id")
     )
-    regs_drained = run_to_table(spark, hll_windowed_fold(ev), "complete")
     ev_b = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull())
@@ -2907,6 +2927,15 @@ def stream_hll_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups = ev_b.select(*_HLL_WIN_GCOLS).distinct()
     exact = ev_b.groupBy(*_HLL_WIN_GCOLS).agg(
         F.countDistinct("user_id").alias("n")
+    )
+    # r20 (guide §2.6): the exact-distinct/groups batch arms are
+    # independent of the drain — materialize them in parallel with it
+    # (the _cms_windowed_query idiom; checkpoints double as true stats
+    # for the downstream grid/score joins).
+    regs_drained, groups, exact = _run_jobs(
+        lambda: run_to_table(spark, hll_windowed_fold(ev), "complete"),
+        lambda: groups.localCheckpoint(),
+        lambda: exact.localCheckpoint(),
     )
     return hll_score(
         spark, sf_dir,
@@ -3124,14 +3153,32 @@ def _mh_catalog_handler(
 
 
 def _batch_band_rows(batch_df: DataFrame) -> DataFrame:
-    """(doc_id, band_id, band_val) for a micro-batch via the proven batch
-    machinery (inside foreachBatch the batch is a batch DataFrame, so the
-    groupBy signature form applies). Checkpointed: one derivation feeds
-    the probe, the within-batch self-join AND the catalog append."""
+    """(doc_id, band_id, band_val) for a micro-batch, computed WITHIN THE
+    ROW (r20, guide §2.4 — the r11 stream_minhash_probe idiom applied to
+    the maintenance handlers): sig_j = array_min over the doc's
+    shingle-hash array of the same affine family minhash_signatures
+    min-aggregates (min over a set = min over its array), band values =
+    the shared lsh_band_values md5s. A pure projection — the old
+    doc_shingles explode + groupBy form paid a full shuffle of the
+    exploded shingle rows PER MICRO-BATCH (profiled ~0.8-1.2s/batch at
+    sf0.1, the dominant handler phase). Rows identical: same shingles,
+    same permutation constants, duplicate shingles irrelevant to min.
+    Checkpointed: one derivation feeds the probe, the within-batch
+    self-join AND the catalog append."""
+    from ..functions.text import shingles_from_words
+
+    hashed = (
+        batch_df.select("doc_id", F.split("text", " ").alias("_w"))
+        .select("doc_id", shingles_from_words("_w", 3).alias("_sh"))
+        .select("doc_id", F.expr(_DD.MINHASH_HASH_ARRAY_SQL).alias("_hs"))
+        # a <n-word doc has NO shingles: the groupBy form (and the
+        # oracle's GROUP BY CTE) emits no sig row for it, so the
+        # within-row form must drop it too, not band NULL sigs
+        .filter(F.size("_hs") > 0)
+    )
     return _DD.lsh_band_values(
-        _DD.minhash_signatures(
-            _DD.doc_shingles(batch_df.select("doc_id", "text"), distinct=False),
-            num_hashes=_MH_NUM_HASHES,
+        hashed.select(
+            "doc_id", *_DD.minhash_sig_cols_within_row(_MH_NUM_HASHES)
         ),
         num_hashes=_MH_NUM_HASHES,
         bands=_MH_BANDS,
@@ -3155,9 +3202,9 @@ def _catalog_prior_hits(
     bands append regardless of status, so a row is visible iff its
     batch is in the window. May contain duplicates; callers distinct()
     as needed."""
-    prior = bands.sparkSession.read.parquet(catalog_dir).filter(
-        F.col("batch_id") < batch_id
-    )
+    prior = _read_state(
+        bands.sparkSession, catalog_dir, _MH_CATALOG_SCHEMA
+    ).filter(F.col("batch_id") < batch_id)
     if retention_batches is not None:
         prior = prior.filter(
             F.col("batch_id") >= batch_id - retention_batches
@@ -3330,7 +3377,12 @@ def _mh_arrival_parts(docs: DataFrame) -> list:
 # ---------------------------------------------------------------------------
 
 
-def _compact_state(spark: SparkSession, state_dir: str, out_dir: str) -> None:
+def _compact_state(
+    spark: SparkSession,
+    state_dir: str,
+    out_dir: str,
+    schema: str | None = None,
+) -> None:
     """Collapse every batch_id partition of an ingest-maintained state
     into ONE fresh batch_id=-1 seed partition. Pure rewrite: appends are
     novel-only (store) / per-doc-unique (catalog), so no dedup pass is
@@ -3343,7 +3395,12 @@ def _compact_state(spark: SparkSession, state_dir: str, out_dir: str) -> None:
     the whole store would expire at once at batch W. TTL-compatible
     compaction must rewrite FILES WITHIN each batch_id partition,
     preserving the partition keys — a different operation."""
-    _seed_state(spark.read.parquet(state_dir).drop("batch_id"), out_dir)
+    rows = (
+        _read_state(spark, state_dir, schema)
+        if schema is not None
+        else spark.read.parquet(state_dir)
+    )
+    _seed_state(rows.drop("batch_id"), out_dir)
 
 
 def _compacted_two_phase_ingest(
@@ -3352,6 +3409,7 @@ def _compacted_two_phase_ingest(
     seed_rows: DataFrame,
     parts: list,
     make_handler,
+    state_schema: str | None = None,
 ):
     """Seed state, ingest parts[:2], COMPACT, ingest parts[2:] against
     the compacted state; return the two decisions dirs. Shared by the
@@ -3381,7 +3439,7 @@ def _compacted_two_phase_ingest(
     )
     q.awaitTermination()
 
-    _compact_state(spark, state_a, state_b)
+    _compact_state(spark, state_a, state_b, schema=state_schema)
 
     _write_id_ordered_arrivals(os.path.join(base_dir, "arr_b"), parts[2:])
     q = foreach_batch_sink(
@@ -3408,6 +3466,7 @@ def stream_dedup_store_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fp_store_seed(docs),
         _fp_arrival_parts(docs),
         _dedup_store_handler,
+        state_schema=_FP_STORE_SCHEMA,
     )
     return (
         spark.read.parquet(dec_a)
@@ -3431,6 +3490,7 @@ def stream_minhash_catalog_compacted(
         _mh_catalog_seed(docs),
         _mh_arrival_parts(docs),
         _mh_catalog_handler,
+        state_schema=_MH_CATALOG_SCHEMA,
     )
     return (
         spark.read.parquet(dec_a)
@@ -3699,9 +3759,9 @@ def _image_catalog_prior_hits(
     distinct()."""
     from ..operators.dedup import phash_hamming
 
-    prior = chunks.sparkSession.read.parquet(catalog_dir).filter(
-        F.col("batch_id") < batch_id
-    )
+    prior = _read_state(
+        chunks.sparkSession, catalog_dir, _IMG_CATALOG_SCHEMA
+    ).filter(F.col("batch_id") < batch_id)
     if retention_batches is not None:
         prior = prior.filter(
             F.col("batch_id") >= batch_id - retention_batches
@@ -3888,6 +3948,7 @@ def stream_image_catalog_compacted(
         _image_catalog_seed(docs),
         _image_arrival_parts(docs),
         _image_catalog_handler,
+        state_schema=_IMG_CATALOG_SCHEMA,
     )
     return (
         spark.read.parquet(dec_a)
@@ -4025,10 +4086,10 @@ def _emb_prior_relations(
     bounded batch_id < current, both windowed to [current - W, current)
     under retention — the bounds reach BOTH scans as partition filters
     (pinned by test_ttl_embedding_catalog_read_pruned_both_sides)."""
-    prior_codes = spark.read.parquet(codes_dir).filter(
+    prior_codes = _read_state(spark, codes_dir, _EMB_CODES_SCHEMA).filter(
         F.col("batch_id") < batch_id
     )
-    prior_store = spark.read.parquet(vecs_dir).filter(
+    prior_store = _read_state(spark, vecs_dir, _EMB_VECS_SCHEMA).filter(
         F.col("batch_id") < batch_id
     )
     if retention_batches is not None:
@@ -4291,8 +4352,13 @@ def stream_embedding_catalog_compacted(
 
     # The two relations compact independently — overlap (r19 §2.6).
     _run_jobs(
-        lambda: _compact_state(spark, dirs["codes_a"], dirs["codes_b"]),
-        lambda: _compact_state(spark, dirs["vectors_a"], dirs["vectors_b"]),
+        lambda: _compact_state(
+            spark, dirs["codes_a"], dirs["codes_b"], schema=_EMB_CODES_SCHEMA
+        ),
+        lambda: _compact_state(
+            spark, dirs["vectors_a"], dirs["vectors_b"],
+            schema=_EMB_VECS_SCHEMA,
+        ),
     )
 
     _write_id_ordered_arrivals(os.path.join(base_dir, "arr_b"), parts[2:])
@@ -4962,7 +5028,7 @@ def _neardup_clustermap_handler(
         base = scored.select("doc_id", "fp").join(par, "doc_id", "left_outer")
         if os.path.isdir(map_dir):
             repmap = (
-                spark.read.parquet(map_dir)
+                _read_state(spark, map_dir, _CLUSTER_MAP_SCHEMA)
                 .filter(F.col("batch_id") < batch_id)
                 .select(
                     F.col("doc_id").alias("parent"), "rep_id", "rep_fp"
@@ -5208,9 +5274,13 @@ def stream_split_by_neardup_inc_compacted(
 
     # The two relations compact independently — overlap (r19 §2.6).
     _run_jobs(
-        lambda: _compact_state(spark, dirs["catalog_a"], dirs["catalog_b"]),
         lambda: _compact_state(
-            spark, dirs["clustermap_a"], dirs["clustermap_b"]
+            spark, dirs["catalog_a"], dirs["catalog_b"],
+            schema=_MH_CATALOG_SCHEMA,
+        ),
+        lambda: _compact_state(
+            spark, dirs["clustermap_a"], dirs["clustermap_b"],
+            schema=_CLUSTER_MAP_SCHEMA,
         ),
     )
 
@@ -5347,7 +5417,6 @@ def _cms_windowed_query(
             "j", "bucket", "c",
         )
     )
-    cells = run_to_table(spark, folded, "complete")
     ev_b = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull())
@@ -5371,6 +5440,18 @@ def _cms_windowed_query(
         )
         .filter(F.col("rk") <= _CMS_WIN_TOPN)
         .drop("rk")
+    )
+    # r20 (guide §2.6 + §3.1): the exact/top batch arm is independent of
+    # the drain — materialize it (eager localCheckpoint) IN PARALLEL with
+    # the streaming drain instead of serially after it. The checkpoint
+    # doubles as the r08 stats idiom: the planner now SEES top's true
+    # (windows x top-N) size and picks broadcast-vs-shuffle for the cells
+    # join itself (measured: the 562k-row sliding cells side stopped
+    # being shuffled — SMJ -> stats-chosen BHJ — with no hint, so the
+    # choice still degrades to shuffle when retained windows grow).
+    cells, top = _run_jobs(
+        lambda: run_to_table(spark, folded, "complete"),
+        lambda: top.localCheckpoint(),
     )
     cand = top.select(*_CMS_WIN_GCOLS, "user_id", "n", _cms_js()).select(
         *_CMS_WIN_GCOLS, "user_id", "n", "j",
@@ -5711,10 +5792,16 @@ def stream_ivfpq_probe_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # Coarse training and the four PQ codebook trainings are independent
-    # — overlap them (r19, guide §2.6; the _ivfpq_recall_frame pattern).
+    # — overlap them (guide §2.6). r20 (r19 ADVICE): the thunks
+    # MATERIALIZE their chains (engine.materialize — one k-row count
+    # through the lazy-checkpoint cut), so the overlap is genuine; the
+    # r19 lazy-construction thunks ran no jobs and the trainings still
+    # serialized at the first consuming action.
+    from ..engine import materialize as _mat
+
     cent, cbs = _run_jobs(
-        lambda: kmeans_centroids(emb, k=_KMEANS_K, iterations=2),
-        lambda: _pq_codebooks(emb),
+        lambda: _mat(kmeans_centroids(emb, k=_KMEANS_K, iterations=2)),
+        lambda: _mat(_pq_codebooks(emb)),
     )
     cent_arr = _centroid_literal_array(cent.collect(), _KMEANS_K)
     # The coded catalog: one bucket id + one reconstruction per corpus
@@ -5824,7 +5911,6 @@ def stream_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket", "r",
         )
     )
-    regs_drained = run_to_table(spark, folded, "complete")
     ev_b = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull())
@@ -5839,6 +5925,15 @@ def stream_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups = ev_b.select(*_HLL_SLIDE_GCOLS).distinct()
     exact = ev_b.groupBy(*_HLL_SLIDE_GCOLS).agg(
         F.countDistinct("user_id").alias("n")
+    )
+    # r20 (guide §2.6): the exact-distinct/groups batch arms are
+    # independent of the drain — materialize them in parallel with it
+    # (the _cms_windowed_query idiom; checkpoints double as true stats
+    # for the downstream grid/score joins).
+    regs_drained, groups, exact = _run_jobs(
+        lambda: run_to_table(spark, folded, "complete"),
+        lambda: groups.localCheckpoint(),
+        lambda: exact.localCheckpoint(),
     )
     return hll_score(
         spark, sf_dir,

@@ -573,6 +573,12 @@ def test_clustered_recall_synthesis_broadcast(spark, sf_dir, plan_of):
     plan = plan_of("sim_ivfpq_clustered_recall")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # broadcast crossJoins
+    # r19 ADVICE: keep some composed-plan coverage — the composed plan
+    # carries exactly the 2 documented corpus-proportional (unhinted)
+    # sort-merge joins of the recall frame; if a regression re-plans the
+    # 4 synthesis joins INSIDE the composed query (in front of the
+    # lineage cut) as distributed joins, this count trips.
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 2
 
 
 def test_repeated_spans_topk_and_partial_agg(plan_of):

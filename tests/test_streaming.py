@@ -1753,6 +1753,113 @@ def test_minhash_catalog_cross_batch_growth(spark, tmp_path):
     assert got2 == got
 
 
+def test_handler_crash_between_overlapped_writes_replays_clean(
+    spark, tmp_path
+):
+    """r20 (r19 VERDICT task 8): _run_jobs overlaps a handler's sibling
+    state writes, so a crash can leave ANY SUBSET of them on disk before
+    the engine replays the batch. The invariant that makes this safe —
+    now pinned, not just commented — is that replay is idempotent
+    regardless of which sibling landed: reads are bounded batch_id <
+    current (a half-written current partition is never consulted) and
+    every write is a dynamic per-partition overwrite (the survivor is
+    rewritten byte-identically, the missing sibling is produced). Both
+    crash orders are simulated by deleting one sibling's partition after
+    a clean run and replaying."""
+    import shutil
+
+    import pyspark.sql.functions as SF
+
+    from spark_streaming_kafka_example_spark.functions.text import fingerprint
+    from spark_streaming_kafka_example_spark.plans.stream import (
+        _dedup_store_handler,
+    )
+
+    store = str(tmp_path / "store")
+    decisions = str(tmp_path / "decisions")
+    schema = "doc_id long, text string"
+
+    spark.createDataFrame([(2, "alpha beta")], schema).select(
+        fingerprint("text").alias("fp")
+    ).withColumn("batch_id", SF.lit(-1)).write.partitionBy("batch_id").parquet(
+        store
+    )
+
+    batches = [
+        [(11, "gamma delta")],                        # novel
+        [(13, "gamma delta"), (15, "epsilon zeta")],  # cross-batch dup + novel
+    ]
+    handler = _dedup_store_handler(store, decisions)
+    for i, rows in enumerate(batches):
+        handler(spark.createDataFrame(rows, schema), i)
+
+    def snapshot():
+        dec = sorted(
+            (r.doc_id, r.status, r.batch_id)
+            for r in spark.read.parquet(decisions).collect()
+        )
+        fps = sorted(
+            (r.fp, r.batch_id) for r in spark.read.parquet(store).collect()
+        )
+        return dec, fps
+
+    clean = snapshot()
+
+    # crash order (a): batch 1's store append landed, decisions did not
+    shutil.rmtree(os.path.join(decisions, "batch_id=1"))
+    handler(spark.createDataFrame(batches[1], schema), 1)
+    assert snapshot() == clean
+
+    # crash order (b): batch 1's decisions landed, store append did not
+    shutil.rmtree(os.path.join(store, "batch_id=1"))
+    handler(spark.createDataFrame(batches[1], schema), 1)
+    assert snapshot() == clean
+
+
+def test_batch_band_rows_within_row_equals_groupby_form(spark, sf_dir):
+    """r20: _batch_band_rows switched to the within-row signature form
+    (array_min over the shingle-hash array — the r11 stream_minhash_probe
+    idiom) to drop the per-micro-batch explode+groupBy shuffle. Pin the
+    relation byte-equal to the groupBy machinery it replaced — including
+    the zero-shingle edge, where the groupBy form (and the oracle's
+    GROUP BY CTE) emits NO rows for a <n-word doc."""
+    from spark_streaming_kafka_example_spark.operators import dedup as DD
+    from spark_streaming_kafka_example_spark.plans.stream import (
+        _MH_BANDS,
+        _MH_NUM_HASHES,
+        _batch_band_rows,
+    )
+    from spark_streaming_kafka_example_spark.sources import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .unionByName(
+            spark.createDataFrame(
+                [(990001, "two words"), (990002, "one")],
+                "doc_id long, text string",
+            )
+        )
+    )
+    got = sorted(
+        (r.doc_id, r.band_id, r.band_val)
+        for r in _batch_band_rows(docs).collect()
+    )
+    want = sorted(
+        (r.doc_id, r.band_id, r.band_val)
+        for r in DD.lsh_band_values(
+            DD.minhash_signatures(
+                DD.doc_shingles(docs, distinct=False),
+                num_hashes=_MH_NUM_HASHES,
+            ),
+            num_hashes=_MH_NUM_HASHES,
+            bands=_MH_BANDS,
+        ).collect()
+    )
+    assert got == want
+    assert not any(d in (990001, 990002) for d, _, _ in got)  # no shingles
+
+
 def test_pretrain_gate_v2_cross_batch_state(spark, tmp_path):
     """r17 (r16 VERDICT task 4): the v2 gate's decisions depend on state
     MAINTAINED at ingest, not the frozen seed — an exact copy and a
